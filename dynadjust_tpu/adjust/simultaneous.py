@@ -1,0 +1,341 @@
+"""Simultaneous (whole-of-network) least-squares adjustment.
+
+Gauss-Newton iteration over the dense normal equations with rigorous
+variance propagation and statistics, mirroring the reference's
+AdjustSimultaneous flow.  The linear algebra (normals formation, scaled
+Cholesky inverse, solve) runs on-device via JAX; the measurement update
+loop runs on host (it is O(m) trivial work for the dense path — the
+scalable phased/sharded path lives in dynadjust_tpu.parallel).
+
+Parity reference: dnaadjust.cpp AdjustSimultaneous :2413, Solve :6586
+(diagonal unity scaling :6614-6645), UpdateAdjustment :473,
+ComputeStatistics :7116, ComputePrecisionAdjMsrs :7784,
+UpdateMsrRecords :8083, ComputeGlobalPelzer :8302.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..geodesy.conversions import cart_to_geo, geo_to_cart
+from ..network.data import NetworkData
+from .assembler import Assembler, GpsItem, ScalarItem, DirnSetItem
+from .options import AdjustmentOptions
+
+UNRELIABLE = 999.99
+STABLE_LIMIT = 700.0
+
+
+@dataclass
+class MsrStatRow:
+    """Per-scalar-row adjusted measurement statistics (measurement record
+    update analogue)."""
+    mtype: str = ""
+    cardinal: str = " "
+    s1: int = -1
+    s2: int = -1
+    s3: int = -1
+    pre_adj_meas: float = 0.0
+    measured: float = 0.0       # term1 (reduced measurement)
+    adjusted: float = 0.0
+    correction: float = 0.0
+    meas_var: float = 0.0       # apriori variance (scaled)
+    adj_prec: float = 0.0       # variance of adjusted measurement
+    resid_prec: float = 0.0
+    nstat: float = 0.0
+    tstat: float = 0.0
+    pelzer: float = 0.0
+    pre_adj_corr: float = 0.0
+    outlier: bool = False
+    ignore: bool = False
+
+
+@dataclass
+class AdjustmentResult:
+    status: str
+    iterations: int
+    max_corr: float
+    chi_squared: float
+    sigma_zero: float
+    degrees_of_freedom: int
+    measurement_count: int
+    unknown_count: int
+    chi_upper: float
+    chi_lower: float
+    pass_fail: str
+    global_pelzer: float
+    potential_outliers: int
+    critical_value: float
+    xyz: np.ndarray                 # (S, 3) adjusted cartesian
+    lat: np.ndarray
+    lon: np.ndarray
+    height: np.ndarray              # ellipsoidal
+    cov_xyz: np.ndarray             # (3S, 3S) a-posteriori covariance
+    msr_stats: list = field(default_factory=list)
+    iteration_log: list = field(default_factory=list)
+    elapsed: float = 0.0
+
+
+def _chi2_limits(dof: float, confidence: float):
+    from scipy.stats import chi2
+    conf = (100.0 - confidence) * 0.01 * 0.5
+    upper = chi2.isf(conf, dof) / dof
+    lower = chi2.ppf(conf, dof) / dof
+    return lower, upper
+
+
+def _critical_value(confidence: float):
+    from scipy.stats import norm
+    conf = confidence * 0.01
+    conf += (1.0 - conf) / 2.0
+    return norm.ppf(conf)
+
+
+def _solve_normals(N, AtVinv_m, scale_to_unity: bool):
+    """Invert the (constrained) normals and solve for corrections.
+
+    Diagonal unity scaling combats the 12-orders-of-magnitude dynamic range
+    that station constraints create (reference: Solve, :6604-6645).
+
+    Runs on host LAPACK: the TPU MXU has no native float64, and mm-level
+    geodesy demands it for the dense inverse.  The scalable TPU path
+    (dynadjust_tpu.parallel) uses mixed-precision blocked Cholesky with
+    iterative refinement instead.
+    """
+    import scipy.linalg as sla
+    n = N.shape[0]
+    if scale_to_unity:
+        s = 1.0 / np.sqrt(np.diag(N))
+        Ns = N * s[:, None] * s[None, :]
+    else:
+        s = None
+        Ns = N
+    c, low = sla.cho_factor(Ns, lower=True)
+    Ninv = sla.cho_solve((c, low), np.eye(n))
+    if s is not None:
+        Ninv = Ninv * s[:, None] * s[None, :]
+    dx = Ninv @ AtVinv_m
+    return Ninv, dx
+
+
+def _form_normals(A, Vinv_blocks, Wc, nrows):
+    """N = AᵀV⁻¹A + per-station 3x3 constraint blocks; AtVinv = AᵀV⁻¹.
+
+    Vinv_blocks: iterable of (row0, block) covering all design rows."""
+    n = A.shape[1]
+    AtVinv = np.zeros((n, nrows))
+    for r0, blk in Vinv_blocks:
+        k = blk.shape[0]
+        AtVinv[:, r0:r0 + k] = A[r0:r0 + k].T @ blk
+    N = AtVinv @ A
+    for i in range(Wc.shape[0]):
+        N[3 * i:3 * i + 3, 3 * i:3 * i + 3] += Wc[i]
+    return N, AtVinv
+
+
+def adjust_simultaneous(net: NetworkData,
+                        options: AdjustmentOptions | None = None
+                        ) -> AdjustmentResult:
+    opts = options or AdjustmentOptions()
+    t0 = time.time()
+
+    asm = Assembler(net, opts)
+    S = net.nstations
+
+    # estimated station vector from current geographic coordinates
+    x, y, z = geo_to_cart(net.lat, net.lon, net.height, net.datum.ellipsoid)
+    est = np.stack([x, y, z], axis=-1).reshape(-1)
+
+    # initial fill with one-time reductions
+    asm.fill(est, apply_reductions=True)
+    Wc = asm.constraint_weights()
+    N, AtVinv = _form_normals(asm.A, asm.weight_blocks(), Wc, asm.nrows)
+
+    unknown_count = asm.unknown_params()
+    m_count = asm.measurement_count()
+
+    Ninv = None
+    max_corr = np.inf
+    status = "Converged"
+    it_log = []
+    iteration = 0
+
+    for i in range(opts.max_iterations):
+        iteration += 1
+        compute_inverse = (iteration < 2) or asm.has_non_gps
+        rhs = AtVinv @ asm.mmc
+        if compute_inverse:
+            Ninv, dx = _solve_normals(N, rhs, opts.scale_normals_to_unity)
+        else:
+            dx = Ninv @ rhs
+        est = est + dx
+        imax = int(np.argmax(np.abs(dx)))
+        max_corr = dx[imax]
+        it_log.append({"iteration": iteration, "max_corr": float(max_corr),
+                       "station": net.names[imax // 3]})
+
+        if abs(max_corr) <= opts.iteration_threshold:
+            break
+
+        # re-linearise for the next iteration
+        if asm.has_non_gps:
+            _update_geographic(net, est)
+            asm.fill(est)
+            N, AtVinv = _form_normals(asm.A, asm.weight_blocks(), Wc,
+                                      asm.nrows)
+        else:
+            asm.fill(est)
+    else:
+        status = "Failed to converge"
+
+    if abs(max_corr) > opts.iteration_threshold:
+        status = "Failed to converge"
+
+    # Final state refresh (UpdateAdjustment(false)): update geographic
+    # coordinates, recompute design + meas-minus-comp, keep inverted normals
+    _update_geographic(net, est)
+    asm.fill(est)
+
+    # ----- statistics -----------------------------------------------------
+    crit = _critical_value(opts.confidence_interval)
+    stats_rows, chi_sq, potential_outliers, pelzer_sum, pelzer_n = \
+        _measurement_stats(asm, net, Ninv, est, crit)
+
+    dof = m_count - unknown_count
+    sigma0 = chi_sq / dof if dof else 0.0
+    for r in stats_rows:
+        r.tstat = r.nstat / np.sqrt(sigma0) if sigma0 > 1e-20 else 0.0
+    chi_lower, chi_upper = (_chi2_limits(dof, opts.confidence_interval)
+                            if dof > 0 else (0.0, 0.0))
+    if sigma0 < chi_lower:
+        pass_fail = "WARNING"
+    elif sigma0 > chi_upper:
+        pass_fail = "FAILED"
+    else:
+        pass_fail = "PASSED"
+    global_pelzer = (np.sqrt(pelzer_sum / pelzer_n) if pelzer_n
+                     else UNRELIABLE)
+
+    return AdjustmentResult(
+        status=status, iterations=iteration, max_corr=float(max_corr),
+        chi_squared=float(chi_sq), sigma_zero=float(sigma0),
+        degrees_of_freedom=dof, measurement_count=m_count,
+        unknown_count=unknown_count, chi_upper=chi_upper,
+        chi_lower=chi_lower, pass_fail=pass_fail,
+        global_pelzer=float(global_pelzer),
+        potential_outliers=potential_outliers, critical_value=float(crit),
+        xyz=est.reshape(-1, 3), lat=net.lat.copy(), lon=net.lon.copy(),
+        height=net.height.copy(), cov_xyz=Ninv, msr_stats=stats_rows,
+        iteration_log=it_log, elapsed=time.time() - t0)
+
+
+def _update_geographic(net: NetworkData, est: np.ndarray):
+    xyz = est.reshape(-1, 3)
+    la, lo, h = cart_to_geo(xyz[:, 0], xyz[:, 1], xyz[:, 2],
+                            net.datum.ellipsoid)
+    net.lat, net.lon, net.height = la, lo, h
+
+
+def _measurement_stats(asm: Assembler, net: NetworkData, Ninv: np.ndarray,
+                       est: np.ndarray, crit: float):
+    """Adjusted measurement corrections, precisions, N-stats, chi-square.
+
+    Parity: ComputePrecisionAdjMsrs + UpdateMsrRecords + ComputeChiSquare."""
+    A, mmc = asm.A, asm.mmc
+    # diag(A Ninv Aᵀ) gives the adjusted-measurement variance per row
+    ANi = A @ Ninv
+    adj_prec = np.einsum("ij,ij->i", ANi, A)
+
+    rows: list[MsrStatRow] = []
+    chi_sq = 0.0
+    outliers = 0
+    pelzer_sum, pelzer_n = 0.0, 0
+
+    def finish(r: MsrStatRow, row_idx: int):
+        nonlocal outliers, pelzer_sum, pelzer_n
+        r.correction = -mmc[row_idx]
+        r.adjusted = r.measured + r.correction
+        r.adj_prec = adj_prec[row_idx]
+        r.resid_prec = abs(r.meas_var - r.adj_prec)
+        r.pelzer = (np.sqrt(r.meas_var / r.resid_prec)
+                    if r.resid_prec > 0 else UNRELIABLE)
+        if r.pelzer < 0.0 or r.pelzer > STABLE_LIMIT:
+            r.pelzer = UNRELIABLE
+        else:
+            pelzer_sum += r.pelzer * r.pelzer - 1.0
+            pelzer_n += 1
+        r.nstat = (r.correction / np.sqrt(r.resid_prec)
+                   if r.resid_prec > 0 else 0.0)
+        if abs(r.nstat) > crit:
+            r.outlier = True
+            outliers += 1
+        rows.append(r)
+
+    for item in asm.item_order:
+        if isinstance(item, ScalarItem):
+            r = MsrStatRow(mtype=item.mtype, s1=item.s1, s2=item.s2,
+                           s3=item.s3, pre_adj_meas=item.pre_adj_meas,
+                           measured=item.term1, meas_var=item.var,
+                           pre_adj_corr=item.pre_adj_corr)
+            finish(r, item.row)
+            r.adjusted = _readjust_scalar(asm, net, item, r, est)
+            chi_sq += mmc[item.row] ** 2 / item.var
+        elif isinstance(item, DirnSetItem):
+            for ang in item.angles:
+                r = MsrStatRow(mtype="D", s1=ang.s1, s2=ang.s2, s3=ang.s3,
+                               pre_adj_meas=ang.pre_adj_meas,
+                               measured=ang.term1, meas_var=ang.var,
+                               pre_adj_corr=ang.pre_adj_corr)
+                finish(r, ang.row)
+                # adjusted derived angle + deflection correction re-applied
+                if r.adjusted > 2.0 * np.pi:
+                    r.adjusted -= 2.0 * np.pi
+                r.adjusted += ang.pre_adj_corr
+                chi_sq += mmc[ang.row] ** 2 / ang.var
+        elif isinstance(item, GpsItem):
+            n = len(item.stations1)
+            v = mmc[item.row0:item.row0 + 3 * n]
+            chi_sq += float(v @ item.vinv @ v)
+            for i in range(n):
+                for k, card in enumerate("XYZ"):
+                    ri = item.row0 + 3 * i + k
+                    r = MsrStatRow(
+                        mtype=item.mtype, cardinal=card,
+                        s1=item.stations1[i],
+                        s2=item.stations2[i] if item.stations2 else -1,
+                        pre_adj_meas=item.pre_adj_meas[3 * i + k],
+                        measured=item.obs[3 * i + k],
+                        meas_var=item.vcv[3 * i + k, 3 * i + k],
+                        pre_adj_corr=0.0)
+                    finish(r, ri)
+    return rows, chi_sq, outliers, pelzer_sum, pelzer_n
+
+
+def _readjust_scalar(asm: Assembler, net: NetworkData, item: ScalarItem,
+                     r: MsrStatRow, est):
+    """Type-specific re-reduction of the adjusted measurement for
+    reporting (UpdateMsrRecord, dnaadjust.cpp:8187-8268)."""
+    from ..geodesy import measurements as gm
+    adj = r.adjusted
+    t = item.mtype
+    ell = asm.ell
+    if t == "E":
+        s1, s2 = item.s1, item.s2
+        p1 = est[3 * s1:3 * s1 + 3]
+        p2 = est[3 * s2:3 * s2 + 3]
+        adj = gm.ellipsoid_chord_to_arc(adj, *p1, *p2, net.lat[s1],
+                                        net.lon[s1], net.lat[s2], ell)
+    elif t == "M":
+        s1, s2 = item.s1, item.s2
+        adj = gm.ellipsoid_chord_to_msl_arc(
+            adj, net.lat[s1], net.lat[s2],
+            net.geoid_sep[s1], net.geoid_sep[s2], ell)
+    elif t in ("H", "L", "V"):
+        adj -= item.pre_adj_corr
+    elif t in ("A", "I", "J", "K", "Z"):
+        adj += item.pre_adj_corr
+    r.adjusted = adj
+    return adj

@@ -1,0 +1,312 @@
+"""Command-line interface: the five pipeline verbs of the reference suite
+(import, reftran, geoid, segment, adjust) plus the one-shot orchestrator.
+
+Usage:
+    python -m dynadjust_tpu import  -n NAME stations.stn measurements.msr
+    python -m dynadjust_tpu geoid   NAME -g grid.gsb [--convert-stn-hts]
+    python -m dynadjust_tpu reftran NAME [-r FRAME] [-e EPOCH]
+    python -m dynadjust_tpu segment NAME [--min-inner-stns N]
+                                        [--max-block-stns N]
+    python -m dynadjust_tpu adjust  NAME [--output-adj-msr] [--phased]
+                                        [--scale-normals-to-unity] ...
+    python -m dynadjust_tpu dynadjust NAME ...   (full pipeline)
+
+Parity reference: per-tool wrappers dna*wrapper/*.cpp and the dynadjust
+orchestrator (dynadjust/dynadjust.cpp:96-427).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _cmd_import(args) -> int:
+    from .io_formats.dna import read_dna_stn, read_dna_msr
+    from .network import build_network
+    from . import project
+
+    stations, frame, epoch = [], "", ""
+    measurements = []
+    for path in args.files:
+        if path.endswith(".stn"):
+            stns, frame, epoch = read_dna_stn(path)
+            stations.extend(stns)
+        elif path.endswith(".msr"):
+            recs, mframe, mepoch = read_dna_msr(path)
+            measurements.extend(recs)
+            frame = frame or mframe
+            epoch = epoch or mepoch
+        elif path.endswith(".jsonl"):
+            from .io_formats.jsonl import read_jsonl
+            stns, recs, jframe, jepoch = read_jsonl(path)
+            stations.extend(stns)
+            measurements.extend(recs)
+            frame = frame or jframe
+            epoch = epoch or jepoch
+        elif path.endswith((".snx", ".SNX")):
+            from .io_formats.sinex import read_sinex
+            stns, recs, sframe, sepoch = read_sinex(path)
+            stations.extend(stns)
+            measurements.extend(recs)
+            frame = frame or sframe
+            epoch = epoch or sepoch
+        elif path.endswith(".xml"):
+            from .io_formats.dynaml import read_dynaml
+            stns, recs, xframe, xepoch = read_dynaml(path)
+            stations.extend(stns)
+            measurements.extend(recs)
+            frame = frame or xframe
+            epoch = epoch or xepoch
+        else:
+            print(f"error: unrecognised input file type: {path}",
+                  file=sys.stderr)
+            return 1
+
+    if args.reference_frame:
+        frame = args.reference_frame
+    # mirror the reference: binary station records are name-sorted
+    stations.sort(key=lambda s: s.name)
+    net = build_network(stations, measurements, frame, epoch)
+    project.save_network(net, args.output_folder, args.network_name)
+    project.update_project(args.output_folder, args.network_name, "import",
+                           {"files": args.files, "frame": frame,
+                            "epoch": epoch})
+    print(f"+ Imported {net.nstations} stations, "
+          f"{len(net.measurements)} measurement records "
+          f"({frame} @ {epoch})")
+    return 0
+
+
+def _cmd_geoid(args) -> int:
+    from .io_formats.ntv2 import NTv2Grid
+    from .geoid import apply_geoid
+    from . import project
+
+    net = project.load_network(args.output_folder, args.network_name)
+    grid = NTv2Grid.read(args.grid)
+    n = apply_geoid(net, grid, convert_heights=args.convert_stn_hts,
+                    method=args.interpolation_method)
+    project.save_network(net, args.output_folder, args.network_name)
+    project.update_project(args.output_folder, args.network_name, "geoid",
+                           {"grid": args.grid,
+                            "convert_heights": args.convert_stn_hts})
+    print(f"+ Interpolated geoid components for {n} of "
+          f"{net.nstations} stations")
+    return 0
+
+
+def _cmd_reftran(args) -> int:
+    from .reftran import transform_network
+    from . import project
+
+    net = project.load_network(args.output_folder, args.network_name)
+    stats = transform_network(net, args.reference_frame or None,
+                              args.epoch or "")
+    project.save_network(net, args.output_folder, args.network_name)
+    project.update_project(args.output_folder, args.network_name, "reftran",
+                           {"frame": net.frame, "epoch": net.epoch})
+    print(f"+ Transformed {stats['stations']} stations "
+          f"({stats['stations_skipped']} already on {net.frame}), "
+          f"{stats['measurements']} measurement clusters "
+          f"({stats['measurements_skipped']} skipped)")
+    return 0
+
+
+def _cmd_segment(args) -> int:
+    from .segment import segment_network
+    from . import project
+
+    net = project.load_network(args.output_folder, args.network_name)
+    seg = segment_network(net, min_inner_stns=args.min_inner_stns,
+                          max_block_stns=args.max_block_stns,
+                          starting_stns=args.starting_stns)
+    project.save_network(net, args.output_folder, args.network_name)
+    seg.save(os.path.join(args.output_folder,
+                          f"{args.network_name}.seg.pkl"))
+    project.update_project(args.output_folder, args.network_name, "segment",
+                           {"blocks": seg.block_count,
+                            "min_inner_stns": args.min_inner_stns,
+                            "max_block_stns": args.max_block_stns})
+    print(f"+ Segmented network into {seg.block_count} blocks")
+    for b in range(seg.block_count):
+        print(f"    block {b + 1}: {len(seg.inner_stations[b])} inner, "
+              f"{len(seg.junction_stations[b])} junction, "
+              f"{len(seg.measurements[b])} measurements")
+    return 0
+
+
+def _cmd_adjust(args) -> int:
+    from .adjust import adjust_simultaneous, AdjustmentOptions
+    from .output import write_adj, write_xyz
+    from . import project
+
+    net = project.load_network(args.output_folder, args.network_name)
+    opts = AdjustmentOptions(
+        max_iterations=args.max_iterations,
+        iteration_threshold=args.iteration_threshold,
+        confidence_interval=args.confidence_interval,
+        free_std_dev=args.free_stn_sd,
+        fixed_std_dev=args.fixed_stn_sd,
+        scale_normals_to_unity=args.scale_normals_to_unity,
+        mode="phased" if args.phased else "simultaneous",
+    )
+    if args.constraints:
+        _apply_cli_constraints(net, args.constraints)
+
+    t0 = time.time()
+    if args.phased:
+        from .adjust.phased import adjust_phased
+        seg_file = os.path.join(args.output_folder,
+                                f"{args.network_name}.seg.pkl")
+        res = adjust_phased(net, opts, seg_file if os.path.exists(seg_file)
+                            else None)
+    else:
+        res = adjust_simultaneous(net, opts)
+    elapsed = time.time() - t0
+
+    mode = "phased" if args.phased else "simultaneous"
+    base = os.path.join(args.output_folder, args.network_name)
+    adj_path = f"{base}.{'phased' if args.phased else 'simult'}.adj"
+    write_adj(adj_path, net, res, opts, cmdline=" ".join(sys.argv),
+              print_adj_msr=args.output_adj_msr)
+    write_xyz(f"{base}.xyz", net, res)
+    project.save_network(net, args.output_folder, args.network_name)
+    project.update_project(args.output_folder, args.network_name, "adjust",
+                           {"mode": mode, "status": res.status,
+                            "iterations": res.iterations,
+                            "sigma_zero": res.sigma_zero})
+
+    print(f"+ Commencing {mode} adjustment")
+    for e in res.iteration_log:
+        print(f"  iteration {e['iteration']}: max correction "
+              f"{e['max_corr']:.6g} m (station {e['station']})")
+    print(f"+ {res.status} in {res.iterations} iterations "
+          f"({elapsed:.2f} s)")
+    print(f"  Measurements {res.measurement_count}  "
+          f"Unknowns {res.unknown_count}  DoF {res.degrees_of_freedom}")
+    print(f"  Chi squared {res.chi_squared:.2f}  "
+          f"Sigma zero {res.sigma_zero:.3f}")
+    print(f"  Chi-square test ({opts.confidence_interval:.1f}%)  "
+          f"{res.chi_lower:.3f} < {res.sigma_zero:.3f} < "
+          f"{res.chi_upper:.3f}  *** {res.pass_fail} ***")
+    print(f"  Output: {adj_path}")
+    return 0 if res.status == "Converged" else 2
+
+
+def _apply_cli_constraints(net, spec: str):
+    toks = [t.strip() for t in spec.split(",") if t.strip()]
+    for name, cc in zip(toks[::2], toks[1::2]):
+        if name in net.name_to_idx:
+            net.constraints[net.station_index(name)] = cc.upper()
+
+
+def _cmd_dynadjust(args) -> int:
+    """Orchestrator: run import → geoid → reftran → segment → adjust."""
+    rc = _cmd_import(args)
+    if rc:
+        return rc
+    if args.grid:
+        rc = _cmd_geoid(args)
+        if rc:
+            return rc
+    rc = _cmd_reftran(args)
+    if rc:
+        return rc
+    if args.phased:
+        rc = _cmd_segment(args)
+        if rc:
+            return rc
+    return _cmd_adjust(args)
+
+
+def _add_common(p):
+    p.add_argument("--output-folder", default=".",
+                   help="project/output folder")
+
+
+def _add_adjust_args(p):
+    p.add_argument("--output-adj-msr", action="store_true",
+                   help="print adjusted measurements to the .adj file")
+    p.add_argument("--phased", action="store_true",
+                   help="phased (block-segmented) adjustment")
+    p.add_argument("--multi-thread", action="store_true",
+                   help="accepted for reference CLI compatibility "
+                        "(device parallelism is automatic)")
+    p.add_argument("--scale-normals-to-unity", action="store_true")
+    p.add_argument("--max-iterations", type=int, default=10)
+    p.add_argument("--iteration-threshold", type=float, default=0.0005)
+    p.add_argument("--confidence-interval", type=float, default=95.0)
+    p.add_argument("--free-stn-sd", type=float, default=10.0)
+    p.add_argument("--fixed-stn-sd", type=float, default=1.0e-6)
+    p.add_argument("--constraints", default="",
+                   help="station constraints: name,CCC,name2,FFC,...")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="dynadjust_tpu",
+        description="TPU-native geodetic network adjustment")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("import", help="import station/measurement files")
+    p.add_argument("-n", "--network-name", required=True)
+    p.add_argument("files", nargs="+")
+    p.add_argument("-r", "--reference-frame", default="")
+    _add_common(p)
+    p.set_defaults(func=_cmd_import)
+
+    p = sub.add_parser("geoid", help="interpolate geoid model")
+    p.add_argument("network_name")
+    p.add_argument("-g", "--grid", required=True)
+    p.add_argument("--convert-stn-hts", action="store_true")
+    p.add_argument("--interpolation-method", default="bilinear",
+                   choices=["bilinear", "bicubic"])
+    _add_common(p)
+    p.set_defaults(func=_cmd_geoid)
+
+    p = sub.add_parser("reftran", help="transform reference frame")
+    p.add_argument("network_name")
+    p.add_argument("-r", "--reference-frame", default="")
+    p.add_argument("-e", "--epoch", default="")
+    _add_common(p)
+    p.set_defaults(func=_cmd_reftran)
+
+    p = sub.add_parser("segment", help="segment network into blocks")
+    p.add_argument("network_name")
+    p.add_argument("--min-inner-stns", type=int, default=150)
+    p.add_argument("--max-block-stns", type=int, default=150)
+    p.add_argument("--starting-stns", default="")
+    _add_common(p)
+    p.set_defaults(func=_cmd_segment)
+
+    p = sub.add_parser("adjust", help="least squares adjustment")
+    p.add_argument("network_name")
+    _add_adjust_args(p)
+    _add_common(p)
+    p.set_defaults(func=_cmd_adjust)
+
+    p = sub.add_parser("dynadjust", help="run the full pipeline")
+    p.add_argument("-n", "--network-name", required=True)
+    p.add_argument("files", nargs="+")
+    p.add_argument("-r", "--reference-frame", default="")
+    p.add_argument("-e", "--epoch", default="")
+    p.add_argument("-g", "--grid", default="")
+    p.add_argument("--convert-stn-hts", action="store_true")
+    p.add_argument("--interpolation-method", default="bilinear",
+                   choices=["bilinear", "bicubic"])
+    p.add_argument("--min-inner-stns", type=int, default=150)
+    p.add_argument("--max-block-stns", type=int, default=150)
+    p.add_argument("--starting-stns", default="")
+    _add_adjust_args(p)
+    _add_common(p)
+    p.set_defaults(func=_cmd_dynadjust)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

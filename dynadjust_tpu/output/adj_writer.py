@@ -1,0 +1,269 @@
+"""Adjustment report writers: .adj (full report) and .xyz (coordinates).
+
+Table layouts match the reference's DynAdjustPrinter fixed-column output so
+the reference's own golden files (gnss.simult.adj.expected et al.) validate
+this framework directly.
+
+Format reference: dnaadjust_printer.cpp (PrintAdjStation :~1400,
+PrintMeasurementValue<LinearMeasurement>/<AngularMeasurement>,
+PrintAdjMeasurementStatistics); widths from
+include/config/dnaconsts-iostream.hpp:63-82.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import numpy as np
+
+from ..geodesy.conversions import rad_to_dms, cart_to_geo
+from ..geodesy.local_frame import rotation_cart_to_local
+from ..network.data import NetworkData
+
+# column widths (dnaconsts-iostream.hpp)
+STATION = 20
+CONSTRAINT = 6
+LAT_EAST = 14
+LON_NORTH = 15
+HEIGHT = 11
+XYZ_W = 15
+STDDEV = 10
+MSR = 19
+CORR = 12
+PREC = 13
+STAT = 11
+REL = 12
+OUTLIER = 12
+PAD2 = 2
+PAD3 = 3
+PRINT_VAR_PAD = 35
+
+OUTPUTLINE = "-" * 80
+
+
+def format_dms(rad: float, dec_places: int = 5, add4: bool = True) -> str:
+    """Packed-DMS string of a radians value; dec_places is the seconds
+    precision (total decimals = 4 + dec_places when add4)."""
+    total = dec_places + (4 if add4 else 0)
+    return f"{float(rad_to_dms(rad)):.{total}f}"
+
+
+def _station_line(net: NetworkData, i: int, xyz, lat, lon, h, sd_enu) -> str:
+    H_ortho = h - net.geoid_sep[i]
+    line = (f"{net.names[i]:<{STATION}}"
+            f"{net.constraints[i]:<{CONSTRAINT}}"
+            f"{format_dms(lat, 5):>{LAT_EAST}}"
+            f"{format_dms(lon, 5):>{LON_NORTH}}"
+            f"{H_ortho:>{HEIGHT}.4f}"
+            f"{h:>{HEIGHT}.4f}"
+            f"{xyz[0]:>{XYZ_W}.4f}"
+            f"{xyz[1]:>{XYZ_W}.4f}"
+            f"{xyz[2]:>{XYZ_W}.4f}"
+            f"{'':<{PAD2}}"
+            f"{sd_enu[0]:>{STDDEV}.4f}"
+            f"{sd_enu[1]:>{STDDEV}.4f}"
+            f"{sd_enu[2]:>{STDDEV}.4f}"
+            f"{'':<{PAD2}}"
+            f"{net.descriptions[i]}")
+    return line.rstrip() if not net.descriptions[i] else line
+
+
+def _station_header() -> list:
+    hdr = (f"{'Station':<{STATION}}{'Const':<{CONSTRAINT}}"
+           f"{'Latitude':>{LAT_EAST}}{'Longitude':>{LON_NORTH}}"
+           f"{'H(Ortho)':>{HEIGHT}}{'h(Ellipse)':>{HEIGHT}}"
+           f"{'X':>{XYZ_W}}{'Y':>{XYZ_W}}{'Z':>{XYZ_W}}"
+           f"{'':<{PAD2}}{'SD(e)':>{STDDEV}}{'SD(n)':>{STDDEV}}"
+           f"{'SD(up)':>{STDDEV}}{'':{PAD2}}Description")
+    return [hdr, "-" * 211]
+
+
+def station_lines(net: NetworkData, res) -> list:
+    lines = []
+    for i in range(net.nstations):
+        V = res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
+        R = rotation_cart_to_local(res.lat[i], res.lon[i])
+        Vl = R @ V @ R.T
+        sd = np.sqrt(np.diag(Vl))
+        lines.append(_station_line(net, i, res.xyz[i], res.lat[i],
+                                   res.lon[i], res.height[i], sd))
+    return lines
+
+
+def _fmt_angular(rad: float, prec: int, width: int) -> str:
+    """'ddd mm ss.ssss' fixed-width angular display."""
+    neg = rad < 0
+    dms = abs(float(rad_to_dms(rad)))
+    d = int(dms)
+    rem = (dms - d) * 100.0
+    m = int(rem + 1e-9)
+    s = (rem - m) * 100.0
+    # guard rollover
+    if s > 59.999999:
+        s = 0.0
+        m += 1
+    if m >= 60:
+        m -= 60
+        d += 1
+    sign = "-" if neg else ""
+    txt = f"{sign}{d} {m:02d} {s:0{3 + prec}.{prec}f}"
+    return f"{txt:>{width}}"
+
+
+def _msr_stat_cols(r) -> str:
+    out = (f"{r.nstat:>{STAT}.2f}"
+           f"{r.pelzer:>{REL}.2f}")
+    return out
+
+
+def measurement_lines(net: NetworkData, res, msr_prec_m=4,
+                      msr_prec_s=4) -> list:
+    """The Adjusted Measurements table."""
+    lines = []
+    hdr = (f"{'M':<2}{'Station 1':<{STATION}}{'Station 2':<{STATION}}"
+           f"{'Station 3':<{STATION}}{'*':<{PAD3}}{'C':<{PAD2}}"
+           f"{'Measured':>{MSR}}{'Adjusted':>{MSR}}{'Correction':>{CORR}}"
+           f"{'Meas. SD':>{PREC}}{'Adj. SD':>{PREC}}{'Corr. SD':>{PREC}}"
+           f"{'N-stat':>{STAT}}{'Pelzer Rel':>{REL}}"
+           f"{'Pre Adj Corr':>{PREC + 1}}{'Outlier?':>{OUTLIER}}")
+    lines.append(hdr)
+    lines.append("-" * 206)
+
+    angular = set("ABDIJKPQVZ")
+    for r in res.msr_stats:
+        s1 = net.names[r.s1] if r.s1 >= 0 else ""
+        s2 = net.names[r.s2] if r.s2 >= 0 else ""
+        s3 = net.names[r.s3] if r.s3 >= 0 else ""
+        if r.mtype in ("G", "X", "Y"):
+            s3 = ""
+            if r.mtype == "Y":
+                s2 = ""
+        ignore_flag = "*" if r.ignore else " "
+        head = (f"{r.mtype:<2}{s1:<{STATION}}{s2:<{STATION}}"
+                f"{s3:<{STATION}}{ignore_flag:<{PAD3}}"
+                f"{r.cardinal:<{PAD2}}")
+        if r.mtype in angular:
+            body = (_fmt_angular(r.pre_adj_meas, msr_prec_s, MSR) +
+                    _fmt_angular(r.adjusted, msr_prec_s, MSR) +
+                    f"{_sec(r.correction):>{CORR}.4f}" +
+                    f"{_sec(math.sqrt(r.meas_var)):>{PREC}.4f}" +
+                    f"{_sec(math.sqrt(r.adj_prec)):>{PREC}.4f}" +
+                    f"{_sec(math.sqrt(r.resid_prec)):>{PREC}.4f}" +
+                    _msr_stat_cols(r) +
+                    f"{_sec(r.pre_adj_corr):>{PREC + 1}.4f}")
+        else:
+            body = (f"{r.pre_adj_meas:>{MSR}.4f}"
+                    f"{r.adjusted:>{MSR}.4f}"
+                    f"{_nz(r.correction):>{CORR}.4f}"
+                    f"{math.sqrt(r.meas_var):>{PREC}.4f}"
+                    f"{math.sqrt(r.adj_prec):>{PREC}.4f}"
+                    f"{math.sqrt(r.resid_prec):>{PREC}.4f}"
+                    + _msr_stat_cols(r) +
+                    f"{r.pre_adj_corr:>{PREC + 1}.4f}")
+        outlier = f"{'*':>{OUTLIER}}" if r.outlier else f"{'':{OUTLIER}}"
+        lines.append(head + body + outlier)
+    return lines
+
+
+def _sec(rad: float) -> float:
+    return rad * 180.0 / math.pi * 3600.0
+
+
+def _nz(v: float, places: int = 4) -> float:
+    """Remove negative zero at the given print precision."""
+    if v < 0 and round(v, places) == 0.0:
+        return 0.0
+    return v
+
+
+def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
+              print_adj_msr: bool = True, geoid_file: str = ""):
+    now = datetime.datetime.now()
+    L = []
+    L.append(OUTPUTLINE)
+    L.append("DYNADJUST-TPU ADJUSTMENT OUTPUT FILE")
+    L.append("")
+    L.append(f"{'Version:':<{PRINT_VAR_PAD}}0.1.0")
+    L.append(f"{'File created:':<{PRINT_VAR_PAD}}"
+             f"{now.strftime('%A, %d %B %Y, %H:%M:%S')}")
+    L.append(f"{'File name:':<{PRINT_VAR_PAD}}{path}")
+    L.append("")
+    L.append(f"{'Command line arguments:':<{PRINT_VAR_PAD}}{cmdline}")
+    L.append("")
+    L.append(f"{'Reference frame:':<{PRINT_VAR_PAD}}{net.frame}")
+    L.append(f"{'Epoch:':<{PRINT_VAR_PAD}}{net.epoch}")
+    if geoid_file:
+        L.append(f"{'Geoid model:':<{PRINT_VAR_PAD}}{geoid_file}")
+    L.append(f"{'Constrained Station S.D. (m):':<{PRINT_VAR_PAD}}"
+             f"{opts.fixed_std_dev:g}")
+    L.append(f"{'Free Station S.D. (m):':<{PRINT_VAR_PAD}}"
+             f"{opts.free_std_dev:g}")
+    L.append(f"{'Iteration threshold:':<{PRINT_VAR_PAD}}"
+             f"{opts.iteration_threshold:g}")
+    L.append(f"{'Maximum iterations:':<{PRINT_VAR_PAD}}"
+             f"{opts.max_iterations}")
+    L.append(f"{'Test confidence interval:':<{PRINT_VAR_PAD}}"
+             f"{opts.confidence_interval:.1f}%")
+    L.append(OUTPUTLINE)
+    L.append("")
+
+    for entry in res.iteration_log:
+        L.append(OUTPUTLINE)
+        L.append(f"{'ITERATION':<{PRINT_VAR_PAD}}{entry['iteration']}")
+        L.append("")
+        L.append(f"{'Maximum station correction':<{PRINT_VAR_PAD}}"
+                 f"Station {entry['station']}")
+        L.append(f"{'':{PRINT_VAR_PAD}}{entry['max_corr']:.6g} (max)")
+        L.append("")
+
+    L.append("")
+    L.append(OUTPUTLINE)
+    L.append(f"{'SOLUTION':<{PRINT_VAR_PAD}}{res.status}")
+    L.append("")
+    L.append(f"{'Number of unknown parameters':<{PRINT_VAR_PAD}}"
+             f"{res.unknown_count}")
+    outlier_note = (f"  ({res.potential_outliers} potential outliers)"
+                    if res.potential_outliers else "")
+    L.append(f"{'Number of measurements':<{PRINT_VAR_PAD}}"
+             f"{res.measurement_count}{outlier_note}")
+    L.append(f"{'Degrees of freedom':<{PRINT_VAR_PAD}}"
+             f"{res.degrees_of_freedom}")
+    L.append(f"{'Chi squared':<{PRINT_VAR_PAD}}{res.chi_squared:.2f}")
+    L.append(f"{'Rigorous Sigma Zero':<{PRINT_VAR_PAD}}"
+             f"{res.sigma_zero:.3f}")
+    L.append(f"{'Global (Pelzer) Reliability':<{PRINT_VAR_PAD}}"
+             f"{res.global_pelzer:.3f}   "
+             f"(excludes non redundant measurements)")
+    L.append("")
+    L.append(f"Chi-Square test ({opts.confidence_interval:.1f}%)"
+             f"{'':<{PRINT_VAR_PAD - 22}}"
+             f"{res.chi_lower:.3f} < {res.sigma_zero:.3f} < "
+             f"{res.chi_upper:.3f}"
+             f"          *** {res.pass_fail} ***")
+    L.append("")
+    L.append("")
+
+    if print_adj_msr:
+        L.append("Adjusted Measurements")
+        L.append("------------------------------------------")
+        L.append("")
+        L.extend(measurement_lines(net, res))
+        L.append("")
+
+    L.append("Adjusted Coordinates")
+    L.append("------------------------------------------")
+    L.append("")
+    L.extend(_station_header())
+    L.extend(station_lines(net, res))
+    L.append("")
+
+    with open(path, "w") as f:
+        f.write("\n".join(L) + "\n")
+
+
+def write_xyz(path: str, net: NetworkData, res):
+    L = ["Adjusted Coordinates", "", *_station_header(),
+         *station_lines(net, res), ""]
+    with open(path, "w") as f:
+        f.write("\n".join(L) + "\n")

@@ -1,0 +1,133 @@
+"""Datum registry: names, EPSG codes, static/dynamic classification, epochs.
+
+Parity reference: /root/reference/dynadjust/include/parameters/dnadatum.hpp,
+dnaepsg.hpp (EPSG registry) — here reduced to the data actually needed for
+frame transformation and reporting.
+"""
+
+from dataclasses import dataclass
+import calendar
+import datetime as _dt
+
+from .ellipsoids import Ellipsoid, ellipsoid_for_datum
+
+# Frames with time-dependent coordinates (ITRF-style).  Static frames are
+# plate-fixed national datums.
+_DYNAMIC_FRAMES = {
+    "ITRF1988", "ITRF1989", "ITRF1990", "ITRF1991", "ITRF1992", "ITRF1993",
+    "ITRF1994", "ITRF1996", "ITRF1997", "ITRF2000", "ITRF2005", "ITRF2008",
+    "ITRF2014", "ITRF2020",
+    "WGS84", "WGS84_TRANSIT", "WGS84_G730", "WGS84_G873", "WGS84_G1150",
+    "WGS84_G1674", "WGS84_G1762", "WGS84_G2139",
+}
+
+# Alternate spellings → canonical names
+_ALIASES = {
+    "ITRF88": "ITRF1988", "ITRF89": "ITRF1989", "ITRF90": "ITRF1990",
+    "ITRF91": "ITRF1991", "ITRF92": "ITRF1992", "ITRF93": "ITRF1993",
+    "ITRF94": "ITRF1994", "ITRF96": "ITRF1996", "ITRF97": "ITRF1997",
+    "WGS 84": "WGS84",
+}
+
+# EPSG codes (3D cartesian variants) for reporting; from dnaepsg.hpp.
+_EPSG = {
+    "GDA2020": 7842, "GDA94": 4938, "WGS84": 4978,
+    "ITRF1988": 4910, "ITRF1989": 4911, "ITRF1990": 4912, "ITRF1991": 4913,
+    "ITRF1992": 4914, "ITRF1993": 4915, "ITRF1994": 4916, "ITRF1996": 4917,
+    "ITRF1997": 4918, "ITRF2000": 4919, "ITRF2005": 4896, "ITRF2008": 5332,
+    "ITRF2014": 7789, "ITRF2020": 9988,
+    "AGD66": 4202, "AGD84": 4203,
+}
+
+# Default reference epochs for static datums (decimal years)
+_STATIC_REFERENCE_EPOCH = {
+    "GDA2020": 2020.0,
+    "GDA94": 1994.0,
+}
+
+
+def canonical_frame(name: str) -> str:
+    key = name.strip().upper()
+    return _ALIASES.get(key, key)
+
+
+def is_dynamic_frame(name: str) -> bool:
+    return canonical_frame(name) in _DYNAMIC_FRAMES
+
+
+def parse_epoch(epoch: str) -> _dt.date | None:
+    """Parse a dd.mm.yyyy epoch string (reference format)."""
+    epoch = epoch.strip()
+    if not epoch:
+        return None
+    for fmt in ("%d.%m.%Y", "%d-%m-%Y", "%d/%m/%Y", "%Y-%m-%d"):
+        try:
+            return _dt.datetime.strptime(epoch, fmt).date()
+        except ValueError:
+            continue
+    # decimal year?
+    try:
+        y = float(epoch)
+        year = int(y)
+        days = 366 if calendar.isleap(year) else 365
+        doy = (y - year) * days + 0.5
+        return _dt.date(year, 1, 1) + _dt.timedelta(days=max(0.0, doy - 1))
+    except ValueError:
+        raise ValueError(f"unparseable epoch: {epoch!r}")
+
+
+def decimal_year(d: _dt.date) -> float:
+    """Decimal year: year + (doy - 0.5)/days_in_year.
+
+    Parity: referenceEpoch/yearFraction,
+    include/functions/dnatemplatedatetimefuncs.hpp:290-328.
+    """
+    days = 366.0 if calendar.isleap(d.year) else 365.0
+    doy = d.timetuple().tm_yday
+    return d.year + (doy - 0.5) / days
+
+
+@dataclass(frozen=True)
+class Datum:
+    frame: str                  # canonical frame name
+    epoch: _dt.date | None = None   # epoch of the coordinates (dynamic frames)
+
+    @staticmethod
+    def from_name(frame: str, epoch: str = "") -> "Datum":
+        frame = canonical_frame(frame)
+        ep = parse_epoch(epoch) if epoch else None
+        if ep is None and not is_dynamic_frame(frame):
+            # static datums pin their reference epoch
+            ref = _STATIC_REFERENCE_EPOCH.get(frame)
+            if ref is not None:
+                ep = parse_epoch(str(ref))
+        return Datum(frame, ep)
+
+    @property
+    def dynamic(self) -> bool:
+        return is_dynamic_frame(self.frame)
+
+    @property
+    def ellipsoid(self) -> Ellipsoid:
+        return ellipsoid_for_datum(self.frame)
+
+    @property
+    def epsg(self) -> int:
+        return _EPSG.get(self.frame, 0)
+
+    @property
+    def epoch_decimal(self) -> float | None:
+        if self.frame in _STATIC_REFERENCE_EPOCH:
+            return _STATIC_REFERENCE_EPOCH[self.frame]
+        return decimal_year(self.epoch) if self.epoch else None
+
+    def same_as(self, other: "Datum") -> bool:
+        if self.frame != other.frame:
+            return False
+        if self.dynamic:
+            return self.epoch == other.epoch
+        return True
+
+
+def datum_from_name(frame: str, epoch: str = "") -> Datum:
+    return Datum.from_name(frame, epoch)

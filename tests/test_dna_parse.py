@@ -1,0 +1,70 @@
+from collections import Counter
+
+import numpy as np
+
+from dynadjust_tpu.io_formats import (
+    read_dna_stn, read_dna_msr, GpsCluster, Measurement, DirectionSet,
+)
+
+
+def test_gnss_stations(sample_dir):
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/gnss-network.stn")
+    assert len(stns) == 43
+    assert frame == "GDA2020"
+    assert epoch == "01.01.2020"
+    s = stns[0]
+    assert s.name == "211300470"
+    assert s.constraints == "FFF"
+    assert s.coord_type == "LLH"
+    assert abs(s.p1 - (-36.3348253617)) < 1e-12
+
+
+def test_gnss_measurements(sample_dir):
+    recs, frame, _ = read_dna_msr(f"{sample_dir}/gnss-network.msr")
+    # 129 single baselines, one 4-baseline X cluster, one 6-point Y cluster
+    counts = Counter(r.mtype for r in recs)
+    assert counts == {"G": 129, "X": 1, "Y": 1}
+
+    g = next(r for r in recs if r.mtype == "G")
+    assert g.obs[0].first == "324900360"
+    assert g.obs[0].second == "BEEC"
+    assert abs(g.obs[0].vec[0] - (-8628.7180)) < 1e-9
+    assert abs(g.obs[0].vcv[0, 0] - 1.7012598619000e-05) < 1e-18
+    assert g.vscale == 10.0
+    assert g.epsg_frame == "ITRF2008"
+
+    # total scalar observation rows: 139 baselines/points x 3 = 417
+    rows = sum(len(r.obs) * 3 for r in recs)
+    assert rows == 417
+
+    x = next(r for r in recs if r.mtype == "X")
+    assert len(x.obs) == 4
+    assert len(x.obs[0].covs) == 3
+    assert len(x.obs[3].covs) == 0
+
+
+def test_urban_measurements(sample_dir):
+    recs, _, _ = read_dna_msr(f"{sample_dir}/urban-network.msr")
+    counts = Counter(type(r).__name__ for r in recs)
+    assert counts["GpsCluster"] == 38 + 1       # 38 G + one 4-point Y cluster
+    scalars = [r for r in recs if isinstance(r, Measurement) and not r.ignore]
+    tc = Counter(m.mtype for m in scalars)
+    assert tc["A"] == 248
+    assert tc["S"] == 427
+    assert tc["V"] == 287
+    assert tc["L"] == 89
+    # Y clusters in LLH with packed-DMS lat/lon parsed to radians
+    y = next(r for r in recs if r.mtype == "Y")
+    assert y.coord_type == "LLH"
+    lat = y.obs[0].vec[0]
+    assert -0.66 < lat < -0.65     # ~ -37.5 deg
+
+
+def test_direction_sets(sample_dir):
+    recs, _, _ = read_dna_msr(f"{sample_dir}/dsg.msr")
+    dsets = [r for r in recs if isinstance(r, DirectionSet)]
+    assert dsets, "dsg.msr should contain direction sets"
+    d = dsets[0]
+    assert d.first == "212000820"
+    assert d.ro == "269100210"
+    assert len(d.directions) == 1
