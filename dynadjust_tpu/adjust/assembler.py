@@ -266,7 +266,8 @@ class Assembler:
         apply_reductions=True on the first call applies one-time deflection
         corrections (mutating term1) as PrepareAdjustment does."""
         A, mmc = self.A, self.mmc
-        if self.has_non_gps or not self._built:
+        rebuild_design = self.has_non_gps or not self._built
+        if rebuild_design:
             A[:] = 0.0
 
         for it in self.scalar_items:
@@ -274,7 +275,9 @@ class Assembler:
         for ds in self.dirn_sets:
             for it in ds.angles:
                 self._fill_scalar(it, est, apply_reductions)
-        if not self._built:
+        if rebuild_design:
+            # GPS design entries are constant (±1) but must be rewritten
+            # whenever the design matrix is re-zeroed for relinearisation
             for g in self.gps_items:
                 self._fill_gps_design(g)
         for g in self.gps_items:
