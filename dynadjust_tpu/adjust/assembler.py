@@ -83,10 +83,21 @@ class Assembler:
     """Builds and updates the dense adjustment matrices for one block
     (simultaneous mode: the whole network)."""
 
-    def __init__(self, net: NetworkData, options: AdjustmentOptions):
+    def __init__(self, net: NetworkData, options: AdjustmentOptions,
+                 station_subset=None, measurement_subset=None):
+        """station_subset: ordered global station indices forming this
+        block's parameter list (None = all stations, identity order).
+        measurement_subset: the measurement records of this block."""
         self.net = net
         self.opts = options
         self.ell = net.datum.ellipsoid
+        if station_subset is None:
+            self.stations = list(range(net.nstations))
+        else:
+            self.stations = list(station_subset)
+        self.local = {g: i for i, g in enumerate(self.stations)}
+        self.records = (net.measurements if measurement_subset is None
+                        else measurement_subset)
         self.scalar_items: list[ScalarItem] = []
         self.dirn_sets: list[DirnSetItem] = []
         self.gps_items: list[GpsItem] = []
@@ -94,10 +105,14 @@ class Assembler:
         self.nrows = 0
         self.has_non_gps = False
         self._compile()
-        n = 3 * net.nstations
+        n = 3 * len(self.stations)
         self.A = np.zeros((self.nrows, n))
         self.mmc = np.zeros(self.nrows)
         self._built = False
+
+    def loc3(self, g: int) -> int:
+        """Local parameter offset (3 * local index) of global station g."""
+        return 3 * self.local[g]
 
     # ------------------------------------------------------------------
     # compile: one-time load, scaling, reduction bookkeeping
@@ -105,7 +120,7 @@ class Assembler:
     def _compile(self):
         net = self.net
         row = 0
-        for rec in net.measurements:
+        for rec in self.records:
             if isinstance(rec, GpsCluster):
                 if rec.ignore:
                     continue
@@ -289,31 +304,34 @@ class Assembler:
         A = self.A
         for i, s1 in enumerate(g.stations1):
             r = g.row0 + 3 * i
+            l1 = self.loc3(s1)
             if g.mtype == "Y":
                 for k in range(3):
-                    A[r + k, 3 * s1 + k] = 1.0
+                    A[r + k, l1 + k] = 1.0
             else:
-                s2 = g.stations2[i]
+                l2 = self.loc3(g.stations2[i])
                 for k in range(3):
-                    A[r + k, 3 * s1 + k] = -1.0
-                    A[r + k, 3 * s2 + k] = 1.0
+                    A[r + k, l1 + k] = -1.0
+                    A[r + k, l2 + k] = 1.0
 
     def _fill_gps_mmc(self, g: GpsItem, est):
         mmc = self.mmc
         for i, s1 in enumerate(g.stations1):
             r = g.row0 + 3 * i
+            l1 = self.loc3(s1)
             if g.mtype == "Y":
-                comp = est[3 * s1:3 * s1 + 3]
+                comp = est[l1:l1 + 3]
             else:
-                s2 = g.stations2[i]
-                comp = est[3 * s2:3 * s2 + 3] - est[3 * s1:3 * s1 + 3]
+                l2 = self.loc3(g.stations2[i])
+                comp = est[l2:l2 + 3] - est[l1:l1 + 3]
             mmc[r:r + 3] = g.obs[3 * i:3 * i + 3] - comp
 
     # -- scalar types ----------------------------------------------------
     def _fill_scalar(self, it: ScalarItem, est, apply_reductions):
         net, ell = self.net, self.ell
         s1 = it.s1
-        x1, y1, z1 = est[3 * s1], est[3 * s1 + 1], est[3 * s1 + 2]
+        l1 = self.loc3(s1)
+        x1, y1, z1 = est[l1], est[l1 + 1], est[l1 + 2]
         lat1, lon1 = net.lat[s1], net.lon[s1]
         A, row = self.A, it.row
         t = it.mtype
@@ -328,12 +346,13 @@ class Assembler:
             self._fill_chord(it, est, apply_reductions)
             return
         if t == "S":
-            s2 = it.s2
-            x2, y2, z2 = est[3 * s2], est[3 * s2 + 1], est[3 * s2 + 2]
+            l2 = self.loc3(it.s2)
+            x2, y2, z2 = est[l2], est[l2 + 1], est[l2 + 2]
             comp, dx, dy, dz = gm.slope_distance(
                 x1, y1, z1, x2, y2, z2, lat1, lon1, it.inst_h, it.targ_h)
             self._mmc(it, comp)
-            self._design2(row, s1, s2, -dx / comp, -dy / comp, -dz / comp)
+            self._design2(row, it.s1, it.s2, -dx / comp, -dy / comp,
+                          -dz / comp)
             return
         if t in ("V", "Z"):
             self._fill_vertical(it, est, apply_reductions)
@@ -363,8 +382,9 @@ class Assembler:
 
     def _design2(self, row, s1, s2, dx, dy, dz):
         A = self.A
-        A[row, 3 * s1:3 * s1 + 3] = (dx, dy, dz)
-        A[row, 3 * s2:3 * s2 + 3] = (-dx, -dy, -dz)
+        l1, l2 = self.loc3(s1), self.loc3(s2)
+        A[row, l1:l1 + 3] = (dx, dy, dz)
+        A[row, l2:l2 + 3] = (-dx, -dy, -dz)
 
     def _has_deflections(self, s):
         return (abs(self.net.vertical_def[s]) > E4_SEC_DEFLECTION or
@@ -373,10 +393,11 @@ class Assembler:
     def _fill_angle(self, it: ScalarItem, est, apply_reductions):
         net = self.net
         s1, s2, s3 = it.s1, it.s2, it.s3
+        l1, l2, l3 = self.loc3(s1), self.loc3(s2), self.loc3(s3)
         lat1, lon1 = net.lat[s1], net.lon[s1]
-        p1 = est[3 * s1:3 * s1 + 3]
-        p2 = est[3 * s2:3 * s2 + 3]
-        p3 = est[3 * s3:3 * s3 + 3]
+        p1 = est[l1:l1 + 3]
+        p2 = est[l2:l2 + 3]
+        p3 = est[l3:l3 + 3]
         comp, d12, d13, e12, n12, e13, n13 = gm.horizontal_angle(
             *p1, *p2, *p3, lat1, lon1)
 
@@ -403,24 +424,25 @@ class Assembler:
         c12 = np.cos(d12) ** 2 / (n12 * n12)
         c13 = np.cos(d13) ** 2 / (n13 * n13)
         A, row = self.A, it.row
-        A[row, 3 * s1] = (c13 * (n13 * so - e13 * slco) -
-                          c12 * (n12 * so - e12 * slco))
-        A[row, 3 * s1 + 1] = (c13 * (-n13 * co - e13 * slso) -
-                              c12 * (-n12 * co - e12 * slso))
-        A[row, 3 * s1 + 2] = c13 * e13 * cl - c12 * e12 * cl
-        A[row, 3 * s2] = c12 * (n12 * so - e12 * slco)
-        A[row, 3 * s2 + 1] = c12 * (-n12 * co - e12 * slso)
-        A[row, 3 * s2 + 2] = c12 * e12 * cl
-        A[row, 3 * s3] = -c13 * (n13 * so - e13 * slco)
-        A[row, 3 * s3 + 1] = -c13 * (-n13 * co - e13 * slso)
-        A[row, 3 * s3 + 2] = -c13 * e13 * cl
+        A[row, l1] = (c13 * (n13 * so - e13 * slco) -
+                      c12 * (n12 * so - e12 * slco))
+        A[row, l1 + 1] = (c13 * (-n13 * co - e13 * slso) -
+                          c12 * (-n12 * co - e12 * slso))
+        A[row, l1 + 2] = c13 * e13 * cl - c12 * e12 * cl
+        A[row, l2] = c12 * (n12 * so - e12 * slco)
+        A[row, l2 + 1] = c12 * (-n12 * co - e12 * slso)
+        A[row, l2 + 2] = c12 * e12 * cl
+        A[row, l3] = -c13 * (n13 * so - e13 * slco)
+        A[row, l3 + 1] = -c13 * (-n13 * co - e13 * slso)
+        A[row, l3 + 2] = -c13 * e13 * cl
 
     def _fill_azimuth(self, it: ScalarItem, est, apply_reductions):
         net = self.net
         s1, s2 = it.s1, it.s2
+        l1, l2 = self.loc3(s1), self.loc3(s2)
         lat1, lon1 = net.lat[s1], net.lon[s1]
-        p1 = est[3 * s1:3 * s1 + 3]
-        p2 = est[3 * s2:3 * s2 + 3]
+        p1 = est[l1:l1 + 3]
+        p2 = est[l2:l2 + 3]
         comp, e12, n12 = gm.direction(*p1, *p2, lat1, lon1)
 
         if apply_reductions:
@@ -447,8 +469,9 @@ class Assembler:
     def _fill_chord(self, it: ScalarItem, est, apply_reductions):
         net, ell = self.net, self.ell
         s1, s2 = it.s1, it.s2
-        p1 = est[3 * s1:3 * s1 + 3]
-        p2 = est[3 * s2:3 * s2 + 3]
+        l1, l2 = self.loc3(s1), self.loc3(s2)
+        p1 = est[l1:l1 + 3]
+        p2 = est[l2:l2 + 3]
         lat1, lon1, lat2 = net.lat[s1], net.lon[s1], net.lat[s2]
 
         # E and M reduce the (original) arc to a chord on EVERY fill
@@ -473,9 +496,10 @@ class Assembler:
     def _fill_vertical(self, it: ScalarItem, est, apply_reductions):
         net = self.net
         s1, s2 = it.s1, it.s2
+        l1, l2 = self.loc3(s1), self.loc3(s2)
         lat1, lon1 = net.lat[s1], net.lon[s1]
-        p1 = est[3 * s1:3 * s1 + 3]
-        p2 = est[3 * s2:3 * s2 + 3]
+        p1 = est[l1:l1 + 3]
+        p2 = est[l2:l2 + 3]
 
         if apply_reductions:
             if self._has_deflections(s1):
@@ -524,8 +548,9 @@ class Assembler:
     def _fill_leveldiff(self, it: ScalarItem, est, apply_reductions):
         net, ell = self.net, self.ell
         s1, s2 = it.s1, it.s2
-        p1 = est[3 * s1:3 * s1 + 3]
-        p2 = est[3 * s2:3 * s2 + 3]
+        l1, l2 = self.loc3(s1), self.loc3(s2)
+        p1 = est[l1:l1 + 3]
+        p2 = est[l2:l2 + 3]
         h1, nu1, zn1 = gm.ellipsoid_height(*p1, net.lat[s1], ell)
         h2, nu2, zn2 = gm.ellipsoid_height(*p2, net.lat[s2], ell)
         comp = h2 - h1
@@ -540,17 +565,18 @@ class Assembler:
 
         self._mmc(it, comp)
         A, row = self.A, it.row
-        A[row, 3 * s1:3 * s1 + 3] = (-p1[0] / (nu1 + h1),
-                                     -p1[1] / (nu1 + h1),
-                                     -(p1[2] + zn1) / (nu1 + h1))
-        A[row, 3 * s2:3 * s2 + 3] = (p2[0] / (nu2 + h2),
-                                     p2[1] / (nu2 + h2),
-                                     (p2[2] + zn2) / (nu2 + h2))
+        A[row, l1:l1 + 3] = (-p1[0] / (nu1 + h1),
+                             -p1[1] / (nu1 + h1),
+                             -(p1[2] + zn1) / (nu1 + h1))
+        A[row, l2:l2 + 3] = (p2[0] / (nu2 + h2),
+                             p2[1] / (nu2 + h2),
+                             (p2[2] + zn2) / (nu2 + h2))
 
     def _fill_height(self, it: ScalarItem, est, apply_reductions):
         net, ell = self.net, self.ell
         s1 = it.s1
-        p1 = est[3 * s1:3 * s1 + 3]
+        l1 = self.loc3(s1)
+        p1 = est[l1:l1 + 3]
 
         if apply_reductions:
             if it.mtype == "H" and abs(net.geoid_sep[s1]) > 1e-4:
@@ -562,14 +588,15 @@ class Assembler:
         comp, nu1, zn1 = gm.ellipsoid_height(*p1, net.lat[s1], ell)
         self._mmc(it, comp)
         A, row = self.A, it.row
-        A[row, 3 * s1:3 * s1 + 3] = (p1[0] / (nu1 + comp),
-                                     p1[1] / (nu1 + comp),
-                                     (p1[2] + zn1) / (nu1 + comp))
+        A[row, l1:l1 + 3] = (p1[0] / (nu1 + comp),
+                             p1[1] / (nu1 + comp),
+                             (p1[2] + zn1) / (nu1 + comp))
 
     def _fill_latitude(self, it: ScalarItem, est, apply_reductions):
         net, ell = self.net, self.ell
         s1 = it.s1
-        p1 = est[3 * s1:3 * s1 + 3]
+        l1 = self.loc3(s1)
+        p1 = est[l1:l1 + 3]
 
         if apply_reductions:
             if it.mtype == "I" and \
@@ -587,14 +614,15 @@ class Assembler:
         for k in range(3):
             q = p1.copy()
             q[k] += inc
-            A[row, 3 * s1 + k] = \
+            A[row, l1 + k] = \
                 (float(cart_to_geo(q[0], q[1], q[2], ell)[0]) - lat0) / inc
         self._mmc(it, lat0)
 
     def _fill_longitude(self, it: ScalarItem, est, apply_reductions):
         net = self.net
         s1 = it.s1
-        p1 = est[3 * s1:3 * s1 + 3]
+        l1 = self.loc3(s1)
+        p1 = est[l1:l1 + 3]
         lon1 = net.lon[s1]
 
         if apply_reductions:
@@ -608,9 +636,9 @@ class Assembler:
         self._mmc(it, lon1)
         t = p1[0] * p1[1] / (p1[0] ** 2 + p1[1] ** 2) ** 1.5
         A, row = self.A, it.row
-        A[row, 3 * s1] = t * -1.0 / np.cos(lon1)
-        A[row, 3 * s1 + 1] = t / np.sin(lon1)
-        A[row, 3 * s1 + 2] = 0.0
+        A[row, l1] = t * -1.0 / np.cos(lon1)
+        A[row, l1 + 1] = t / np.sin(lon1)
+        A[row, l1 + 2] = 0.0
 
     # ------------------------------------------------------------------
     # block-diagonal weight application
@@ -638,13 +666,13 @@ class Assembler:
         net = self.net
         var_c = self.opts.fixed_std_dev ** 2
         var_f = self.opts.free_std_dev ** 2
-        W = np.zeros((net.nstations, 3, 3))
-        for i, cc in enumerate(net.constraints):
-            cc = (cc + "FFF")[:3]
+        W = np.zeros((len(self.stations), 3, 3))
+        for li, i in enumerate(self.stations):
+            cc = (net.constraints[i] + "FFF")[:3]
             if cc == "CCC":
-                W[i] = np.eye(3) / var_c
+                W[li] = np.eye(3) / var_c
             elif cc == "FFF":
-                W[i] = np.eye(3) / var_f
+                W[li] = np.eye(3) / var_f
             else:
                 # mixed: variance formed in local frame then propagated
                 # (FormConstraintStationVarianceMatrix, dnaadjust.cpp:2041)
@@ -661,13 +689,13 @@ class Assembler:
                 else:
                     vc = propagate_variance_local_cart(
                         v, net.lat[i], net.lon[i])
-                W[i] = np.linalg.inv(vc)
+                W[li] = np.linalg.inv(vc)
         return W
 
     def unknown_params(self) -> int:
-        n = 3 * self.net.nstations
-        for cc in self.net.constraints:
-            for c in (cc + "FFF")[:3]:
+        n = 3 * len(self.stations)
+        for i in self.stations:
+            for c in (self.net.constraints[i] + "FFF")[:3]:
                 if c == "C":
                     n -= 1
         return n

@@ -324,8 +324,9 @@ def _readjust_scalar(asm: Assembler, net: NetworkData, item: ScalarItem,
     ell = asm.ell
     if t == "E":
         s1, s2 = item.s1, item.s2
-        p1 = est[3 * s1:3 * s1 + 3]
-        p2 = est[3 * s2:3 * s2 + 3]
+        l1, l2 = asm.loc3(s1), asm.loc3(s2)
+        p1 = est[l1:l1 + 3]
+        p2 = est[l2:l2 + 3]
         adj = gm.ellipsoid_chord_to_arc(adj, *p1, *p2, net.lat[s1],
                                         net.lon[s1], net.lat[s2], ell)
     elif t == "M":

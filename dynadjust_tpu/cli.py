@@ -262,7 +262,7 @@ def main(argv=None) -> int:
     p.add_argument("network_name")
     p.add_argument("-g", "--grid", required=True)
     p.add_argument("--convert-stn-hts", action="store_true")
-    p.add_argument("--interpolation-method", default="bilinear",
+    p.add_argument("--interpolation-method", default="bicubic",
                    choices=["bilinear", "bicubic"])
     _add_common(p)
     p.set_defaults(func=_cmd_geoid)
@@ -295,7 +295,7 @@ def main(argv=None) -> int:
     p.add_argument("-e", "--epoch", default="")
     p.add_argument("-g", "--grid", default="")
     p.add_argument("--convert-stn-hts", action="store_true")
-    p.add_argument("--interpolation-method", default="bilinear",
+    p.add_argument("--interpolation-method", default="bicubic",
                    choices=["bilinear", "bicubic"])
     p.add_argument("--min-inner-stns", type=int, default=150)
     p.add_argument("--max-block-stns", type=int, default=150)

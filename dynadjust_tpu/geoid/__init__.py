@@ -19,7 +19,7 @@ _RAD_TO_SEC = 180.0 / np.pi * 3600.0
 
 
 def apply_geoid(net: NetworkData, grid: NTv2Grid, convert_heights: bool = True,
-                method: str = "bilinear") -> int:
+                method: str = "bicubic") -> int:
     """Interpolate geoid values for every station.  Returns the number of
     stations interpolated; stations outside the grid are left untouched."""
     count = 0
@@ -39,7 +39,7 @@ def apply_geoid(net: NetworkData, grid: NTv2Grid, convert_heights: bool = True,
 
 
 def interpolate_points(grid: NTv2Grid, lats_rad, lons_rad,
-                       method: str = "bilinear"):
+                       method: str = "bicubic"):
     """Free-point interpolation (the geoid tool's file/point modes)."""
     out = np.full((len(lats_rad), 4), np.nan)
     for i, (la, lo) in enumerate(zip(lats_rad, lons_rad)):

@@ -19,6 +19,27 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
+
+# Numerical Recipes bicubic interpolation coefficient table (bcucof)
+_BICUBIC_WT = np.array([
+    [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0],
+    [-3, 0, 0, 3, 0, 0, 0, 0, -2, 0, 0, -1, 0, 0, 0, 0],
+    [2, 0, 0, -2, 0, 0, 0, 0, 1, 0, 0, 1, 0, 0, 0, 0],
+    [0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0],
+    [0, 0, 0, 0, -3, 0, 0, 3, 0, 0, 0, 0, -2, 0, 0, -1],
+    [0, 0, 0, 0, 2, 0, 0, -2, 0, 0, 0, 0, 1, 0, 0, 1],
+    [-3, 3, 0, 0, -2, -1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0, 0, 0, 0, -3, 3, 0, 0, -2, -1, 0, 0],
+    [9, -9, 9, -9, 6, 3, -3, -6, 6, -6, -3, 3, 4, 2, 1, 2],
+    [-6, 6, -6, 6, -4, -2, 2, 4, -3, 3, 3, -3, -2, -1, -1, -2],
+    [2, -2, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0, 0, 0, 0, 2, -2, 0, 0, 1, 1, 0, 0],
+    [-6, 6, -6, 6, -3, -3, 3, 3, -4, 4, 2, -2, -2, -2, -1, -1],
+    [4, -4, 4, -4, 2, 2, -2, -2, 2, -2, -2, 2, 1, 1, 1, 1],
+], dtype=np.float64)
+
 @dataclass
 class SubGrid:
     name: str
@@ -106,7 +127,7 @@ class NTv2Grid:
         return chosen, flag
 
     def interpolate(self, lat_rad: float, lon_rad: float,
-                    method: str = "bilinear"):
+                    method: str = "bicubic"):
         """Interpolate (N, defl_meridian_sec, defl_primev_sec, unc) at a
         geographic position.  Returns None if outside the grid.
 
@@ -143,27 +164,161 @@ class NTv2Grid:
             rC, cC = rA, cA
             rD, cD = rA, cA
 
-        a = node(rA, cA)
-        b = node(rB, cB)
-        c = node(rC, cC)
-        d = node(rD, cD)
+        if method == "bicubic":
+            vals = self._bicubic(sg, flag, lat, lon, row, col,
+                                 (rA, cA), (rB, cB), (rC, cC), (rD, cD))
+        else:
+            a = node(rA, cA)
+            b = node(rB, cB)
+            c = node(rC, cC)
+            d = node(rD, cD)
 
-        lat_a = np.float32(sg.s_lat + row * sg.lat_inc)
-        lon_a = np.float32(sg.e_long + col * sg.long_inc)
-        dy = np.float32((lat - lat_a) / sg.lat_inc)
-        dx = np.float32((lon - lon_a) / sg.long_inc)
+            lat_a = np.float32(sg.s_lat + row * sg.lat_inc)
+            lon_a = np.float32(sg.e_long + col * sg.long_inc)
+            dy = np.float32((lat - lat_a) / sg.lat_inc)
+            dx = np.float32((lon - lon_a) / sg.long_inc)
 
-        a0 = a
-        a1 = b - a
-        a2 = c - a
-        a3 = a + d - b - c
-        vals = a0 + a1 * dx + a2 * dy + a3 * dx * dy
+            a0 = a
+            a1 = b - a
+            a2 = c - a
+            a3 = a + d - b - c
+            vals = a0 + a1 * dx + a2 * dy + a3 * dx * dy
         if self.gs_type.strip().upper() == "RADIANS":
             vals = vals.copy()
             rad_to_sec = np.float32(180.0 * 3600.0 / np.pi)
             vals[1] *= rad_to_sec
             vals[2] *= rad_to_sec
         return vals
+
+    def _bicubic(self, sg, flag, lat, lon, row, col, A, B, C, D):
+        """Numerical-Recipes bicubic (bcuint) over the 16-node stencil with
+        virtual-cell handling at sub-grid edges.
+
+        Parity: InterpolateNvalue_BiCubic, dnageoid.cpp:2010-2400 and
+        bicubic_interpolation.hpp (bcucof/bcuint)."""
+        nrows, ncols = sg.nrows, sg.ncols
+
+        # 16-node stencil:   P O N M
+        #                    L D C K
+        #                    J B A I
+        #                    H G F E
+        I_ = (row, col - 1)
+        J = (row, col + 2)
+        K = (row + 1, col - 1)
+        L = (row + 1, col + 2)
+        E = (row - 1, col - 1)
+        F = (row - 1, col)
+        G = (row - 1, col + 1)
+        H = (row - 1, col + 2)
+        M = (row + 2, col - 1)
+        N = (row + 2, col)
+        O = (row + 2, col + 1)
+        P = (row + 2, col + 2)
+
+        def within_interval(v, limit, inc):
+            # IsWithin*GridInterval, dnageoid.cpp:1777-1832: point within
+            # one grid interval of the sub-grid limit (fuzzy boundary)
+            d = abs(v - limit) - inc
+            if abs(d) < 1e-5:
+                d = 0.0
+            return d < inc or d == 0.0
+
+        low_lat = within_interval(lat, sg.s_lat, sg.lat_inc)
+        up_lat = within_interval(lat, sg.n_lat, sg.lat_inc)
+        low_lon = within_interval(lon, sg.e_long, sg.long_inc)
+        up_lon = within_interval(lon, sg.w_long, sg.long_inc)
+
+        if flag == 1:
+            if low_lat and low_lon:
+                I_, K, M = A, C, N
+                E, F, G, H = I_, A, B, J
+            elif low_lat and up_lon:
+                J, L, P = B, D, O
+                E, F, G, H = I_, A, B, J
+            elif low_lat:
+                E, F, G, H = I_, A, B, J
+            elif up_lat and low_lon:
+                K, I_, E = C, A, F
+                M, N, O, P = K, C, D, L
+            elif up_lat and up_lon:
+                L, J, P = D, B, O
+                M, N, O, P = K, C, D, L
+            elif up_lat:
+                M, N, O, P = K, C, D, L
+            elif low_lon:
+                E, I_, K, M = F, A, C, N
+            elif up_lon:
+                H, J, L, P = G, B, D, O
+        elif flag == 2:
+            if low_lon:
+                I_, E = A, F
+            elif up_lon:
+                J, H = B, G
+            M = K = I_
+            N = C = A
+            O = D = B
+            P = L = J
+        elif flag == 3:
+            if low_lat:
+                F, E = A, I_
+            if up_lat:
+                N, K = C, M
+            H = G = F
+            J = B = A
+            L = D = C
+            P = O = N
+        elif flag == 4:
+            J = B = A
+            N = C = A
+            D = A
+            P = L = O = D
+            H = G = F
+            M = K = I_
+
+        def nd(rc):
+            r, c = rc
+            r = min(max(r, 0), nrows - 1)
+            c = min(max(c, 0), ncols - 1)
+            return sg.values[r, c].astype(np.float64)
+
+        pN = [nd(A), nd(B), nd(C), nd(D), nd(E), nd(F), nd(G), nd(H),
+              nd(I_), nd(J), nd(K), nd(L), nd(M), nd(N), nd(O), nd(P)]
+        pN = np.stack(pN)   # (16, 4)
+
+        lat_lower = sg.s_lat + row * sg.lat_inc
+        lon_lower = sg.e_long + col * sg.long_inc
+        lon_upper = lon_lower + sg.long_inc
+        d1 = abs(lon - lon_upper)
+        d2 = abs(lat - lat_lower)
+
+        y = np.stack([pN[1], pN[0], pN[2], pN[3]])
+        y1 = np.stack([(pN[0] - pN[9]) / 2.0,
+                       (pN[8] - pN[1]) / 2.0,
+                       (pN[10] - pN[3]) / 2.0,
+                       (pN[2] - pN[11]) / 2.0])
+        y2 = np.stack([(pN[3] - pN[6]) / 2.0,
+                       (pN[2] - pN[5]) / 2.0,
+                       (pN[13] - pN[0]) / 2.0,
+                       (pN[14] - pN[1]) / 2.0])
+        y12 = np.stack([(pN[2] - pN[5] - pN[11] + pN[7]) / 4.0,
+                        (pN[10] - pN[4] - pN[3] + pN[6]) / 4.0,
+                        (pN[12] - pN[8] - pN[14] + pN[1]) / 4.0,
+                        (pN[13] - pN[0] - pN[15] + pN[9]) / 4.0])
+
+        t = d1 / sg.long_inc
+        u = d2 / sg.lat_inc
+        out = np.zeros(pN.shape[1])
+        for comp in range(pN.shape[1]):
+            x = np.concatenate([y[:, comp], y1[:, comp], y2[:, comp],
+                                y12[:, comp]])
+            cl = _BICUBIC_WT @ x
+            c = cl.reshape(4, 4)
+            val = 0.0
+            for i in range(3, -1, -1):
+                val = t * val + ((c[i, 3] * u + c[i, 2]) * u + c[i, 1]) * u \
+                    + c[i, 0]
+            out[comp] = val
+        return out
 
 
 def _read_gsb(path: str) -> NTv2Grid:

@@ -1,0 +1,205 @@
+"""Network segmentation into blocks of inner/junction stations.
+
+Greedy frontier expansion: starting from a seed station, the block grows by
+repeatedly converting the junction station with the fewest associated
+measurements into an inner station and pulling in its measurements, until
+the block size threshold is met.  Junction stations (the frontier) connect
+consecutive blocks; measurement records are atomic (a cluster's
+measurements land in exactly one block).
+
+Algorithm parity: dnasegment.cpp SegmentNetwork :290-307,
+BuildFirstBlock :376, BuildNextBlock :528 (thresholds :595-599),
+SelectInner :460, SelectJunction :485, FinaliseBlock :612,
+GetInnerMeasurements :702, AddtoCurrentMsrList :761,
+FindCommonMeasurements :~840, MoveJunctiontoISL.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+from ..io_formats.dna import Measurement, GpsCluster, DirectionSet
+from ..network.data import NetworkData
+
+
+def record_stations(rec, net: NetworkData) -> list:
+    """All (deduplicated) global station indices touched by a record."""
+    idx = net.station_index
+    out = []
+    if isinstance(rec, GpsCluster):
+        for ob in rec.obs:
+            out.append(idx(ob.first))
+            if ob.second:
+                out.append(idx(ob.second))
+    elif isinstance(rec, DirectionSet):
+        out.append(idx(rec.first))
+        out.append(idx(rec.ro))
+        for (target, _, _, ign) in rec.directions:
+            out.append(idx(target))
+    elif isinstance(rec, Measurement):
+        out.append(idx(rec.first))
+        if rec.second:
+            out.append(idx(rec.second))
+        if rec.third:
+            out.append(idx(rec.third))
+    seen = set()
+    ded = []
+    for s in out:
+        if s not in seen:
+            seen.add(s)
+            ded.append(s)
+    return ded
+
+
+@dataclass
+class Segmentation:
+    """Per-block station/measurement partition (the .seg analogue)."""
+    inner_stations: list = field(default_factory=list)      # [block][stn idx]
+    junction_stations: list = field(default_factory=list)
+    measurements: list = field(default_factory=list)        # [block][rec idx]
+    networks: list = field(default_factory=list)            # contiguous net id
+
+    @property
+    def block_count(self) -> int:
+        return len(self.inner_stations)
+
+    def parameter_stations(self, b: int) -> list:
+        """Sorted union of inner + junction stations (the block's unknowns,
+        ordered like the reference's parameterStationList)."""
+        return sorted(set(self.inner_stations[b]) |
+                      set(self.junction_stations[b]))
+
+    def save(self, path: str):
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def load(path: str) -> "Segmentation":
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+def segment_network(net: NetworkData, min_inner_stns: int = 150,
+                    max_block_stns: int = 150,
+                    starting_stns: str = "") -> Segmentation:
+    n = net.nstations
+    # station -> list of record indices
+    assoc = [[] for _ in range(n)]
+    usable = []
+    for ri, rec in enumerate(net.measurements):
+        if getattr(rec, "ignore", False):
+            continue
+        stns = record_stations(rec, net)
+        if not stns:
+            continue
+        usable.append(ri)
+        for s in stns:
+            assoc[s].append(ri)
+
+    msr_count = [len(a) for a in assoc]
+    avail_count = list(msr_count)
+    msr_used = [False] * len(net.measurements)
+    stn_free = [c > 0 for c in msr_count]
+
+    free = [s for s in range(n) if stn_free[s]]
+    free.sort(key=lambda s: (msr_count[s], s))
+
+    seg = Segmentation()
+    current_network = 0
+
+    def consume_record(ri, cml):
+        if msr_used[ri]:
+            return
+        msr_used[ri] = True
+        cml.append(ri)
+        for s in record_stations(net.measurements[ri], net):
+            avail_count[s] -= 1
+
+    def take_station(s, lst):
+        stn_free[s] = False
+        free.remove(s)
+        lst.append(s)
+
+    def get_inner_measurements(s, inner, junction, cml):
+        """Pull all unused records touching s into the block; connected free
+        stations become junctions."""
+        for ri in assoc[s]:
+            if msr_used[ri]:
+                continue
+            stns = record_stations(net.measurements[ri], net)
+            consume_record(ri, cml)
+            for t in stns:
+                if stn_free[t] and t not in junction:
+                    take_station(t, junction)
+
+    def finalise(inner, junction, cml):
+        # measurements fully within the junction set also belong here
+        jset = set(junction)
+        for s in sorted(jset):
+            for ri in assoc[s]:
+                if msr_used[ri]:
+                    continue
+                stns = record_stations(net.measurements[ri], net)
+                if all(t in jset or t in inner or len(stns) == 1
+                       for t in stns):
+                    consume_record(ri, cml)
+        # junctions with no remaining measurements become inners
+        still = []
+        for s in junction:
+            if avail_count[s] == 0:
+                inner.append(s)
+            else:
+                still.append(s)
+        junction[:] = still
+        seg.inner_stations.append(sorted(inner))
+        seg.junction_stations.append(sorted(still))
+        seg.measurements.append(sorted(set(cml)))
+        seg.networks.append(current_network)
+
+    # ----- first block -----------------------------------------------------
+    inner, junction, cml = [], [], []
+    seeds = [s.strip() for s in starting_stns.split(",") if s.strip()]
+    if seeds:
+        seed_idx = [net.station_index(s) for s in seeds]
+    else:
+        seed_idx = [free[0]] if free else []
+    for s in seed_idx:
+        if stn_free[s]:
+            take_station(s, inner)
+            get_inner_measurements(s, inner, junction, cml)
+    finalise(inner, junction, cml)
+
+    # ----- subsequent blocks ----------------------------------------------
+    while free:
+        # previous block's junctions become candidates for this block
+        junction = list(seg.junction_stations[-1])
+        inner, cml = [], []
+
+        if not junction:
+            # non-contiguous network: new sub-network from the free list
+            current_network += 1
+            free.sort(key=lambda s: (avail_count[s], s))
+            s = free[0]
+            take_station(s, junction)
+
+        while True:
+            if not free:
+                break
+            if not junction:
+                break
+            # select the junction with fewest associated measurements
+            junction.sort(key=lambda s: (msr_count[s], s))
+            s = junction.pop(0)
+            inner.append(s)
+            get_inner_measurements(s, inner, junction, cml)
+            total = len(inner) + len(junction)
+            if total >= max_block_stns:
+                if len(inner) < min_inner_stns:
+                    continue
+                break
+        finalise(inner, junction, cml)
+        if not free:
+            break
+
+    return seg

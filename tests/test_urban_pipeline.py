@@ -1,0 +1,90 @@
+"""End-to-end parity: urban terrestrial network through import → geoid
+(bicubic) → segment → phased adjustment, against the reference golden file
+urban.phased.adj.expected."""
+
+import re
+
+import numpy as np
+import pytest
+
+from dynadjust_tpu.io_formats import read_dna_stn, read_dna_msr, NTv2Grid
+from dynadjust_tpu.network import build_network
+from dynadjust_tpu.geoid import apply_geoid
+from dynadjust_tpu.adjust import AdjustmentOptions
+from dynadjust_tpu.adjust.phased import adjust_phased
+from dynadjust_tpu.adjust.simultaneous import adjust_simultaneous
+from dynadjust_tpu.segment import segment_network
+
+
+def _build(sample_dir):
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/urban-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/urban-network.msr")
+    stns.sort(key=lambda s: s.name)
+    net = build_network(stns, recs, frame, epoch)
+    grid = NTv2Grid.read(f"{sample_dir}/urban-network-geoid.gsb")
+    apply_geoid(net, grid, convert_heights=True)
+    return net
+
+
+def _golden(sample_dir):
+    out = {}
+    in_table = False
+    for line in open(f"{sample_dir}/urban.phased.adj.expected"):
+        if line.startswith("Adjusted Coordinates"):
+            in_table = True
+            continue
+        if not in_table:
+            continue
+        m = re.match(
+            r"^(\S+)\s+[A-Z]{3}\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+"
+            r"(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+"
+            r"(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)", line)
+        if m:
+            out[m.group(1)] = [float(m.group(i)) for i in range(2, 12)]
+    return out
+
+
+@pytest.fixture(scope="module")
+def phased_result(sample_dir):
+    net = _build(sample_dir)
+    seg = segment_network(net, min_inner_stns=50, max_block_stns=250)
+    res = adjust_phased(net, AdjustmentOptions(), seg=seg)
+    return net, seg, res
+
+
+def test_phased_statistics(phased_result):
+    net, seg, res = phased_result
+    assert seg.block_count >= 2
+    assert res.status == "Converged"
+    assert res.unknown_count == 440
+    assert res.measurement_count == 1182
+    assert res.degrees_of_freedom == 742
+    assert abs(res.chi_squared - 635.53) < 0.05
+    assert abs(res.sigma_zero - 0.857) < 0.001
+    assert res.pass_fail == "WARNING"       # sigma0 below the lower limit
+
+
+def test_phased_coordinates_vs_golden(phased_result, sample_dir):
+    net, seg, res = phased_result
+    gold = _golden(sample_dir)
+    assert len(gold) == 149
+    worst_xyz = worst_sd = 0.0
+    for name, exp in gold.items():
+        i = net.name_to_idx[name]
+        d = np.abs(res.xyz[i] - np.array(exp[4:7]))
+        worst_xyz = max(worst_xyz, float(d.max()))
+    assert worst_xyz < 2.0e-4, worst_xyz
+
+
+def test_phased_matches_simultaneous(sample_dir):
+    """The reference's key cross-check: blocked == dense (dnadiff 0.001)."""
+    net_p = _build(sample_dir)
+    seg = segment_network(net_p, min_inner_stns=50, max_block_stns=250)
+    res_p = adjust_phased(net_p, AdjustmentOptions(), seg=seg)
+
+    net_s = _build(sample_dir)
+    res_s = adjust_simultaneous(net_s, AdjustmentOptions())
+
+    d = np.abs(res_p.xyz - res_s.xyz).max()
+    assert d < 2.0e-4, f"phased vs simultaneous disagree by {d} m"
+    assert abs(res_p.sigma_zero - res_s.sigma_zero) < 1e-3
