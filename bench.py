@@ -1,0 +1,118 @@
+"""Benchmark: blocked TPU adjustment vs reference-style dense host solve.
+
+Builds a synthetic GNSS grid network (the BASELINE.json scaling configs),
+adjusts it with the TPU two-level Schur solver (f32 factorizations + f64
+residual refinement), and compares one Gauss-Newton solve against the
+reference's approach — a dense float64 Cholesky of the full simultaneous
+normals on the host CPU (what DynAdjust's MKL path does,
+dnaadjust.cpp:6586 Solve → dpotrf/dpotri).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+ROWS = int(os.environ.get("BENCH_ROWS", "64"))
+COLS = int(os.environ.get("BENCH_COLS", "64"))
+BLOCK = int(os.environ.get("BENCH_BLOCK", "16"))
+ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+
+
+def main():
+    from dynadjust_tpu.parallel.blocked_adjust import BlockedNetwork, \
+        build_normals
+    from dynadjust_tpu.parallel.schur import schur_solve_refined
+    from dynadjust_tpu.utils.synthetic import synthetic_grid_network, \
+        grid_segmentation
+
+    S = ROWS * COLS
+    xyz, pairs, obs, var, x0, fixed = synthetic_grid_network(ROWS, COLS,
+                                                             seed=7)
+    blocks, junction = grid_segmentation(ROWS, COLS, BLOCK, BLOCK)
+    bn = BlockedNetwork(nstations=S, pairs=pairs, obs=obs,
+                        weight=1.0 / var, blocks=blocks,
+                        junction_stations=junction, constrained=fixed)
+
+    t0 = time.time()
+    bs = build_normals(bn, x0, 0.01)
+    t_assembly = time.time() - t0
+
+    # ---- TPU blocked solve (f32 + refinement), warm-up then timed -------
+    xi, xj = schur_solve_refined(bs, refine=2)          # compile + warm-up
+    t0 = time.time()
+    for _ in range(ITERS):
+        xi, xj = schur_solve_refined(bs, refine=2)
+    t_blocked = (time.time() - t0) / ITERS
+
+    # ---- reference-style dense f64 host solve ---------------------------
+    # Assemble the full simultaneous normals once and Cholesky-solve, as
+    # the reference's simultaneous mode does per iteration.
+    import scipy.linalg as sla
+    N = np.zeros((3 * S, 3 * S))
+    r = np.zeros(3 * S)
+    w = bn.weight
+    i_idx = bn.pairs[:, 0]
+    j_idx = bn.pairs[:, 1]
+    mmc = bn.obs - (x0[j_idx] - x0[i_idx])
+    for k in range(3):
+        np.add.at(N, (3 * i_idx + k, 3 * i_idx + k), w)
+        np.add.at(N, (3 * j_idx + k, 3 * j_idx + k), w)
+        np.add.at(N, (3 * i_idx + k, 3 * j_idx + k), -w)
+        np.add.at(N, (3 * j_idx + k, 3 * i_idx + k), -w)
+        np.add.at(r, 3 * i_idx + k, -w * mmc[:, k])
+        np.add.at(r, 3 * j_idx + k, w * mmc[:, k])
+    wdiag = np.full(3 * S, 0.01)
+    for s in fixed:
+        wdiag[3 * s:3 * s + 3] = 1e6
+    N[np.diag_indices_from(N)] += wdiag
+
+    t0 = time.time()
+    c, low = sla.cho_factor(N, lower=True)
+    dx_dense = sla.cho_solve((c, low), r)
+    t_dense = time.time() - t0
+
+    # cross-check correctness of the benched solver
+    dxb = np.zeros((S, 3))
+    for b, (inner, junc) in enumerate(bn.blocks):
+        ki = 3 * len(inner)
+        dxb[inner] = xi[b][:ki].reshape(-1, 3)
+    dxb[bn.junction_stations] = xj.reshape(-1, 3)
+    err = np.abs(dxb.reshape(-1) - dx_dense).max()
+
+    result = {
+        "metric": f"blocked_schur_solve_{S}stn_gnss_network",
+        "value": round(1.0 / t_blocked, 3),
+        "unit": "solves/s",
+        "vs_baseline": round(t_dense / t_blocked, 2),
+        "detail": {
+            "stations": S,
+            "baselines": int(len(pairs)),
+            "blocks": len(blocks),
+            "t_blocked_s": round(t_blocked, 4),
+            "t_dense_host_s": round(t_dense, 4),
+            "t_assembly_s": round(t_assembly, 4),
+            "max_err_vs_dense_m": float(err),
+            "device": _device_name(),
+        },
+    }
+    print(json.dumps(result))
+
+
+def _device_name():
+    try:
+        import jax
+        return str(jax.devices()[0])
+    except Exception:
+        return "unknown"
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,357 @@
+"""TPU-native distributed block adjustment: two-level Schur complement.
+
+This is the scalable redesign of the reference's sequential phased
+adjustment (forward/reverse junction sweeps, dnaadjust.cpp:2756/3461).
+Instead of a serial chain, every block eliminates its inner stations
+independently — a batched dense factorization that maps straight onto the
+MXU — and the junction (interface) system is reduced across blocks with a
+single collective, solved once, and back-substituted in parallel:
+
+    per block b (batched, sharded over devices):
+        N_b = [Nii Nij; Nji Njj],  rhs_b = [bi; bj]
+        S_b = Njj − Nji Nii⁻¹ Nij          (Schur complement onto junctions)
+        t_b = bj − Nji Nii⁻¹ bi
+    global junction system (psum over the mesh):
+        S = Σ_b scatter(S_b),  t = Σ_b scatter(t_b)
+        x_j = S⁻¹ t
+    back-substitution (batched, sharded):
+        x_i(b) = Nii⁻¹ (bi − Nij x_j(b))
+
+This is algebraically identical to the simultaneous solution — the
+cross-check the reference itself relies on (SURVEY §4.4) — and replaces
+O(B) sequential block solves with O(1) batched ones plus one reduced
+solve.  Mathematically it is a 2-level nested dissection; deeper trees are
+a planned extension for very large junction systems.
+
+Blocks are padded to uniform shapes: identity-padding on the diagonal
+keeps padded Cholesky factorizations well-defined and the padded entries
+inert (zero couplings, zero rhs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass
+class BlockSystem:
+    """Padded batched block normal systems.
+
+    B blocks, ni_max inner params, nj_max junction params per block,
+    nj_global total junction params.
+    """
+    Nii: np.ndarray         # (B, ni, ni)
+    Nij: np.ndarray         # (B, ni, nj)
+    Njj: np.ndarray         # (B, nj, nj)
+    bi: np.ndarray          # (B, ni)
+    bj: np.ndarray          # (B, nj)
+    jmap: np.ndarray        # (B, nj) global junction param index (or filler)
+    jmask: np.ndarray       # (B, nj) 1.0 for real junction params
+    imask: np.ndarray       # (B, ni) 1.0 for real inner params
+    nj_global: int
+
+
+def _pad_to(x, shape):
+    out = np.zeros(shape, dtype=x.dtype)
+    sl = tuple(slice(0, s) for s in x.shape)
+    out[sl] = x
+    return out
+
+
+def build_block_system(block_N, block_rhs, block_inner_idx, block_junc_idx,
+                       junction_global_idx, dtype=np.float64) -> BlockSystem:
+    """Assemble a BlockSystem from per-block dense normals.
+
+    block_N[b]: (n_b, n_b) full block normals (inner+junction params)
+    block_rhs[b]: (n_b,)
+    block_inner_idx[b]: local param indices of inner params
+    block_junc_idx[b]: local param indices of junction params
+    junction_global_idx[b]: global junction param index for each junction
+        param of block b
+    """
+    B = len(block_N)
+    ni = max((len(i) for i in block_inner_idx), default=1) or 1
+    nj = max((len(j) for j in block_junc_idx), default=1) or 1
+    nj_global = int(max((np.max(g) for g in junction_global_idx
+                         if len(g)), default=-1)) + 1
+
+    Nii = np.zeros((B, ni, ni), dtype=dtype)
+    Nij = np.zeros((B, ni, nj), dtype=dtype)
+    Njj = np.zeros((B, nj, nj), dtype=dtype)
+    bi = np.zeros((B, ni), dtype=dtype)
+    bj = np.zeros((B, nj), dtype=dtype)
+    jmap = np.zeros((B, nj), dtype=np.int32)
+    jmask = np.zeros((B, nj), dtype=dtype)
+    imask = np.zeros((B, ni), dtype=dtype)
+
+    for b in range(B):
+        ii = np.asarray(block_inner_idx[b], dtype=np.int64)
+        jj = np.asarray(block_junc_idx[b], dtype=np.int64)
+        N = np.asarray(block_N[b], dtype=dtype)
+        r = np.asarray(block_rhs[b], dtype=dtype)
+        ki, kj = len(ii), len(jj)
+        Nii[b, :ki, :ki] = N[np.ix_(ii, ii)]
+        if kj:
+            Nij[b, :ki, :kj] = N[np.ix_(ii, jj)]
+            Njj[b, :kj, :kj] = N[np.ix_(jj, jj)]
+            bj[b, :kj] = r[jj]
+            jmap[b, :kj] = junction_global_idx[b]
+            jmask[b, :kj] = 1.0
+        bi[b, :ki] = r[ii]
+        imask[b, :ki] = 1.0
+        # identity padding keeps the factorization defined
+        for k in range(ki, ni):
+            Nii[b, k, k] = 1.0
+        # padded junction slots map to a scratch global slot (masked out)
+        jmap[b, kj:] = nj_global
+    return BlockSystem(Nii=Nii, Nij=Nij, Njj=Njj, bi=bi, bj=bj,
+                       jmap=jmap, jmask=jmask, imask=imask,
+                       nj_global=nj_global)
+
+
+# ---------------------------------------------------------------------------
+# single-device (or host) batched solve
+# ---------------------------------------------------------------------------
+
+def _unity_scale(Nii, Nij, Njj, bi, bj, jmap, jmask, nj_total,
+                 axis=None):
+    """Diagonal unity scaling of the full blocked system.
+
+    The reference's --scale-normals-to-unity (Solve, dnaadjust.cpp:6614)
+    generalised to the blocked layout: junction parameters appear in
+    several blocks, so their global diagonal is reduced first (psum over
+    the mesh in the sharded path) to keep one consistent scale factor per
+    parameter.  Essential for float32 factorizations on the MXU — the
+    constraint dynamic range otherwise swamps the f32 mantissa.
+    Returns scaled system + (di, dj_block) scale factors."""
+    dii = jnp.diagonal(Nii, axis1=-2, axis2=-1)
+    djj = jnp.diagonal(Njj, axis1=-2, axis2=-1) * jmask
+    dj_global = jnp.zeros((nj_total,), dtype=Njj.dtype)
+    dj_global = dj_global.at[jmap.reshape(-1)].add(djj.reshape(-1))
+    if axis is not None:
+        dj_global = jax.lax.psum(dj_global, axis)
+    dj_global = jnp.where(dj_global <= 0.0, 1.0, dj_global)
+    djg = 1.0 / jnp.sqrt(dj_global)            # (nj_total,) global factors
+    di = 1.0 / jnp.sqrt(jnp.where(dii <= 0.0, 1.0, dii))
+    dj = djg[jmap]
+    dj = jnp.where(jmask > 0, dj, 1.0)
+    Nii = Nii * di[:, :, None] * di[:, None, :]
+    Nij = Nij * di[:, :, None] * dj[:, None, :]
+    Njj = Njj * dj[:, :, None] * dj[:, None, :]
+    bi = bi * di
+    bj = bj * dj
+    return Nii, Nij, Njj, bi, bj, di, dj, djg
+
+
+def _block_reduce(Nii, Nij, Njj, bi, bj, jmask):
+    """Per-block inner elimination → (S_b, t_b, chol(Nii), Nii⁻¹Nij,
+    Nii⁻¹bi).  All batched; runs on the MXU for the triangular solves and
+    matmuls."""
+    L = jnp.linalg.cholesky(Nii)
+    # Y = Nii^-1 Nij via two triangular solves
+    Y = jax.scipy.linalg.cho_solve((L, True), Nij)
+    w = jax.scipy.linalg.cho_solve((L, True), bi[..., None])[..., 0]
+    S_b = Njj - jnp.einsum("bki,bkj->bij", Nij, Y)
+    t_b = bj - jnp.einsum("bki,bk->bi", Nij, w)
+    # mask padded junction rows/cols so scatters stay inert
+    S_b = S_b * jmask[:, :, None] * jmask[:, None, :]
+    t_b = t_b * jmask
+    return S_b, t_b, L, Y, w
+
+
+def _scatter_junction(S_b, t_b, jmap, nj_total):
+    """Scatter-add per-block Schur pieces into the global junction system."""
+    B, nj = t_b.shape
+    S = jnp.zeros((nj_total, nj_total), dtype=S_b.dtype)
+    t = jnp.zeros((nj_total,), dtype=t_b.dtype)
+    # flatten scatter: S[jmap[b,i], jmap[b,j]] += S_b[b,i,j]
+    idx_i = jnp.repeat(jmap[:, :, None], nj, axis=2).reshape(-1)
+    idx_j = jnp.repeat(jmap[:, None, :], nj, axis=1).reshape(-1)
+    S = S.at[idx_i, idx_j].add(S_b.reshape(-1))
+    t = t.at[jmap.reshape(-1)].add(t_b.reshape(-1))
+    return S, t
+
+
+def _solve_junction(S, t, nj_real):
+    """Solve the reduced junction system (identity-pad the scratch slot)."""
+    n = S.shape[0]
+    # pad diagonal for scratch/unused slots
+    diag = jnp.diag(S)
+    S = S + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
+    Lj = jnp.linalg.cholesky(S)
+    xj = jax.scipy.linalg.cho_solve((Lj, True), t)
+    return xj, Lj
+
+
+@partial(jax.jit, static_argnames=("nj_total", "scale", "axis"))
+def _schur_solve_jit(Nii, Nij, Njj, bi, bj, jmap, jmask, nj_total,
+                     scale=True, axis=None):
+    if scale:
+        Nii, Nij, Njj, bi, bj, di, dj, djg = _unity_scale(
+            Nii, Nij, Njj, bi, bj, jmap, jmask, nj_total, axis)
+    S_b, t_b, L, Y, w = _block_reduce(Nii, Nij, Njj, bi, bj, jmask)
+    S, t = _scatter_junction(S_b, t_b, jmap, nj_total)
+    if axis is not None:
+        S = jax.lax.psum(S, axis)
+        t = jax.lax.psum(t, axis)
+    xj, _ = _solve_junction(S, t, nj_total)
+    xj_b = xj[jmap] * jmask                     # (B, nj) gather
+    xi = w - jnp.einsum("bij,bj->bi", Y, xj_b)
+    if scale:
+        # unscale: xi by block factors, xj by the (replicated) global
+        # junction factors
+        xi = xi * di
+        xj = xj * djg
+    return xi, xj
+
+
+def schur_solve(bs: BlockSystem, scale: bool = True):
+    """Solve the full system via batched two-level Schur reduction.
+
+    Returns (xi (B, ni), xj (nj_global,)) — inner corrections per block and
+    global junction corrections."""
+    nj_total = bs.nj_global + 1     # one scratch slot for padded entries
+    xi, xj = _schur_solve_jit(
+        jnp.asarray(bs.Nii), jnp.asarray(bs.Nij), jnp.asarray(bs.Njj),
+        jnp.asarray(bs.bi), jnp.asarray(bs.bj), jnp.asarray(bs.jmap),
+        jnp.asarray(bs.jmask), nj_total, scale)
+    return np.asarray(xi), np.asarray(xj)[:bs.nj_global]
+
+
+# ---------------------------------------------------------------------------
+# multi-device sharded solve (blocks sharded over the mesh)
+# ---------------------------------------------------------------------------
+
+def schur_solve_sharded(bs: BlockSystem, mesh: Mesh, axis: str = "blocks",
+                        scale: bool = True):
+    """Mesh-sharded solve: blocks distributed over `axis`; the junction
+    reduction rides a psum over ICI; the junction solve is replicated and
+    back-substitution runs shard-local.
+
+    The block batch must be padded to a multiple of the mesh axis size.
+    """
+    ndev = mesh.shape[axis]
+    B = bs.Nii.shape[0]
+    Bp = ((B + ndev - 1) // ndev) * ndev
+    nj_total = bs.nj_global + 1
+
+    def pad(x):
+        if x.shape[0] == Bp:
+            return x
+        pad_width = [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1)
+        out = np.pad(x, pad_width)
+        return out
+
+    Nii = pad(bs.Nii).copy()
+    # identity-pad the extra blocks' Nii so cholesky stays defined
+    for b in range(B, Bp):
+        Nii[b] = np.eye(Nii.shape[1], dtype=Nii.dtype)
+    Nij = pad(bs.Nij)
+    Njj = pad(bs.Njj)
+    bi = pad(bs.bi)
+    bj = pad(bs.bj)
+    jmap = pad(bs.jmap)
+    jmask = pad(bs.jmask)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                       P(axis), P(axis)),
+             out_specs=(P(axis), P()))
+    def solve(Nii, Nij, Njj, bi, bj, jmap, jmask):
+        return _schur_solve_jit(Nii, Nij, Njj, bi, bj, jmap, jmask,
+                                nj_total, scale, axis)
+
+    fn = jax.jit(solve)
+    xi, xj = fn(jnp.asarray(Nii), jnp.asarray(Nij), jnp.asarray(Njj),
+                jnp.asarray(bi), jnp.asarray(bj), jnp.asarray(jmap),
+                jnp.asarray(jmask))
+    return np.asarray(xi)[:B], np.asarray(xj)[:bs.nj_global]
+
+
+# ---------------------------------------------------------------------------
+# mixed-precision refined solve (f32 factorization + f64 residuals)
+# ---------------------------------------------------------------------------
+
+def _block_matvec(bs: BlockSystem, xi, xj):
+    """y = N x for the blocked system, in float64 on host.
+
+    Junction rows accumulate across blocks (the same scatter structure as
+    the Schur reduction)."""
+    xj_pad = np.concatenate([xj, [0.0]])     # scratch slot for padded maps
+    xj_b = xj_pad[bs.jmap] * bs.jmask
+    yi = (np.einsum("bij,bj->bi", bs.Nii, xi) +
+          np.einsum("bij,bj->bi", bs.Nij, xj_b))
+    yj_b = (np.einsum("bij,bi->bj", bs.Nij, xi) +
+            np.einsum("bij,bj->bi", bs.Njj, xj_b)) * bs.jmask
+    yj = np.zeros(bs.nj_global + 1)
+    np.add.at(yj, bs.jmap.reshape(-1), yj_b.reshape(-1))
+    return yi * bs.imask, yj[:bs.nj_global]
+
+
+def _gather_rhs_junction(bs: BlockSystem):
+    t = np.zeros(bs.nj_global + 1)
+    np.add.at(t, bs.jmap.reshape(-1), (bs.bj * bs.jmask).reshape(-1))
+    return t[:bs.nj_global]
+
+
+def schur_solve_refined(bs: BlockSystem, mesh=None, axis: str = "blocks",
+                        refine: int = 2, dtype=np.float32):
+    """Mixed-precision blocked solve: the factorization-heavy Schur solve
+    runs in `dtype` (float32 on the TPU MXU); `refine` rounds of iterative
+    refinement with float64 residuals computed on host recover near-f64
+    accuracy (contraction ~ kappa_scaled * eps_f32 per round).
+
+    This is the TPU answer to the reference's f64 LAPACK requirement: the
+    hardware has no native f64 MXU path, so precision is restored through
+    residual refinement instead (SURVEY §7 'hard parts').
+    """
+    def lowp(b):
+        return BlockSystem(
+            Nii=b.Nii.astype(dtype), Nij=b.Nij.astype(dtype),
+            Njj=b.Njj.astype(dtype), bi=b.bi.astype(dtype),
+            bj=b.bj.astype(dtype), jmap=b.jmap,
+            jmask=b.jmask.astype(dtype), imask=b.imask.astype(dtype),
+            nj_global=b.nj_global)
+
+    def solve_low(rhs_i, rhs_j_blocks):
+        low = lowp(BlockSystem(
+            Nii=bs.Nii, Nij=bs.Nij, Njj=bs.Njj, bi=rhs_i, bj=rhs_j_blocks,
+            jmap=bs.jmap, jmask=bs.jmask, imask=bs.imask,
+            nj_global=bs.nj_global))
+        if mesh is not None:
+            return schur_solve_sharded(low, mesh, axis)
+        return schur_solve(low)
+
+    xi, xj = solve_low(bs.bi, bs.bj)
+    xi = np.asarray(xi, dtype=np.float64)
+    xj = np.asarray(xj, dtype=np.float64)
+
+    rhs_j_global = _gather_rhs_junction(bs)
+    for _ in range(refine):
+        yi, yj = _block_matvec(bs, xi, xj)
+        ri = (bs.bi * bs.imask) - yi
+        rj = rhs_j_global - yj
+        # distribute the junction residual back to per-block rhs slots:
+        # give the full residual to one owner block per junction param
+        rj_b = np.zeros_like(bs.bj)
+        owner = {}
+        flat = bs.jmap.reshape(-1)
+        mask = bs.jmask.reshape(-1) > 0
+        first_idx = {}
+        for k in np.nonzero(mask)[0]:
+            g = flat[k]
+            if g not in first_idx:
+                first_idx[g] = k
+        rjf = rj_b.reshape(-1)
+        for g, k in first_idx.items():
+            rjf[k] = rj[g]
+        di, dj = solve_low(ri, rj_b)
+        xi = xi + np.asarray(di, dtype=np.float64)
+        xj = xj + np.asarray(dj, dtype=np.float64)
+    return xi, xj
