@@ -16,6 +16,10 @@ import os
 import sys
 import time
 
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
@@ -29,7 +33,7 @@ ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 def main():
     from dynadjust_tpu.parallel.blocked_adjust import BlockedNetwork, \
         build_normals
-    from dynadjust_tpu.parallel.schur import schur_solve_refined
+    from dynadjust_tpu.parallel.schur import schur_solve_factored
     from dynadjust_tpu.utils.synthetic import synthetic_grid_network, \
         grid_segmentation
 
@@ -41,16 +45,28 @@ def main():
                         weight=1.0 / var, blocks=blocks,
                         junction_stations=junction, constrained=fixed)
 
+    log(f"bench: {S} stations, {len(pairs)} baselines, "
+        f"{len(blocks)} blocks")
     t0 = time.time()
     bs = build_normals(bn, x0, 0.01)
     t_assembly = time.time() - t0
+    log(f"assembly {t_assembly:.2f}s; block shapes Nii{bs.Nii.shape} "
+        f"Njj{bs.Njj.shape}")
 
-    # ---- TPU blocked solve (f32 + refinement), warm-up then timed -------
-    xi, xj = schur_solve_refined(bs, refine=2)          # compile + warm-up
+    # ---- TPU blocked solve (f32 factor + f64-refined applies) -----------
+    t0 = time.time()
+    xi, xj, factors = schur_solve_factored(bs, refine=2)    # compile
+    log(f"warm-up (compile) {time.time() - t0:.2f}s")
     t0 = time.time()
     for _ in range(ITERS):
-        xi, xj = schur_solve_refined(bs, refine=2)
+        xi, xj, factors = schur_solve_factored(bs, refine=2)
     t_blocked = (time.time() - t0) / ITERS
+    t0 = time.time()
+    for _ in range(ITERS):
+        xi, xj, _ = schur_solve_factored(bs, refine=2, factors=factors)
+    t_apply = (time.time() - t0) / ITERS
+    log(f"per-solve: factor+apply {t_blocked:.4f}s, "
+        f"apply-only {t_apply:.4f}s")
 
     # ---- reference-style dense f64 host solve ---------------------------
     # Assemble the full simultaneous normals once and Cholesky-solve, as
@@ -74,6 +90,7 @@ def main():
         wdiag[3 * s:3 * s + 3] = 1e6
     N[np.diag_indices_from(N)] += wdiag
 
+    log("dense host solve...")
     t0 = time.time()
     c, low = sla.cho_factor(N, lower=True)
     dx_dense = sla.cho_solve((c, low), r)
@@ -97,6 +114,7 @@ def main():
             "baselines": int(len(pairs)),
             "blocks": len(blocks),
             "t_blocked_s": round(t_blocked, 4),
+            "t_apply_s": round(t_apply, 4),
             "t_dense_host_s": round(t_dense, 4),
             "t_assembly_s": round(t_assembly, 4),
             "max_err_vs_dense_m": float(err),

@@ -84,7 +84,8 @@ class Assembler:
     (simultaneous mode: the whole network)."""
 
     def __init__(self, net: NetworkData, options: AdjustmentOptions,
-                 station_subset=None, measurement_subset=None):
+                 station_subset=None, measurement_subset=None,
+                 record_indices=None):
         """station_subset: ordered global station indices forming this
         block's parameter list (None = all stations, identity order).
         measurement_subset: the measurement records of this block."""
@@ -98,6 +99,8 @@ class Assembler:
         self.local = {g: i for i, g in enumerate(self.stations)}
         self.records = (net.measurements if measurement_subset is None
                         else measurement_subset)
+        self.record_indices = (record_indices if record_indices is not None
+                               else list(range(len(self.records))))
         self.scalar_items: list[ScalarItem] = []
         self.dirn_sets: list[DirnSetItem] = []
         self.gps_items: list[GpsItem] = []
@@ -120,7 +123,8 @@ class Assembler:
     def _compile(self):
         net = self.net
         row = 0
-        for rec in self.records:
+        self.item_record_idx = []   # global record index per item_order entry
+        for rec_i, rec in zip(self.record_indices, self.records):
             if isinstance(rec, GpsCluster):
                 if rec.ignore:
                     continue
@@ -128,6 +132,7 @@ class Assembler:
                 row += len(item.stations1) * 3
                 self.gps_items.append(item)
                 self.item_order.append(item)
+                self.item_record_idx.append(rec_i)
             elif isinstance(rec, DirectionSet):
                 if rec.ignore:
                     continue
@@ -137,6 +142,7 @@ class Assembler:
                 row += len(item.angles)
                 self.dirn_sets.append(item)
                 self.item_order.append(item)
+                self.item_record_idx.append(rec_i)
                 self.has_non_gps = True
             elif isinstance(rec, Measurement):
                 if rec.ignore:
@@ -152,6 +158,7 @@ class Assembler:
                 row += 1
                 self.scalar_items.append(item)
                 self.item_order.append(item)
+                self.item_record_idx.append(rec_i)
                 self.has_non_gps = True
         self.nrows = row
 
@@ -684,12 +691,17 @@ class Assembler:
                 v[i0, i0] = var_f if cc[0] == "F" else var_c
                 v[i1, i1] = var_f if cc[1] == "F" else var_c
                 v[2, 2] = var_f if cc[2] == "F" else var_c
+                # invert in the local frame (exact diagonal reciprocal)
+                # and rotate: R diag(1/v) Rᵀ == inv(R diag(v) Rᵀ) for the
+                # orthogonal rotation, without the catastrophic loss of
+                # symmetry a numerical inverse suffers at the mixed
+                # constraint's 1e14 condition number
+                winv = np.diag(1.0 / np.diag(v))
                 if net.coord_types[i] == "XYZ":
-                    vc = v
+                    W[li] = winv
                 else:
-                    vc = propagate_variance_local_cart(
-                        v, net.lat[i], net.lon[i])
-                W[li] = np.linalg.inv(vc)
+                    W[li] = propagate_variance_local_cart(
+                        winv, net.lat[i], net.lon[i])
         return W
 
     def unknown_params(self) -> int:

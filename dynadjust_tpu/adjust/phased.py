@@ -49,7 +49,8 @@ class Block:
         self.jsl = seg.junction_stations[b]             # frontier to b+1
         recs = [net.measurements[ri] for ri in seg.measurements[b]]
         self.asm = Assembler(net, opts, station_subset=self.stations,
-                             measurement_subset=recs)
+                             measurement_subset=recs,
+                             record_indices=list(seg.measurements[b]))
         self.njsl = len(self.jsl)
         # local parameter offsets of the junction stations
         self.jsl_local = np.array([self.asm.local[g] for g in self.jsl],
@@ -257,6 +258,7 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
         pelzer_sum += ps
         pelzer_n += pn
 
+    stats_rows.sort(key=lambda r: r.rec_idx)
     dof = m_count - unknown_count
     sigma0 = chi_sq / dof if dof else 0.0
     for r in stats_rows:

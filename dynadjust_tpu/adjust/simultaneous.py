@@ -33,6 +33,7 @@ STABLE_LIMIT = 700.0
 class MsrStatRow:
     """Per-scalar-row adjusted measurement statistics (measurement record
     update analogue)."""
+    rec_idx: int = 0            # original record order (file order)
     mtype: str = ""
     cardinal: str = " "
     s1: int = -1
@@ -274,7 +275,8 @@ def _measurement_stats(asm: Assembler, net: NetworkData, Ninv: np.ndarray,
             outliers += 1
         rows.append(r)
 
-    for item in asm.item_order:
+    for item, rec_i in zip(asm.item_order, asm.item_record_idx):
+        _row_start = len(rows)
         if isinstance(item, ScalarItem):
             r = MsrStatRow(mtype=item.mtype, s1=item.s1, s2=item.s2,
                            s3=item.s3, pre_adj_meas=item.pre_adj_meas,
@@ -311,6 +313,8 @@ def _measurement_stats(asm: Assembler, net: NetworkData, Ninv: np.ndarray,
                         meas_var=item.vcv[3 * i + k, 3 * i + k],
                         pre_adj_corr=0.0)
                     finish(r, ri)
+        for r in rows[_row_start:]:
+            r.rec_idx = rec_i
     return rows, chi_sq, outliers, pelzer_sum, pelzer_n
 
 

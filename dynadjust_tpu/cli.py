@@ -173,6 +173,24 @@ def _cmd_adjust(args) -> int:
     write_adj(adj_path, net, res, opts, cmdline=" ".join(sys.argv),
               print_adj_msr=args.output_adj_msr)
     write_xyz(f"{base}.xyz", net, res)
+    if args.output_pos_uncertainty:
+        from .output.uncertainty import write_apu
+        write_apu(f"{base}.apu", net, res,
+                  confidence=opts.confidence_interval)
+    if args.output_corrections_file:
+        from .output.uncertainty import write_cor
+        from .geodesy.conversions import geo_to_cart
+        import numpy as _np
+        ox, oy, oz = geo_to_cart(net.lat, net.lon, net.height,
+                                 net.datum.ellipsoid)
+        write_cor(f"{base}.cor", net, res,
+                  _np.stack([ox, oy, oz], axis=-1))
+    if args.export_snx:
+        from .io_formats.sinex import write_sinex
+        write_sinex(f"{base}.snx", net, res)
+    if args.export_xml:
+        from .io_formats.dynaml import write_dynaml_stn
+        write_dynaml_stn(f"{base}.adjusted.stn.xml", net)
     project.save_network(net, args.output_folder, args.network_name)
     project.update_project(args.output_folder, args.network_name, "adjust",
                            {"mode": mode, "status": res.status,
@@ -243,6 +261,14 @@ def _add_adjust_args(p):
     p.add_argument("--fixed-stn-sd", type=float, default=1.0e-6)
     p.add_argument("--constraints", default="",
                    help="station constraints: name,CCC,name2,FFC,...")
+    p.add_argument("--output-pos-uncertainty", action="store_true",
+                   help="write positional uncertainty (.apu) file")
+    p.add_argument("--output-corrections-file", action="store_true",
+                   help="write station corrections (.cor) file")
+    p.add_argument("--export-snx", action="store_true",
+                   help="export adjusted coordinates + covariance as SINEX")
+    p.add_argument("--export-xml", action="store_true",
+                   help="export adjusted stations as DynaML")
 
 
 def main(argv=None) -> int:
@@ -303,6 +329,25 @@ def main(argv=None) -> int:
     _add_adjust_args(p)
     _add_common(p)
     p.set_defaults(func=_cmd_dynadjust)
+
+    p = sub.add_parser("diff", help="tolerance-aware numeric file diff")
+    p.add_argument("file1")
+    p.add_argument("file2")
+    p.add_argument("-t", "--tolerance", type=float, default=0.0)
+    p.add_argument("--skip-headers", type=int, default=0)
+    p.add_argument("--skip-to-marker", default="")
+    p.add_argument("-v", "--verbose", action="store_true")
+
+    def _cmd_diff(a):
+        from .diff import main as diff_main
+        argv2 = [a.file1, a.file2, "-t", str(a.tolerance),
+                 "--skip-headers", str(a.skip_headers)]
+        if a.skip_to_marker:
+            argv2 += ["--skip-to-marker", a.skip_to_marker]
+        if a.verbose:
+            argv2.append("-v")
+        return diff_main(argv2)
+    p.set_defaults(func=_cmd_diff)
 
     args = parser.parse_args(argv)
     return args.func(args)

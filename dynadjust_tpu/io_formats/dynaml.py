@@ -1,0 +1,173 @@
+"""DynaML (XML) station/measurement reader and writer.
+
+Schema reference: /root/reference/sampleData/DynaML.xsd; parsing semantics
+from dnaimport's generated SAX parsers (dnaparser_pimpl.cxx).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from .dna import (
+    Station, Measurement, GpsCluster, GpsObs, DirectionSet,
+    ANGULAR_TYPES, LINEAR_TYPES,
+)
+from ..geodesy.conversions import dms_to_rad
+
+_SEC_TO_RAD = np.pi / 180.0 / 3600.0
+
+
+def _txt(el, tag, default=""):
+    c = el.find(tag)
+    return (c.text or "").strip() if c is not None and c.text else default
+
+
+def _num(el, tag, default=0.0):
+    t = _txt(el, tag)
+    return float(t) if t else default
+
+
+def read_dynaml(path: str):
+    """Read a DynaML file (station, measurement or combined).
+
+    Returns (stations, measurements, frame, epoch)."""
+    tree = ET.parse(path)
+    root = tree.getroot()
+    frame = root.get("referenceframe", "GDA2020")
+    epoch = root.get("epoch", "01.01.2020")
+
+    stations, measurements = [], []
+    cluster_id = 0
+    for el in root:
+        if el.tag == "DnaStation":
+            coord = el.find("StationCoord")
+            stations.append(Station(
+                name=_txt(el, "Name"),
+                constraints=_txt(el, "Constraints", "FFF"),
+                coord_type=_txt(el, "Type", "LLH"),
+                p1=_num(coord, "XAxis"),
+                p2=_num(coord, "YAxis"),
+                p3=_num(coord, "Height"),
+                hemi_zone=_txt(coord, "HemisphereZone"),
+                description=_txt(el, "Description"),
+            ))
+        elif el.tag == "DnaMeasurement":
+            cluster_id += 1
+            rec = _parse_measurement(el, frame, epoch, cluster_id)
+            if rec is not None:
+                measurements.append(rec)
+    return stations, measurements, frame, epoch
+
+
+def _is_ignored(el) -> bool:
+    ig = el.find("Ignore")
+    return ig is not None and (ig.text or "").strip() != ""
+
+
+def _parse_measurement(el, frame, epoch, cluster_id):
+    mtype = _txt(el, "Type").upper()
+    ignore = _is_ignored(el)
+    m_frame = _txt(el, "ReferenceFrame", frame)
+    m_epoch = _txt(el, "Epoch", epoch)
+
+    if mtype in ("G", "X", "Y"):
+        cl = GpsCluster(
+            mtype=mtype, ignore=ignore,
+            coord_type=_txt(el, "Coords", "XYZ") or "XYZ",
+            vscale=_num(el, "Vscale", 1.0) or 1.0,
+            pscale=_num(el, "Pscale", 1.0) or 1.0,
+            lscale=_num(el, "Lscale", 1.0) or 1.0,
+            hscale=_num(el, "Hscale", 1.0) or 1.0,
+            epsg_frame=m_frame, epoch=m_epoch, cluster_id=cluster_id)
+        first = _txt(el, "First")
+        second = _txt(el, "Second")
+        tag = "GPSBaseline" if mtype in ("G", "X") else "Clusterpoint"
+        cov_tag = "GPSCovariance" if mtype in ("G", "X") else \
+            "PointCovariance"
+        geographic = cl.coord_type.upper().startswith("LL")
+        for ob_el in el.findall(tag):
+            vec = np.array([_num(ob_el, "X"), _num(ob_el, "Y"),
+                            _num(ob_el, "Z")])
+            if mtype == "Y" and geographic:
+                vec = np.array([float(dms_to_rad(vec[0])),
+                                float(dms_to_rad(vec[1])), vec[2]])
+            V = np.zeros((3, 3))
+            V[0, 0] = _num(ob_el, "SigmaXX")
+            V[0, 1] = V[1, 0] = _num(ob_el, "SigmaXY")
+            V[0, 2] = V[2, 0] = _num(ob_el, "SigmaXZ")
+            V[1, 1] = _num(ob_el, "SigmaYY")
+            V[1, 2] = V[2, 1] = _num(ob_el, "SigmaYZ")
+            V[2, 2] = _num(ob_el, "SigmaZZ")
+            ob = GpsObs(first=first, second=second if mtype != "Y" else "",
+                        vec=vec, vcv=V)
+            for cov_el in ob_el.findall(cov_tag):
+                C = np.array([
+                    [_num(cov_el, "m11"), _num(cov_el, "m12"),
+                     _num(cov_el, "m13")],
+                    [_num(cov_el, "m21"), _num(cov_el, "m22"),
+                     _num(cov_el, "m23")],
+                    [_num(cov_el, "m31"), _num(cov_el, "m32"),
+                     _num(cov_el, "m33")]])
+                ob.covs.append(C)
+            cl.obs.append(ob)
+        return cl
+
+    if mtype == "D":
+        ds = DirectionSet(
+            ignore=ignore, first=_txt(el, "First"), ro=_txt(el, "Second"),
+            ro_value=float(dms_to_rad(_num(el, "Value"))),
+            ro_sd=_num(el, "StdDev") * _SEC_TO_RAD, epoch=m_epoch)
+        for d_el in el.findall("Directions"):
+            ds.directions.append((
+                _txt(d_el, "Target"),
+                float(dms_to_rad(_num(d_el, "Value"))),
+                _num(d_el, "StdDev") * _SEC_TO_RAD,
+                _is_ignored(d_el),
+            ))
+        return ds
+
+    m = Measurement(mtype=mtype, ignore=ignore, first=_txt(el, "First"),
+                    second=_txt(el, "Second"), third=_txt(el, "Third"),
+                    epoch=m_epoch)
+    if mtype in ANGULAR_TYPES:
+        m.value = float(dms_to_rad(_num(el, "Value")))
+        m.sd = _num(el, "StdDev") * _SEC_TO_RAD
+    else:
+        m.value = _num(el, "Value")
+        m.sd = _num(el, "StdDev")
+    m.inst_height = _num(el, "InstHeight")
+    m.targ_height = _num(el, "TargHeight")
+    return m
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+def write_dynaml_stn(path: str, net, comment: str = ""):
+    from ..geodesy.conversions import rad_to_dms
+    lines = ['<?xml version="1.0"?>',
+             f'<DnaXmlFormat type="Station File" referenceframe='
+             f'"{net.frame}" epoch="{net.epoch}" '
+             f'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" '
+             f'xsi:noNamespaceSchemaLocation="DynaML.xsd">']
+    for i in range(net.nstations):
+        H = net.height[i] - net.geoid_sep[i]
+        lines.extend([
+            "  <DnaStation>",
+            f"    <Name>{net.names[i]}</Name>",
+            f"    <Constraints>{net.constraints[i]}</Constraints>",
+            "    <Type>LLH</Type>",
+            "    <StationCoord>",
+            f"      <Name>{net.names[i]}</Name>",
+            f"      <XAxis>{float(rad_to_dms(net.lat[i])):.10f}</XAxis>",
+            f"      <YAxis>{float(rad_to_dms(net.lon[i])):.10f}</YAxis>",
+            f"      <Height>{H:.4f}</Height>",
+            "    </StationCoord>",
+            f"    <Description>{net.descriptions[i]}</Description>",
+            "  </DnaStation>"])
+    lines.append("</DnaXmlFormat>")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -355,3 +355,100 @@ def schur_solve_refined(bs: BlockSystem, mesh=None, axis: str = "blocks",
         xi = xi + np.asarray(di, dtype=np.float64)
         xj = xj + np.asarray(dj, dtype=np.float64)
     return xi, xj
+
+
+# ---------------------------------------------------------------------------
+# factor-once / apply-many (iterative refinement fast path)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nj_total",))
+def _schur_factor_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
+    """Factor the blocked system once: returns (L, Y, Lj, di, dj, djg) —
+    block Cholesky factors, eliminated coupling, junction factor, and the
+    unity-scaling factors."""
+    zero_b = jnp.zeros_like(Nii[..., 0])
+    zero_j = jnp.zeros_like(Njj[..., 0])
+    Nii_s, Nij_s, Njj_s, _, _, di, dj, djg = _unity_scale(
+        Nii, Nij, Njj, zero_b, zero_j, jmap, jmask, nj_total, None)
+    L = jnp.linalg.cholesky(Nii_s)
+    Y = jax.scipy.linalg.cho_solve((L, True), Nij_s)
+    S_b = Njj_s - jnp.einsum("bki,bkj->bij", Nij_s, Y)
+    S_b = S_b * jmask[:, :, None] * jmask[:, None, :]
+    S = jnp.zeros((nj_total, nj_total), dtype=S_b.dtype)
+    idx_i = jnp.repeat(jmap[:, :, None], jmap.shape[1], axis=2).reshape(-1)
+    idx_j = jnp.repeat(jmap[:, None, :], jmap.shape[1], axis=1).reshape(-1)
+    S = S.at[idx_i, idx_j].add(S_b.reshape(-1))
+    diag = jnp.diag(S)
+    S = S + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
+    Lj = jnp.linalg.cholesky(S)
+    return L, Y, Lj, di, dj, djg, jnp.asarray(Nij_s)
+
+
+@partial(jax.jit, static_argnames=("nj_total",))
+def _schur_apply_jit(L, Y, Lj, di, dj, djg, Nij_s, bi, bj, jmap, jmask,
+                     nj_total):
+    """Solve with precomputed factors (triangular solves only)."""
+    bi = bi * di
+    bj = bj * dj
+    w = jax.scipy.linalg.cho_solve((L, True), bi[..., None])[..., 0]
+    t_b = (bj - jnp.einsum("bki,bk->bi", Nij_s, w)) * jmask
+    t = jnp.zeros((nj_total,), dtype=t_b.dtype)
+    t = t.at[jmap.reshape(-1)].add(t_b.reshape(-1))
+    xj = jax.scipy.linalg.cho_solve((Lj, True), t)
+    xj_b = xj[jmap] * jmask
+    xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b)) * di
+    return xi, xj * djg
+
+
+class SchurFactors:
+    """Device-resident factorization of a BlockSystem (dtype-cast once)."""
+
+    def __init__(self, bs: BlockSystem, dtype=np.float32):
+        self.bs = bs
+        self.nj_total = bs.nj_global + 1
+        self.jmap = jnp.asarray(bs.jmap)
+        self.jmask = jnp.asarray(bs.jmask.astype(dtype))
+        self.dtype = dtype
+        self.factors = _schur_factor_jit(
+            jnp.asarray(bs.Nii.astype(dtype)),
+            jnp.asarray(bs.Nij.astype(dtype)),
+            jnp.asarray(bs.Njj.astype(dtype)),
+            self.jmap, self.jmask, self.nj_total)
+
+    def solve(self, bi, bj):
+        xi, xj = _schur_apply_jit(*self.factors,
+                                  jnp.asarray(bi.astype(self.dtype)),
+                                  jnp.asarray(bj.astype(self.dtype)),
+                                  self.jmap, self.jmask, self.nj_total)
+        return (np.asarray(xi, dtype=np.float64),
+                np.asarray(xj, dtype=np.float64)[:self.bs.nj_global])
+
+
+def schur_solve_factored(bs: BlockSystem, refine: int = 2,
+                         dtype=np.float32, factors: SchurFactors = None):
+    """Mixed-precision solve with factorization reuse: factor once in
+    `dtype`, then 1 + `refine` cheap triangular-solve applications with
+    float64 residual refinement on host."""
+    if factors is None:
+        factors = SchurFactors(bs, dtype)
+    xi, xj = factors.solve(bs.bi, bs.bj)
+    rhs_j_global = _gather_rhs_junction(bs)
+    flat = bs.jmap.reshape(-1)
+    mask = bs.jmask.reshape(-1) > 0
+    first_idx = {}
+    for k in np.nonzero(mask)[0]:
+        g = flat[k]
+        if g not in first_idx:
+            first_idx[g] = k
+    gi = np.fromiter(first_idx.values(), dtype=np.int64)
+    gg = np.fromiter(first_idx.keys(), dtype=np.int64)
+    for _ in range(refine):
+        yi, yj = _block_matvec(bs, xi, xj)
+        ri = (bs.bi * bs.imask) - yi
+        rj = rhs_j_global - yj
+        rj_b = np.zeros_like(bs.bj).reshape(-1)
+        rj_b[gi] = rj[gg]
+        di_, dj_ = factors.solve(ri, rj_b.reshape(bs.bj.shape))
+        xi = xi + di_
+        xj = xj + dj_
+    return xi, xj, factors
