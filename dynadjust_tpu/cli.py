@@ -67,6 +67,50 @@ def _cmd_import(args) -> int:
 
     if args.reference_frame:
         frame = args.reference_frame
+
+    # --- import-time screening and auxiliaries --------------------------
+    if getattr(args, "stn_renaming_file", ""):
+        from .io_formats.aux_files import read_renaming_file, apply_renaming
+        renames = read_renaming_file(args.stn_renaming_file)
+        n = apply_renaming(stations, measurements, renames)
+        print(f"+ Renamed {n} stations")
+    if getattr(args, "baseline_scalar_file", ""):
+        from .io_formats.aux_files import read_scalar_file, \
+            apply_baseline_scalars
+        scalars = read_scalar_file(args.baseline_scalar_file)
+        n = apply_baseline_scalars(measurements, scalars)
+        print(f"+ Applied VCV scalars to {n} baseline clusters")
+    if getattr(args, "bounding_box", ""):
+        from .network.screening import filter_bounding_box
+        vals = [float(t) for t in args.bounding_box.split(",")]
+        stations, measurements = filter_bounding_box(stations, measurements,
+                                                     *vals)
+        print(f"+ Bounding box retained {len(stations)} stations, "
+              f"{len(measurements)} measurement records")
+    if getattr(args, "include_stns", "") or getattr(args, "exclude_stns", ""):
+        from .network.screening import filter_stations
+        inc = [t for t in args.include_stns.split(",") if t]
+        exc = [t for t in args.exclude_stns.split(",") if t]
+        stations, measurements = filter_stations(stations, measurements,
+                                                 inc or None, exc or None)
+        print(f"+ Station filter retained {len(stations)} stations, "
+              f"{len(measurements)} measurement records")
+    if getattr(args, "flag_unused_stations", False):
+        from .network.screening import unused_stations
+        unused = unused_stations(stations, measurements)
+        if unused:
+            print(f"- Warning: {len(unused)} unused stations: "
+                  f"{' '.join(unused[:20])}")
+    if getattr(args, "search_similar_msr", False):
+        from .network.screening import find_similar_measurements
+        sim = find_similar_measurements(measurements)
+        print(f"+ Similar measurement pairs found: {len(sim)}")
+    if getattr(args, "search_nearby_stn", False):
+        from .network.screening import find_nearby_stations
+        near = find_nearby_stations(stations)
+        for a, b, d in near[:20]:
+            print(f"  nearby: {a} ~ {b} ({d:.1f} m)")
+
     # mirror the reference: binary station records are name-sorted
     stations.sort(key=lambda s: s.name)
     net = build_network(stations, measurements, frame, epoch)
@@ -155,6 +199,13 @@ def _cmd_adjust(args) -> int:
     )
     if args.constraints:
         _apply_cli_constraints(net, args.constraints)
+    typeb_list, typeb_global = None, None
+    if args.type_b_file:
+        from .io_formats.aux_files import read_typeb_file
+        typeb_list = read_typeb_file(args.type_b_file)
+    if args.type_b_global:
+        from .io_formats.aux_files import parse_typeb_global
+        typeb_global = parse_typeb_global(args.type_b_global)
 
     t0 = time.time()
     if args.phased:
@@ -166,6 +217,11 @@ def _cmd_adjust(args) -> int:
     else:
         res = adjust_simultaneous(net, opts)
     elapsed = time.time() - t0
+
+    if typeb_list is not None or typeb_global is not None:
+        from .io_formats.aux_files import apply_type_b
+        n = apply_type_b(net, res, typeb_list, typeb_global)
+        print(f"+ Applied Type B uncertainties to {n} stations")
 
     mode = "phased" if args.phased else "simultaneous"
     base = os.path.join(args.output_folder, args.network_name)
@@ -269,6 +325,10 @@ def _add_adjust_args(p):
                    help="export adjusted coordinates + covariance as SINEX")
     p.add_argument("--export-xml", action="store_true",
                    help="export adjusted stations as DynaML")
+    p.add_argument("--type-b-file", default="",
+                   help="Type B uncertainty file")
+    p.add_argument("--type-b-global", default="",
+                   help="global Type B sd: e,n,up (metres)")
 
 
 def main(argv=None) -> int:
@@ -281,6 +341,16 @@ def main(argv=None) -> int:
     p.add_argument("-n", "--network-name", required=True)
     p.add_argument("files", nargs="+")
     p.add_argument("-r", "--reference-frame", default="")
+    p.add_argument("--stn-renaming-file", default="")
+    p.add_argument("--baseline-scalar-file", default="")
+    p.add_argument("--bounding-box", default="",
+                   help="lat_min,lon_min,lat_max,lon_max (degrees)")
+    p.add_argument("--include-stns", default="")
+    p.add_argument("--exclude-stns", default="")
+    p.add_argument("--flag-unused-stations", action="store_true")
+    p.add_argument("--search-similar-gnss-msr", "--search-similar-msr",
+                   dest="search_similar_msr", action="store_true")
+    p.add_argument("--search-nearby-stn", action="store_true")
     _add_common(p)
     p.set_defaults(func=_cmd_import)
 
@@ -329,6 +399,32 @@ def main(argv=None) -> int:
     _add_adjust_args(p)
     _add_common(p)
     p.set_defaults(func=_cmd_dynadjust)
+
+    p = sub.add_parser("plot", help="plot network map / segmentation graph")
+    p.add_argument("network_name")
+    p.add_argument("-o", "--output", default="")
+    p.add_argument("--segmentation-graph", action="store_true")
+    _add_common(p)
+
+    def _cmd_plot(a):
+        from . import project
+        net = project.load_network(a.output_folder, a.network_name)
+        base = os.path.join(a.output_folder, a.network_name)
+        seg = None
+        seg_file = f"{base}.seg.pkl"
+        if os.path.exists(seg_file):
+            from .segment import Segmentation
+            seg = Segmentation.load(seg_file)
+        from .output.plot import plot_network, plot_segmentation_graph
+        if a.segmentation_graph and seg is not None:
+            out = a.output or f"{base}.seg.pdf"
+            plot_segmentation_graph(out, seg)
+        else:
+            out = a.output or f"{base}.pdf"
+            plot_network(out, net, seg=seg)
+        print(f"+ Wrote {out}")
+        return 0
+    p.set_defaults(func=_cmd_plot)
 
     p = sub.add_parser("diff", help="tolerance-aware numeric file diff")
     p.add_argument("file1")

@@ -1,0 +1,156 @@
+"""Import-time data screening: bounding box extraction, station
+include/exclude lists, unused-station detection, similar-measurement
+search — the dnaimport screening feature set.
+
+Parity reference: dnaimportwrapper.cpp (bounding box :3344,
+include/exclude :3394, similar-msr search :2096-2300,
+--flag-unused-stations).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io_formats.dna import Measurement, GpsCluster, DirectionSet
+from ..segment.segmenter import record_stations
+
+
+def stations_of_record(rec) -> list:
+    """Station NAMES referenced by a parsed record."""
+    out = []
+    if isinstance(rec, GpsCluster):
+        for ob in rec.obs:
+            out.append(ob.first)
+            if ob.second:
+                out.append(ob.second)
+    elif isinstance(rec, DirectionSet):
+        out.append(rec.first)
+        out.append(rec.ro)
+        out.extend(t for (t, _, _, _) in rec.directions)
+    elif isinstance(rec, Measurement):
+        out.extend(n for n in (rec.first, rec.second, rec.third) if n)
+    seen, ded = set(), []
+    for s in out:
+        if s not in seen:
+            seen.add(s)
+            ded.append(s)
+    return ded
+
+
+def unused_stations(stations: list, measurements: list) -> list:
+    """Stations with no (non-ignored) measurements connected."""
+    used = set()
+    for rec in measurements:
+        if getattr(rec, "ignore", False):
+            continue
+        used.update(stations_of_record(rec))
+    return [s.name for s in stations if s.name not in used]
+
+
+def filter_bounding_box(stations: list, measurements: list,
+                        lat_min_deg: float, lon_min_deg: float,
+                        lat_max_deg: float, lon_max_deg: float,
+                        keep_connected: bool = True):
+    """Keep stations inside the box (and measurements wholly between kept
+    stations).  Station lat/lon interpreted from packed-DMS/XYZ as built by
+    build_network — pass parsed Station records pre-import."""
+    from ..geodesy.conversions import dms_to_deg, cart_to_geo
+    keep = set()
+    for s in stations:
+        ct = (s.coord_type or "LLH").upper()
+        if ct.startswith("LL"):
+            lat = float(dms_to_deg(s.p1))
+            lon = float(dms_to_deg(s.p2))
+        elif ct == "XYZ":
+            la, lo, _ = cart_to_geo(s.p1, s.p2, s.p3)
+            lat, lon = np.degrees(float(la)), np.degrees(float(lo))
+        else:
+            keep.add(s.name)
+            continue
+        if lat_min_deg <= lat <= lat_max_deg and \
+                lon_min_deg <= lon <= lon_max_deg:
+            keep.add(s.name)
+    return _apply_station_filter(stations, measurements, keep)
+
+
+def filter_stations(stations: list, measurements: list, include: list = None,
+                    exclude: list = None):
+    """Keep only `include` (plus stations connected through kept
+    measurements), or drop `exclude` and their measurements."""
+    names = {s.name for s in stations}
+    if include:
+        keep = set(include) & names
+    else:
+        keep = names - set(exclude or [])
+    return _apply_station_filter(stations, measurements, keep)
+
+
+def _apply_station_filter(stations, measurements, keep: set):
+    kept_msrs = [rec for rec in measurements
+                 if all(n in keep for n in stations_of_record(rec))]
+    kept_stns = [s for s in stations if s.name in keep]
+    return kept_stns, kept_msrs
+
+
+def find_similar_measurements(measurements: list) -> list:
+    """Pairs of measurements of the same type between the same stations
+    (the --search-similar-msr screen).  Returns list of (i, j) indices."""
+    from collections import defaultdict
+    index = defaultdict(list)
+    for i, rec in enumerate(measurements):
+        if isinstance(rec, Measurement):
+            key = (rec.mtype, rec.first, rec.second, rec.third)
+            index[key].append(i)
+        elif isinstance(rec, GpsCluster) and rec.mtype == "G":
+            ob = rec.obs[0]
+            key = ("G", ob.first, ob.second, "")
+            index[key].append(i)
+    out = []
+    for key, idxs in index.items():
+        if len(idxs) > 1:
+            for a in range(len(idxs) - 1):
+                out.append((idxs[a], idxs[a + 1]))
+    return out
+
+
+def find_nearby_stations(stations: list, tolerance_m: float = 30.0) -> list:
+    """Pairs of distinct stations closer than tolerance (possible
+    duplicates) — the --search-nearby-stn screen."""
+    from ..geodesy.conversions import dms_to_rad, geo_to_cart, cart_to_geo
+    pts = []
+    for s in stations:
+        ct = (s.coord_type or "LLH").upper()
+        if ct.startswith("LL"):
+            la = float(dms_to_rad(s.p1))
+            lo = float(dms_to_rad(s.p2))
+            x, y, z = geo_to_cart(la, lo, s.p3)
+            pts.append((float(x), float(y), float(z)))
+        elif ct == "XYZ":
+            pts.append((s.p1, s.p2, s.p3))
+        else:
+            pts.append((np.nan, np.nan, np.nan))
+    pts = np.asarray(pts)
+    out = []
+    # grid hash for O(n) neighbour search
+    cell = max(tolerance_m, 1.0)
+    buckets = {}
+    for i, p in enumerate(pts):
+        if not np.isfinite(p).all():
+            continue
+        key = tuple((p // cell).astype(np.int64))
+        buckets.setdefault(key, []).append(i)
+    for key, idxs in buckets.items():
+        neigh = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    k2 = (key[0] + dx, key[1] + dy, key[2] + dz)
+                    neigh.extend(buckets.get(k2, []))
+        for i in idxs:
+            for j in neigh:
+                if j <= i:
+                    continue
+                if np.linalg.norm(pts[i] - pts[j]) < tolerance_m:
+                    out.append((stations[i].name, stations[j].name,
+                                float(np.linalg.norm(pts[i] - pts[j]))))
+    return sorted(set(out))

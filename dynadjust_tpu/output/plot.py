@@ -1,0 +1,122 @@
+"""Network plotting (matplotlib instead of the reference's GMT/gnuplot).
+
+Produces: station/measurement map with error ellipses and positional
+uncertainty circles; segmentation block graph.
+
+Parity reference: dnaplot capabilities (dnaplot.hpp:111-156) — GMT station
+and measurement maps, error ellipses, correction arrows, segmentation
+graphs via gnuplot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
+                 ellipse_scale=None, title=None):
+    """Write a network map (PDF/PNG by extension)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Ellipse
+
+    lat = np.degrees(net.lat)
+    lon = np.degrees(net.lon)
+    fig, ax = plt.subplots(figsize=(11, 8.5))
+
+    # measurements as grey lines
+    from ..network.screening import stations_of_record
+    for rec in net.measurements:
+        if getattr(rec, "ignore", False):
+            continue
+        stns = stations_of_record(rec)
+        idx = [net.name_to_idx[s] for s in stns if s in net.name_to_idx]
+        for a in range(len(idx) - 1):
+            ax.plot([lon[idx[a]], lon[idx[a + 1]]],
+                    [lat[idx[a]], lat[idx[a + 1]]],
+                    color="0.8", lw=0.4, zorder=1)
+
+    # block colouring from segmentation
+    if seg is not None:
+        cmap = plt.get_cmap("tab20")
+        for b in range(seg.block_count):
+            for s in seg.inner_stations[b]:
+                ax.plot(lon[s], lat[s], "o", ms=3,
+                        color=cmap(b % 20), zorder=3)
+            for s in seg.junction_stations[b]:
+                ax.plot(lon[s], lat[s], "s", ms=4, color="k", zorder=4)
+    else:
+        ax.plot(lon, lat, "o", ms=3, color="tab:blue", zorder=3)
+
+    # constrained stations
+    for i, cc in enumerate(net.constraints):
+        if "C" in cc:
+            ax.plot(lon[i], lat[i], "^", ms=7, mfc="none", mec="tab:red",
+                    zorder=5)
+
+    # error ellipses (scaled to be visible)
+    if res is not None and show_ellipses:
+        from ..geodesy.local_frame import rotation_cart_to_local
+        from .uncertainty import error_ellipse
+        spans = max(lat.max() - lat.min(), lon.max() - lon.min(), 1e-6)
+        sds = []
+        ell = []
+        for i in range(net.nstations):
+            Vc = res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
+            R = rotation_cart_to_local(net.lat[i], net.lon[i])
+            Vl = R @ Vc @ R.T
+            a, b, az = error_ellipse(Vl)
+            ell.append((a, b, az))
+            sds.append(a)
+        if ellipse_scale is None:
+            ref = np.median([a for a, _, _ in ell]) or 1.0
+            ellipse_scale = 0.02 * spans / ref
+        for i, (a, b, az) in enumerate(ell):
+            if a <= 0:
+                continue
+            e = Ellipse((lon[i], lat[i]),
+                        width=2 * b * ellipse_scale,
+                        height=2 * a * ellipse_scale,
+                        angle=-np.degrees(az),
+                        fill=False, color="tab:red", lw=0.6, zorder=6)
+            ax.add_patch(e)
+
+    ax.set_xlabel("Longitude (°)")
+    ax.set_ylabel("Latitude (°)")
+    ax.set_title(title or f"Network {getattr(net, 'frame', '')} "
+                 f"({net.nstations} stations)")
+    ax.set_aspect(1.0 / np.cos(np.radians(lat.mean())))
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    import matplotlib.pyplot as _plt
+    _plt.close(fig)
+    return path
+
+
+def plot_segmentation_graph(path: str, seg, title=None):
+    """Bar graph of per-block station/measurement counts (the reference's
+    gnuplot segmentation graph)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    B = seg.block_count
+    inner = [len(seg.inner_stations[b]) for b in range(B)]
+    junc = [len(seg.junction_stations[b]) for b in range(B)]
+    msrs = [len(seg.measurements[b]) for b in range(B)]
+    x = np.arange(B) + 1
+
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(11, 8), sharex=True)
+    ax1.bar(x, inner, label="inner", color="tab:blue")
+    ax1.bar(x, junc, bottom=inner, label="junction", color="tab:orange")
+    ax1.set_ylabel("stations")
+    ax1.legend()
+    ax2.bar(x, msrs, color="tab:green")
+    ax2.set_ylabel("measurements")
+    ax2.set_xlabel("block")
+    ax1.set_title(title or f"Segmentation: {B} blocks")
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return path

@@ -192,6 +192,15 @@ def _solve_junction(S, t, nj_real):
 @partial(jax.jit, static_argnames=("nj_total", "scale", "axis"))
 def _schur_solve_jit(Nii, Nij, Njj, bi, bj, jmap, jmask, nj_total,
                      scale=True, axis=None):
+    # TPU f32 matmuls default to bfloat16 passes; iterative refinement
+    # needs true f32 accumulation (3-pass) to contract
+    with jax.default_matmul_precision("highest"):
+        return _schur_solve_body(Nii, Nij, Njj, bi, bj, jmap, jmask,
+                                 nj_total, scale, axis)
+
+
+def _schur_solve_body(Nii, Nij, Njj, bi, bj, jmap, jmask, nj_total,
+                      scale=True, axis=None):
     if scale:
         Nii, Nij, Njj, bi, bj, di, dj, djg = _unity_scale(
             Nii, Nij, Njj, bi, bj, jmap, jmask, nj_total, axis)
@@ -366,6 +375,11 @@ def _schur_factor_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
     """Factor the blocked system once: returns (L, Y, Lj, di, dj, djg) —
     block Cholesky factors, eliminated coupling, junction factor, and the
     unity-scaling factors."""
+    with jax.default_matmul_precision("highest"):
+        return _schur_factor_body(Nii, Nij, Njj, jmap, jmask, nj_total)
+
+
+def _schur_factor_body(Nii, Nij, Njj, jmap, jmask, nj_total):
     zero_b = jnp.zeros_like(Nii[..., 0])
     zero_j = jnp.zeros_like(Njj[..., 0])
     Nii_s, Nij_s, Njj_s, _, _, di, dj, djg = _unity_scale(
@@ -388,6 +402,13 @@ def _schur_factor_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
 def _schur_apply_jit(L, Y, Lj, di, dj, djg, Nij_s, bi, bj, jmap, jmask,
                      nj_total):
     """Solve with precomputed factors (triangular solves only)."""
+    with jax.default_matmul_precision("highest"):
+        return _schur_apply_body(L, Y, Lj, di, dj, djg, Nij_s, bi, bj,
+                                 jmap, jmask, nj_total)
+
+
+def _schur_apply_body(L, Y, Lj, di, dj, djg, Nij_s, bi, bj, jmap, jmask,
+                      nj_total):
     bi = bi * di
     bj = bj * dj
     w = jax.scipy.linalg.cho_solve((L, True), bi[..., None])[..., 0]

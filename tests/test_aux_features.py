@@ -1,0 +1,103 @@
+"""Auxiliary feature tests: scalar files, Type B, renaming, screening,
+diff tool, SINEX/XML/JSONL round trips, plotting."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dynadjust_tpu.io_formats.aux_files import (
+    read_scalar_file, apply_baseline_scalars, read_typeb_file,
+    parse_typeb_global, read_renaming_file, apply_renaming,
+)
+from dynadjust_tpu.io_formats import read_dna_stn, read_dna_msr
+from dynadjust_tpu.network.screening import (
+    unused_stations, filter_stations, find_nearby_stations,
+)
+from dynadjust_tpu.diff import compare_files
+
+
+def test_scalar_file(sample_dir):
+    scalars = read_scalar_file(f"{sample_dir}/gnss-network.scalars")
+    assert len(scalars) == 6
+    s = scalars[0]
+    assert (s.station1, s.station2) == ("MYRT", "324901240")
+    assert s.p_scale == 2.0 and s.h_scale == 5.0
+
+    recs, _, _ = read_dna_msr(f"{sample_dir}/gnss-network.msr")
+    n = apply_baseline_scalars(recs, scalars)
+    assert n >= 6
+
+
+def test_typeb_file(sample_dir):
+    tb = read_typeb_file(f"{sample_dir}/dsg.typeb")
+    by_name = {t.station: t for t in tb}
+    assert by_name["30"].sd_e == 0.001
+    assert by_name["30"].sd_up == 0.005
+    assert by_name["409704930"].sd_e == 0.0
+    assert by_name["409704930"].sd_up == 0.012
+    g = parse_typeb_global("0.003,0.003,0.006")
+    assert g.sd_up == 0.006
+
+
+def test_renaming(sample_dir):
+    renames = read_renaming_file(f"{sample_dir}/dsg.renaming")
+    assert renames["409704930"] == "1"
+    stns, _, _ = read_dna_stn(f"{sample_dir}/dsg.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/dsg.msr")
+    apply_renaming(stns, recs, renames)
+    names = {s.name for s in stns}
+    assert "409704930" not in names
+
+
+def test_screening(sample_dir):
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/gnss-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/gnss-network.msr")
+    assert unused_stations(stns, recs) == []
+
+    keep = [s.name for s in stns[:10]]
+    s2, m2 = filter_stations(stns, recs, include=keep)
+    assert len(s2) == 10
+    for rec in m2:
+        from dynadjust_tpu.network.screening import stations_of_record
+        assert all(n in keep for n in stations_of_record(rec))
+
+
+def test_diff_tool(tmp_path, sample_dir):
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("header\nG STN1 1.2345 2.0\n")
+    b.write_text("other header\nG STN1 1.2349 2.0\n")
+    eq, _ = compare_files(str(a), str(b), tolerance=0.001, skip_headers=1)
+    assert eq
+    eq, diffs = compare_files(str(a), str(b), tolerance=0.0001,
+                              skip_headers=1)
+    assert not eq and len(diffs) == 1
+
+
+def test_plot(tmp_path, sample_dir):
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.output.plot import plot_network
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/gnss-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/gnss-network.msr")
+    stns.sort(key=lambda s: s.name)
+    net = build_network(stns, recs, frame, epoch)
+    out = plot_network(str(tmp_path / "net.png"), net)
+    assert os.path.getsize(out) > 1000
+
+
+def test_sinex_roundtrip(tmp_path, sample_dir):
+    from dynadjust_tpu.io_formats.sinex import read_sinex
+    stns, msrs, frame, epoch = read_sinex(f"{sample_dir}/TEST_ITRF05.SNX")
+    assert [s.name for s in stns] == ["ALIC", "KARR", "YAR2"]
+    cl = msrs[0]
+    assert cl.mtype == "Y" and len(cl.obs) == 3
+    # covariance symmetric and positive definite
+    V = np.zeros((9, 9))
+    for i, ob in enumerate(cl.obs):
+        V[3 * i:3 * i + 3, 3 * i:3 * i + 3] = ob.vcv
+        for j, C in enumerate(ob.covs):
+            c0 = 3 * (i + 1 + j)
+            V[3 * i:3 * i + 3, c0:c0 + 3] = C
+            V[c0:c0 + 3, 3 * i:3 * i + 3] = C.T
+    assert np.linalg.eigvalsh(V).min() > 0
