@@ -41,6 +41,41 @@ from .simultaneous import (
 )
 
 
+class _MtxStage:
+    """Out-of-core staging of per-block matrices (.mtx memory-mapped
+    files) — the analogue of the reference's staged adjustment
+    (dnaadjust-stage.cpp: OffloadBlockToMappedFile /
+    DeserialiseBlockFromMappedFile)."""
+
+    def __init__(self, folder: str, name: str):
+        import os
+        self.dir = os.path.join(folder, f"{name}.mtx")
+        os.makedirs(self.dir, exist_ok=True)
+        self.meta = {}
+
+    def offload(self, block: int, key: str, arr: np.ndarray) -> None:
+        import os
+        path = os.path.join(self.dir, f"b{block}.{key}.mtx")
+        mm = np.memmap(path, dtype=np.float64, mode="w+", shape=arr.shape)
+        mm[:] = arr
+        mm.flush()
+        del mm
+        self.meta[(block, key)] = (path, arr.shape)
+
+    def load(self, block: int, key: str) -> np.ndarray:
+        path, shape = self.meta[(block, key)]
+        return np.array(np.memmap(path, dtype=np.float64, mode="r",
+                                  shape=shape))
+
+    def has(self, block: int, key: str) -> bool:
+        return (block, key) in self.meta
+
+    def purge(self):
+        import os
+        import shutil
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
 class Block:
     def __init__(self, net: NetworkData, opts: AdjustmentOptions,
                  seg: Segmentation, b: int):
@@ -62,6 +97,16 @@ class Block:
         self.N_base = None              # measurement normals (no constraints)
         self.AtVinv = None
         self.Ninv_fwd = None
+
+    def base_normals(self) -> np.ndarray:
+        if self.N_base is not None:
+            return self.N_base
+        return self._stage.load(self.index, "N")
+
+    def atvinv(self) -> np.ndarray:
+        if self.AtVinv is not None:
+            return self.AtVinv
+        return self._stage.load(self.index, "AtVinv")
 
     def jsl_param_idx(self) -> np.ndarray:
         """Flattened parameter indices (3 per junction station)."""
@@ -95,7 +140,12 @@ def _first_appearances(blocks, direction: str):
 
 def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                   seg_file: str | None = None,
-                  seg: Segmentation | None = None) -> AdjustmentResult:
+                  seg: Segmentation | None = None,
+                  stage_dir: str | None = None) -> AdjustmentResult:
+    """stage_dir: when given, per-block normals/AtVinv are offloaded to
+    memory-mapped .mtx files between uses instead of held resident —
+    bounding peak memory to a couple of blocks (the reference's
+    --staged-adjustment)."""
     opts = options or AdjustmentOptions()
     t0 = time.time()
 
@@ -105,8 +155,11 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
         else:
             seg = segment_network(net)
     B = seg.block_count
+    stage = _MtxStage(stage_dir, "blocks") if stage_dir else None
 
     blocks = [Block(net, opts, seg, b) for b in range(B)]
+    for blk in blocks:
+        blk._stage = stage
     first_fwd = _first_appearances(blocks, "fwd")
     first_rev = _first_appearances(blocks, "rev")
 
@@ -131,16 +184,22 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
         # rebuild measurement normals for this linearisation point
         for blk in blocks:
             N, AtVinv = _block_normals(blk)
-            blk.N_base = N
-            blk.AtVinv = AtVinv
+            if stage is not None:
+                stage.offload(blk.index, "N", N)
+                stage.offload(blk.index, "AtVinv", AtVinv)
+                blk.N_base = None
+                blk.AtVinv = None
+            else:
+                blk.N_base = N
+                blk.AtVinv = AtVinv
 
         # ---- forward pass -------------------------------------------------
         jsl_est_fwd = [None] * B        # junction estimates carried forward
         jsl_w_fwd = [None] * B          # junction weight matrices (Σ⁻¹)
         for b, blk in enumerate(blocks):
-            N = blk.N_base.copy()
+            N = blk.base_normals().copy()
             _add_constraints(N, blk, first_fwd[b])
-            rhs = blk.AtVinv @ blk.asm.mmc
+            rhs = blk.atvinv() @ blk.asm.mmc
             if b > 0 and blocks[b - 1].njsl:
                 _add_junction_contrib(N, rhs, blk, blocks[b - 1].jsl,
                                       jsl_w_fwd[b - 1], jsl_est_fwd[b - 1],
@@ -163,9 +222,9 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
             est_r = xyz_all[blk.stations].reshape(-1).copy() \
                 if blk.est_rev is None else blk.est_rev
             # mmc was computed at the (pre-solve) linearisation point; reuse
-            N = blk.N_base.copy()
+            N = blk.base_normals().copy()
             _add_constraints(N, blk, first_rev[b])
-            rhs = blk.AtVinv @ blk.asm.mmc
+            rhs = blk.atvinv() @ blk.asm.mmc
             if b < B - 1 and blk.njsl:
                 _add_junction_contrib(N, rhs, blk, blk.jsl,
                                       jsl_w_rev[b + 1], jsl_est_rev[b + 1],
@@ -190,10 +249,10 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                 blk.rigorous_cov = Ninv_r
             else:
                 # combination: base + constraints(rev rules) + fwd + rev
-                Nc = blk.N_base.copy()
+                Nc = blk.base_normals().copy()
                 _add_constraints(Nc, blk, first_rev[b])
                 _subtract_combine_constraints(Nc, blk, first_fwd[b])
-                rhs_c = blk.AtVinv @ blk.asm.mmc
+                rhs_c = blk.atvinv() @ blk.asm.mmc
                 est_c = xyz_all[blk.stations].reshape(-1).copy()
                 _add_junction_contrib(Nc, rhs_c, blk, blocks[b - 1].jsl,
                                       jsl_w_fwd[b - 1], jsl_est_fwd[b - 1],

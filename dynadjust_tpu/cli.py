@@ -207,16 +207,35 @@ def _cmd_adjust(args) -> int:
         from .io_formats.aux_files import parse_typeb_global
         typeb_global = parse_typeb_global(args.type_b_global)
 
+    import pickle
+    base0 = os.path.join(args.output_folder, args.network_name)
+    res_file = f"{base0}.results.pkl"
+
     t0 = time.time()
-    if args.phased:
+    if args.report_mode:
+        # regenerate reports from the serialised rigorous results
+        # (reference: --report-mode + DeSerialiseAdjustedVarianceMatrices)
+        if not os.path.exists(res_file):
+            print("error: no saved adjustment results for report mode",
+                  file=sys.stderr)
+            return 1
+        with open(res_file, "rb") as f:
+            res = pickle.load(f)
+    elif args.phased:
         from .adjust.phased import adjust_phased
         seg_file = os.path.join(args.output_folder,
                                 f"{args.network_name}.seg.pkl")
         res = adjust_phased(net, opts, seg_file if os.path.exists(seg_file)
-                            else None)
+                            else None,
+                            stage_dir=(args.output_folder
+                                       if args.staged_adjustment else None))
     else:
         res = adjust_simultaneous(net, opts)
     elapsed = time.time() - t0
+
+    if not args.report_mode:
+        with open(res_file, "wb") as f:
+            pickle.dump(res, f, protocol=pickle.HIGHEST_PROTOCOL)
 
     if typeb_list is not None or typeb_global is not None:
         from .io_formats.aux_files import apply_type_b
@@ -329,6 +348,12 @@ def _add_adjust_args(p):
                    help="Type B uncertainty file")
     p.add_argument("--type-b-global", default="",
                    help="global Type B sd: e,n,up (metres)")
+    p.add_argument("--report-mode", action="store_true",
+                   help="regenerate reports from saved results without "
+                        "re-adjusting")
+    p.add_argument("--staged-adjustment", action="store_true",
+                   help="offload per-block matrices to memory-mapped "
+                        ".mtx files (bounded memory)")
 
 
 def main(argv=None) -> int:
