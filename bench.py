@@ -23,6 +23,14 @@ def log(msg):
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+import jax
+
+# Persistent compilation cache: axon remote compiles take minutes (and can
+# wedge); cache hits make repeat bench runs start in seconds.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 ROWS = int(os.environ.get("BENCH_ROWS", "64"))
 COLS = int(os.environ.get("BENCH_COLS", "64"))

@@ -77,6 +77,7 @@ class AdjustmentResult:
     cov_xyz: np.ndarray             # (3S, 3S) a-posteriori covariance
     msr_stats: list = field(default_factory=list)
     iteration_log: list = field(default_factory=list)
+    oscillation: list = field(default_factory=list)
     elapsed: float = 0.0
 
 
@@ -158,6 +159,8 @@ def adjust_simultaneous(net: NetworkData,
     unknown_count = asm.unknown_params()
     m_count = asm.measurement_count()
 
+    from .diagnostics import OscillationTracker
+    osc = OscillationTracker()
     Ninv = None
     max_corr = np.inf
     status = "Converged"
@@ -177,6 +180,7 @@ def adjust_simultaneous(net: NetworkData,
         max_corr = dx[imax]
         it_log.append({"iteration": iteration, "max_corr": float(max_corr),
                        "station": net.names[imax // 3]})
+        osc.update(iteration, np.arange(S), dx, net.lat, net.lon)
 
         if abs(max_corr) <= opts.iteration_threshold:
             break
@@ -230,7 +234,8 @@ def adjust_simultaneous(net: NetworkData,
         potential_outliers=potential_outliers, critical_value=float(crit),
         xyz=est.reshape(-1, 3), lat=net.lat.copy(), lon=net.lon.copy(),
         height=net.height.copy(), cov_xyz=Ninv, msr_stats=stats_rows,
-        iteration_log=it_log, elapsed=time.time() - t0)
+        iteration_log=it_log, oscillation=osc.summary(net.names),
+        elapsed=time.time() - t0)
 
 
 def _update_geographic(net: NetworkData, est: np.ndarray):

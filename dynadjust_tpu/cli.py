@@ -114,6 +114,12 @@ def _cmd_import(args) -> int:
     # mirror the reference: binary station records are name-sorted
     stations.sort(key=lambda s: s.name)
     net = build_network(stations, measurements, frame, epoch)
+    if getattr(args, "export_dna", False):
+        from .io_formats.dna_writer import write_dna_stn, write_dna_msr
+        base = os.path.join(args.output_folder, args.network_name)
+        write_dna_stn(f"{base}.export.stn", net)
+        write_dna_msr(f"{base}.export.msr", net)
+        print(f"+ Exported DNA files: {base}.export.stn/.msr")
     project.save_network(net, args.output_folder, args.network_name)
     project.update_project(args.output_folder, args.network_name, "import",
                            {"files": args.files, "frame": frame,
@@ -276,6 +282,8 @@ def _cmd_adjust(args) -> int:
     for e in res.iteration_log:
         print(f"  iteration {e['iteration']}: max correction "
               f"{e['max_corr']:.6g} m (station {e['station']})")
+    for line in getattr(res, "oscillation", []) or []:
+        print(line)
     print(f"+ {res.status} in {res.iterations} iterations "
           f"({elapsed:.2f} s)")
     print(f"  Measurements {res.measurement_count}  "
@@ -376,6 +384,8 @@ def main(argv=None) -> int:
     p.add_argument("--search-similar-gnss-msr", "--search-similar-msr",
                    dest="search_similar_msr", action="store_true")
     p.add_argument("--search-nearby-stn", action="store_true")
+    p.add_argument("--export-dna", action="store_true",
+                   help="re-export parsed data as DNA .stn/.msr")
     _add_common(p)
     p.set_defaults(func=_cmd_import)
 

@@ -139,8 +139,10 @@ def adjust_blocked(bn: BlockedNetwork, x0: np.ndarray,
     x = np.asarray(x0, dtype=np.float64).copy()
     free_weight = 1.0 / (free_sd * free_sd)
     history = []
+    from .assembly import build_plan, assemble
+    plan = build_plan(bn, free_weight)
     for it in range(1, max_iterations + 1):
-        bs = build_normals(bn, x, free_weight)
+        bs = assemble(plan, x)
         if dtype != np.float64:
             # f32 factorizations (MXU) + f64 residual refinement
             xi, xj = schur_solve_refined(bs, mesh=mesh, dtype=dtype)

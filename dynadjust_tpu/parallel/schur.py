@@ -38,6 +38,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# Scoped high precision: TPU f32 matmuls default to bfloat16 passes, which
+# destroys the Schur-complement cancellation and iterative refinement.
+_HI = jax.lax.Precision.HIGHEST
+
 
 @dataclass
 class BlockSystem:
@@ -157,8 +161,8 @@ def _block_reduce(Nii, Nij, Njj, bi, bj, jmask):
     # Y = Nii^-1 Nij via two triangular solves
     Y = jax.scipy.linalg.cho_solve((L, True), Nij)
     w = jax.scipy.linalg.cho_solve((L, True), bi[..., None])[..., 0]
-    S_b = Njj - jnp.einsum("bki,bkj->bij", Nij, Y)
-    t_b = bj - jnp.einsum("bki,bk->bi", Nij, w)
+    S_b = Njj - jnp.einsum("bki,bkj->bij", Nij, Y, precision=_HI)
+    t_b = bj - jnp.einsum("bki,bk->bi", Nij, w, precision=_HI)
     # mask padded junction rows/cols so scatters stay inert
     S_b = S_b * jmask[:, :, None] * jmask[:, None, :]
     t_b = t_b * jmask
@@ -192,15 +196,6 @@ def _solve_junction(S, t, nj_real):
 @partial(jax.jit, static_argnames=("nj_total", "scale", "axis"))
 def _schur_solve_jit(Nii, Nij, Njj, bi, bj, jmap, jmask, nj_total,
                      scale=True, axis=None):
-    # TPU f32 matmuls default to bfloat16 passes; iterative refinement
-    # needs true f32 accumulation (3-pass) to contract
-    with jax.default_matmul_precision("highest"):
-        return _schur_solve_body(Nii, Nij, Njj, bi, bj, jmap, jmask,
-                                 nj_total, scale, axis)
-
-
-def _schur_solve_body(Nii, Nij, Njj, bi, bj, jmap, jmask, nj_total,
-                      scale=True, axis=None):
     if scale:
         Nii, Nij, Njj, bi, bj, di, dj, djg = _unity_scale(
             Nii, Nij, Njj, bi, bj, jmap, jmask, nj_total, axis)
@@ -211,7 +206,7 @@ def _schur_solve_body(Nii, Nij, Njj, bi, bj, jmap, jmask, nj_total,
         t = jax.lax.psum(t, axis)
     xj, _ = _solve_junction(S, t, nj_total)
     xj_b = xj[jmap] * jmask                     # (B, nj) gather
-    xi = w - jnp.einsum("bij,bj->bi", Y, xj_b)
+    xi = w - jnp.einsum("bij,bj->bi", Y, xj_b, precision=_HI)
     if scale:
         # unscale: xi by block factors, xj by the (replicated) global
         # junction factors
@@ -288,16 +283,16 @@ def schur_solve_sharded(bs: BlockSystem, mesh: Mesh, axis: str = "blocks",
 # ---------------------------------------------------------------------------
 
 def _block_matvec(bs: BlockSystem, xi, xj):
-    """y = N x for the blocked system, in float64 on host.
+    """y = N x for the blocked system, in float64 on host (native C++
+    kernel when built — ops.block_matvec — else numpy einsum).
 
     Junction rows accumulate across blocks (the same scatter structure as
     the Schur reduction)."""
+    from ..ops import block_matvec as _native_mv
     xj_pad = np.concatenate([xj, [0.0]])     # scratch slot for padded maps
     xj_b = xj_pad[bs.jmap] * bs.jmask
-    yi = (np.einsum("bij,bj->bi", bs.Nii, xi) +
-          np.einsum("bij,bj->bi", bs.Nij, xj_b))
-    yj_b = (np.einsum("bij,bi->bj", bs.Nij, xi) +
-            np.einsum("bij,bj->bi", bs.Njj, xj_b)) * bs.jmask
+    yi, yj_b = _native_mv(bs.Nii, bs.Nij, bs.Njj, xi, xj_b)
+    yj_b = yj_b * bs.jmask
     yj = np.zeros(bs.nj_global + 1)
     np.add.at(yj, bs.jmap.reshape(-1), yj_b.reshape(-1))
     return yi * bs.imask, yj[:bs.nj_global]
@@ -375,18 +370,13 @@ def _schur_factor_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
     """Factor the blocked system once: returns (L, Y, Lj, di, dj, djg) —
     block Cholesky factors, eliminated coupling, junction factor, and the
     unity-scaling factors."""
-    with jax.default_matmul_precision("highest"):
-        return _schur_factor_body(Nii, Nij, Njj, jmap, jmask, nj_total)
-
-
-def _schur_factor_body(Nii, Nij, Njj, jmap, jmask, nj_total):
     zero_b = jnp.zeros_like(Nii[..., 0])
     zero_j = jnp.zeros_like(Njj[..., 0])
     Nii_s, Nij_s, Njj_s, _, _, di, dj, djg = _unity_scale(
         Nii, Nij, Njj, zero_b, zero_j, jmap, jmask, nj_total, None)
     L = jnp.linalg.cholesky(Nii_s)
     Y = jax.scipy.linalg.cho_solve((L, True), Nij_s)
-    S_b = Njj_s - jnp.einsum("bki,bkj->bij", Nij_s, Y)
+    S_b = Njj_s - jnp.einsum("bki,bkj->bij", Nij_s, Y, precision=_HI)
     S_b = S_b * jmask[:, :, None] * jmask[:, None, :]
     S = jnp.zeros((nj_total, nj_total), dtype=S_b.dtype)
     idx_i = jnp.repeat(jmap[:, :, None], jmap.shape[1], axis=2).reshape(-1)
@@ -402,22 +392,15 @@ def _schur_factor_body(Nii, Nij, Njj, jmap, jmask, nj_total):
 def _schur_apply_jit(L, Y, Lj, di, dj, djg, Nij_s, bi, bj, jmap, jmask,
                      nj_total):
     """Solve with precomputed factors (triangular solves only)."""
-    with jax.default_matmul_precision("highest"):
-        return _schur_apply_body(L, Y, Lj, di, dj, djg, Nij_s, bi, bj,
-                                 jmap, jmask, nj_total)
-
-
-def _schur_apply_body(L, Y, Lj, di, dj, djg, Nij_s, bi, bj, jmap, jmask,
-                      nj_total):
     bi = bi * di
     bj = bj * dj
     w = jax.scipy.linalg.cho_solve((L, True), bi[..., None])[..., 0]
-    t_b = (bj - jnp.einsum("bki,bk->bi", Nij_s, w)) * jmask
+    t_b = (bj - jnp.einsum("bki,bk->bi", Nij_s, w, precision=_HI)) * jmask
     t = jnp.zeros((nj_total,), dtype=t_b.dtype)
     t = t.at[jmap.reshape(-1)].add(t_b.reshape(-1))
     xj = jax.scipy.linalg.cho_solve((Lj, True), t)
     xj_b = xj[jmap] * jmask
-    xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b)) * di
+    xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b, precision=_HI)) * di
     return xi, xj * djg
 
 
