@@ -135,6 +135,30 @@ def _cmd_geoid(args) -> int:
     from .geoid import apply_geoid
     from . import project
 
+    if args.create_ntv2:
+        from .geoid.gridtools import create_ntv2_from_dat, write_gsb
+        grid = create_ntv2_from_dat(args.create_ntv2)
+        write_gsb(grid, args.grid)
+        print(f"+ Created NTv2 grid {args.grid} from {args.create_ntv2}")
+        return 0
+    if args.export_ascii_grid:
+        from .geoid.gridtools import export_ascii
+        grid = NTv2Grid.read(args.grid)
+        export_ascii(grid, args.export_ascii_grid)
+        print(f"+ Exported {args.grid} to {args.export_ascii_grid}")
+        return 0
+    if args.point_file:
+        from .geoid.gridtools import interpolate_point_file
+        grid = NTv2Grid.read(args.grid)
+        out = args.point_file + ".geoid.txt"
+        done, skipped = interpolate_point_file(
+            grid, args.point_file, out, method=args.interpolation_method)
+        print(f"+ Interpolated {done} points ({skipped} skipped) -> {out}")
+        return 0
+    if not args.network_name:
+        print("error: network name required", file=sys.stderr)
+        return 1
+
     net = project.load_network(args.output_folder, args.network_name)
     grid = NTv2Grid.read(args.grid)
     n = apply_geoid(net, grid, convert_heights=args.convert_stn_hts,
@@ -390,11 +414,19 @@ def main(argv=None) -> int:
     p.set_defaults(func=_cmd_import)
 
     p = sub.add_parser("geoid", help="interpolate geoid model")
-    p.add_argument("network_name")
+    p.add_argument("network_name", nargs="?", default="")
     p.add_argument("-g", "--grid", required=True)
     p.add_argument("--convert-stn-hts", action="store_true")
     p.add_argument("--interpolation-method", default="bicubic",
                    choices=["bilinear", "bicubic"])
+    p.add_argument("--create-ntv2", default="",
+                   help="create an NTv2 .gsb from an AUSGeoid DAT file "
+                        "(grid argument becomes the output path)")
+    p.add_argument("--export-ascii-grid", default="",
+                   help="export the grid to NTv2 ASCII at this path")
+    p.add_argument("--point-file", default="",
+                   help="interpolate a DAT/CSV point file instead of a "
+                        "network")
     _add_common(p)
     p.set_defaults(func=_cmd_geoid)
 
