@@ -176,9 +176,18 @@ def _cmd_reftran(args) -> int:
     from .reftran import transform_network
     from . import project
 
+    plate_model = None
+    if getattr(args, "plate_boundary_file", "") and \
+            getattr(args, "plate_pole_file", ""):
+        from .reftran.plates import load_plate_model
+        plate_model = load_plate_model(args.plate_boundary_file,
+                                       args.plate_pole_file)
+        print(f"+ Loaded plate motion model "
+              f"({len(plate_model.polygons)} plates)")
+
     net = project.load_network(args.output_folder, args.network_name)
     stats = transform_network(net, args.reference_frame or None,
-                              args.epoch or "")
+                              args.epoch or "", plate_model=plate_model)
     project.save_network(net, args.output_folder, args.network_name)
     project.update_project(args.output_folder, args.network_name, "reftran",
                            {"frame": net.frame, "epoch": net.epoch})
@@ -434,6 +443,12 @@ def main(argv=None) -> int:
     p.add_argument("network_name")
     p.add_argument("-r", "--reference-frame", default="")
     p.add_argument("-e", "--epoch", default="")
+    p.add_argument("-b", "--plate-boundary-file", default="",
+                   help="tectonic plate boundaries (.dig) for the plate "
+                        "motion model")
+    p.add_argument("-m", "--plate-pole-file", default="",
+                   help="Euler pole parameters (.dat) for the plate "
+                        "motion model")
     _add_common(p)
     p.set_defaults(func=_cmd_reftran)
 
