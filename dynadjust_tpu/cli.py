@@ -28,6 +28,13 @@ def _cmd_import(args) -> int:
     from .network import build_network
     from . import project
 
+    disconts = None
+    if getattr(args, "discontinuity_file", ""):
+        from .io_formats.discontinuities import read_discontinuities
+        disconts = read_discontinuities(args.discontinuity_file)
+        nsites = sum(1 for ws in disconts.values() if ws[0].exists)
+        print(f"+ Loaded discontinuity file: {nsites} discontinuity sites")
+
     stations, frame, epoch = [], "", ""
     measurements = []
     for path in args.files:
@@ -48,7 +55,7 @@ def _cmd_import(args) -> int:
             epoch = epoch or jepoch
         elif path.endswith((".snx", ".SNX")):
             from .io_formats.sinex import read_sinex
-            stns, recs, sframe, sepoch = read_sinex(path)
+            stns, recs, sframe, sepoch = read_sinex(path, disconts=disconts)
             stations.extend(stns)
             measurements.extend(recs)
             frame = frame or sframe
@@ -69,6 +76,12 @@ def _cmd_import(args) -> int:
         frame = args.reference_frame
 
     # --- import-time screening and auxiliaries --------------------------
+    if disconts:
+        from .io_formats.discontinuities import apply_discontinuities
+        pairs = apply_discontinuities(stations, measurements, disconts)
+        if pairs:
+            print(f"+ Applied discontinuities: {len(pairs)} station "
+                  f"renames")
     if getattr(args, "stn_renaming_file", ""):
         from .io_formats.aux_files import read_renaming_file, apply_renaming
         renames = read_renaming_file(args.stn_renaming_file)
@@ -408,6 +421,9 @@ def main(argv=None) -> int:
     p.add_argument("files", nargs="+")
     p.add_argument("-r", "--reference-frame", default="")
     p.add_argument("--stn-renaming-file", default="")
+    p.add_argument("-d", "--discontinuity-file", default="",
+                   help="SINEX discontinuity file; renames station "
+                        "references to SITE_YYYYDDD by observation epoch")
     p.add_argument("--baseline-scalar-file", default="")
     p.add_argument("--bounding-box", default="",
                    help="lat_min,lon_min,lat_max,lon_max (degrees)")

@@ -31,11 +31,15 @@ def _sinex_epoch_to_date(tok: str):
     return datetime.date(year, 1, 1) + datetime.timedelta(days=doy - 1)
 
 
-def read_sinex(path: str, frame: str = "", epoch: str = ""):
+def read_sinex(path: str, frame: str = "", epoch: str = "",
+               disconts: dict | None = None):
     """Returns (stations, measurements, frame, epoch).
 
     Stations get XYZ coordinates from SOLUTION/ESTIMATE; the estimates and
-    their covariance become a single correlated Y cluster."""
+    their covariance become a single correlated Y cluster.  disconts: a
+    discontinuity table from read_discontinuities — solution estimates are
+    renamed SITE_YYYYDDD by their estimate epoch (reference: ParseSNX with
+    apply_discontinuities, dnainterop.cpp:722)."""
     lines = open(path, errors="replace").read().splitlines()
     section = None
     est = {}                    # code -> [X, Y, Z]
@@ -64,6 +68,13 @@ def read_sinex(path: str, frame: str = "", epoch: str = ""):
             ptype = toks[1]
             code = toks[2]
             ref_epoch = ref_epoch or toks[5]
+            if disconts:
+                from .discontinuities import rename_site
+                renamed = rename_site(disconts, code,
+                                      _sinex_epoch_to_date(toks[5]))
+                if renamed:
+                    descs.setdefault(renamed, descs.get(code, ""))
+                    code = renamed
             val = float(toks[8])
             if ptype in ("STAX", "STAY", "STAZ"):
                 comp = {"STAX": 0, "STAY": 1, "STAZ": 2}[ptype]
