@@ -127,6 +127,14 @@ def _cmd_import(args) -> int:
     # mirror the reference: binary station records are name-sorted
     stations.sort(key=lambda s: s.name)
     net = build_network(stations, measurements, frame, epoch)
+    if getattr(args, "simulate", False):
+        from .network.simulate import simulate_measurements
+        from .io_formats.dna_writer import write_dna_msr
+        n = simulate_measurements(net)
+        base = os.path.join(args.output_folder, args.network_name)
+        write_dna_msr(f"{base}.simulated.msr", net)
+        print(f"+ Simulated {n} measurement records -> "
+              f"{base}.simulated.msr")
     if getattr(args, "export_dna", False):
         from .io_formats.dna_writer import write_dna_stn, write_dna_msr
         base = os.path.join(args.output_folder, args.network_name)
@@ -424,6 +432,10 @@ def main(argv=None) -> int:
     p.add_argument("-d", "--discontinuity-file", default="",
                    help="SINEX discontinuity file; renames station "
                         "references to SITE_YYYYDDD by observation epoch")
+    p.add_argument("--simulate", action="store_true",
+                   help="replace measurement values with values computed "
+                        "from the station coordinates (zero-residual "
+                        "network) and write a simulated .msr file")
     p.add_argument("--baseline-scalar-file", default="")
     p.add_argument("--bounding-box", default="",
                    help="lat_min,lon_min,lat_max,lon_max (degrees)")

@@ -60,7 +60,8 @@ def _ang_cols(rad: float) -> str:
         m -= 60
         d += 1
     sign = "-" if neg else ""
-    return f"{sign + str(d):>4}{m:>3d} {s:>7.4f}"
+    # v3.01 angular columns: degrees (76,4), minutes (80,2), seconds (82,8)
+    return f"{sign + str(d):>3} {m:02d}{s:>8.4f}"
 
 
 def write_dna_msr(path: str, net):
