@@ -96,16 +96,18 @@ def _cmd_import(args) -> int:
     if getattr(args, "bounding_box", ""):
         from .network.screening import filter_bounding_box
         vals = [float(t) for t in args.bounding_box.split(",")]
-        stations, measurements = filter_bounding_box(stations, measurements,
-                                                     *vals)
+        stations, measurements = filter_bounding_box(
+            stations, measurements, *vals,
+            split_clusters=getattr(args, "split_clusters", False))
         print(f"+ Bounding box retained {len(stations)} stations, "
               f"{len(measurements)} measurement records")
     if getattr(args, "include_stns", "") or getattr(args, "exclude_stns", ""):
         from .network.screening import filter_stations
         inc = [t for t in args.include_stns.split(",") if t]
         exc = [t for t in args.exclude_stns.split(",") if t]
-        stations, measurements = filter_stations(stations, measurements,
-                                                 inc or None, exc or None)
+        stations, measurements = filter_stations(
+            stations, measurements, inc or None, exc or None,
+            split_clusters=getattr(args, "split_clusters", False))
         print(f"+ Station filter retained {len(stations)} stations, "
               f"{len(measurements)} measurement records")
     if getattr(args, "flag_unused_stations", False):
@@ -432,6 +434,9 @@ def main(argv=None) -> int:
     p.add_argument("-d", "--discontinuity-file", default="",
                    help="SINEX discontinuity file; renames station "
                         "references to SITE_YYYYDDD by observation epoch")
+    p.add_argument("--split-clusters", action="store_true",
+                   help="split GNSS X/Y clusters straddling a bounding box "
+                        "or station selection boundary")
     p.add_argument("--simulate", action="store_true",
                    help="replace measurement values with values computed "
                         "from the station coordinates (zero-residual "

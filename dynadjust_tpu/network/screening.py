@@ -50,7 +50,8 @@ def unused_stations(stations: list, measurements: list) -> list:
 def filter_bounding_box(stations: list, measurements: list,
                         lat_min_deg: float, lon_min_deg: float,
                         lat_max_deg: float, lon_max_deg: float,
-                        keep_connected: bool = True):
+                        keep_connected: bool = True,
+                        split_clusters: bool = False):
     """Keep stations inside the box (and measurements wholly between kept
     stations).  Station lat/lon interpreted from packed-DMS/XYZ as built by
     build_network — pass parsed Station records pre-import."""
@@ -70,11 +71,12 @@ def filter_bounding_box(stations: list, measurements: list,
         if lat_min_deg <= lat <= lat_max_deg and \
                 lon_min_deg <= lon <= lon_max_deg:
             keep.add(s.name)
-    return _apply_station_filter(stations, measurements, keep)
+    return _apply_station_filter(stations, measurements, keep,
+                                 split_clusters)
 
 
 def filter_stations(stations: list, measurements: list, include: list = None,
-                    exclude: list = None):
+                    exclude: list = None, split_clusters: bool = False):
     """Keep only `include` (plus stations connected through kept
     measurements), or drop `exclude` and their measurements."""
     names = {s.name for s in stations}
@@ -82,14 +84,57 @@ def filter_stations(stations: list, measurements: list, include: list = None,
         keep = set(include) & names
     else:
         keep = names - set(exclude or [])
-    return _apply_station_filter(stations, measurements, keep)
+    return _apply_station_filter(stations, measurements, keep,
+                                 split_clusters)
 
 
-def _apply_station_filter(stations, measurements, keep: set):
-    kept_msrs = [rec for rec in measurements
-                 if all(n in keep for n in stations_of_record(rec))]
+def _apply_station_filter(stations, measurements, keep: set,
+                          split_clusters: bool = False):
+    kept_msrs = []
+    for rec in measurements:
+        if all(n in keep for n in stations_of_record(rec)):
+            kept_msrs.append(rec)
+        elif split_clusters and isinstance(rec, GpsCluster):
+            part = split_cluster(rec, keep)
+            if part is not None:
+                kept_msrs.append(part)
     kept_stns = [s for s in stations if s.name in keep]
     return kept_stns, kept_msrs
+
+
+def split_cluster(rec: GpsCluster, keep: set):
+    """Split an X/Y (or G) cluster at a selection boundary: retain only the
+    observations whose stations are all kept, dropping their covariance
+    blocks to removed observations.  Returns a new cluster, or None if no
+    observation survives.
+
+    Parity: dna_import::SplitClusterMsrsConnectedToStns
+    (dnaimport/dnainterop.cpp:3509) — the --split-clusters import option."""
+    import copy
+
+    retained = []
+    for i, ob in enumerate(rec.obs):
+        stns = (ob.first, ob.second) if rec.mtype in ("G", "X") \
+            else (ob.first,)
+        if all(s in keep for s in stns if s):
+            retained.append(i)
+    if not retained:
+        return None
+    if len(retained) == len(rec.obs):
+        return rec
+
+    out = copy.copy(rec)
+    out.obs = []
+    for pos, i in enumerate(retained):
+        ob = copy.copy(rec.obs[i])
+        ob.vec = np.array(rec.obs[i].vec, copy=True)
+        ob.vcv = np.array(rec.obs[i].vcv, copy=True)
+        # covs[k] is the 3x3 block to the (i+1+k)-th observation; keep
+        # only the blocks pointing at retained later observations
+        ob.covs = [np.array(rec.obs[i].covs[j - i - 1], copy=True)
+                   for j in retained[pos + 1:]]
+        out.obs.append(ob)
+    return out
 
 
 def find_similar_measurements(measurements: list) -> list:

@@ -101,3 +101,40 @@ def test_sinex_roundtrip(tmp_path, sample_dir):
             V[3 * i:3 * i + 3, c0:c0 + 3] = C
             V[c0:c0 + 3, 3 * i:3 * i + 3] = C.T
     assert np.linalg.eigvalsh(V).min() > 0
+
+
+def test_split_cluster_boundary():
+    """X cluster straddling a selection boundary: retained obs keep their
+    VCVs and only the covariance blocks to other retained obs
+    (--split-clusters parity: SplitClusterMsrsConnectedToStns)."""
+    import numpy as np
+    from dynadjust_tpu.io_formats.dna import GpsCluster, GpsObs
+    from dynadjust_tpu.network.screening import split_cluster
+
+    cl = GpsCluster(mtype="X", ignore=False, coord_type="XYZ", vscale=1,
+                    pscale=1, lscale=1, hscale=1,
+                    epsg_frame="GDA2020", epoch="01.01.2020")
+    names = [("A", "B"), ("B", "C"), ("C", "D")]
+    for k, (f, s) in enumerate(names):
+        ob = GpsObs(first=f, second=s, vec=np.full(3, float(k)),
+                    vcv=np.eye(3) * (k + 1))
+        ob.covs = [np.full((3, 3), 10 * k + j)
+                   for j in range(len(names) - k - 1)]
+        cl.obs.append(ob)
+
+    # keep A, B, C -> obs 0 and 1 retained, obs 2 (C-D) dropped
+    out = split_cluster(cl, {"A", "B", "C"})
+    assert len(out.obs) == 2
+    assert out.obs[0].first == "A" and out.obs[1].second == "C"
+    # obs0 originally had covs to obs1, obs2; only the obs1 block remains
+    assert len(out.obs[0].covs) == 1
+    np.testing.assert_array_equal(out.obs[0].covs[0], np.full((3, 3), 0.0))
+    assert len(out.obs[1].covs) == 0
+    np.testing.assert_array_equal(out.obs[1].vcv, np.eye(3) * 2)
+    # original untouched
+    assert len(cl.obs) == 3 and len(cl.obs[0].covs) == 2
+
+    # nothing retained
+    assert split_cluster(cl, {"X"}) is None
+    # everything retained returns the record itself
+    assert split_cluster(cl, {"A", "B", "C", "D"}) is cl
