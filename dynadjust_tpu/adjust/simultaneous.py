@@ -52,6 +52,8 @@ class MsrStatRow:
     pre_adj_corr: float = 0.0
     outlier: bool = False
     ignore: bool = False
+    vcv3: object = None         # (3,3) apriori VCV (GPS X-row only)
+    adj_vcv3: object = None     # (3,3) adjusted VCV (GPS X-row only)
 
 
 @dataclass
@@ -307,6 +309,9 @@ def _measurement_stats(asm: Assembler, net: NetworkData, Ninv: np.ndarray,
             v = mmc[item.row0:item.row0 + 3 * n]
             chi_sq += float(v @ item.vinv @ v)
             for i in range(n):
+                sl = slice(item.row0 + 3 * i, item.row0 + 3 * i + 3)
+                adj_vcv3 = ANi[sl] @ A[sl].T
+                vcv3 = item.vcv[3 * i:3 * i + 3, 3 * i:3 * i + 3]
                 for k, card in enumerate("XYZ"):
                     ri = item.row0 + 3 * i + k
                     r = MsrStatRow(
@@ -317,6 +322,9 @@ def _measurement_stats(asm: Assembler, net: NetworkData, Ninv: np.ndarray,
                         measured=item.obs[3 * i + k],
                         meas_var=item.vcv[3 * i + k, 3 * i + k],
                         pre_adj_corr=0.0)
+                    if k == 0:
+                        r.vcv3 = np.asarray(vcv3)
+                        r.adj_vcv3 = np.asarray(adj_vcv3)
                     finish(r, ri)
         for r in rows[_row_start:]:
             r.rec_idx = rec_i

@@ -308,7 +308,9 @@ def _cmd_adjust(args) -> int:
     base = os.path.join(args.output_folder, args.network_name)
     adj_path = f"{base}.{'phased' if args.phased else 'simult'}.adj"
     write_adj(adj_path, net, res, opts, cmdline=" ".join(sys.argv),
-              print_adj_msr=args.output_adj_msr)
+              print_adj_msr=args.output_adj_msr,
+              tstat=getattr(args, "output_adj_msr_tstat", False),
+              gnss_units=getattr(args, "output_adj_gnss_units", 0))
     write_xyz(f"{base}.xyz", net, res)
     if args.output_pos_uncertainty:
         from .output.uncertainty import write_apu
@@ -387,6 +389,14 @@ def _add_common(p):
 def _add_adjust_args(p):
     p.add_argument("--output-adj-msr", action="store_true",
                    help="print adjusted measurements to the .adj file")
+    p.add_argument("--output-adj-msr-tstat", action="store_true",
+                   help="add the T-stat column to the adjusted "
+                        "measurements table")
+    p.add_argument("--output-adj-gnss-units", type=int, default=0,
+                   choices=(0, 1, 2, 3),
+                   help="adjusted GNSS baseline units: 0 as measured "
+                        "(XYZ), 1 local ENU, 2 polar az/vert-angle/dist, "
+                        "3 polar az/dist/up")
     p.add_argument("--phased", action="store_true",
                    help="phased (block-segmented) adjustment")
     p.add_argument("--multi-thread", action="store_true",

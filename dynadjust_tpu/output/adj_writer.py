@@ -111,27 +111,141 @@ def _fmt_angular(rad: float, prec: int, width: int) -> str:
     return f"{txt:>{width}}"
 
 
-def _msr_stat_cols(r) -> str:
-    out = (f"{r.nstat:>{STAT}.2f}"
-           f"{r.pelzer:>{REL}.2f}")
+def _msr_stat_cols(r, tstat=False) -> str:
+    out = f"{r.nstat:>{STAT}.2f}"
+    if tstat:
+        out += f"{r.tstat:>{STAT}.2f}"
+    out += f"{r.pelzer:>{REL}.2f}"
+    return out
+
+
+def _gnss_alt_rows(net, rows3, units: str):
+    """Convert a GPS X/Y/Z stat-row triple to alternate units.
+
+    units: 'enu' (local east/north/up), 'aed' (azimuth, vertical angle,
+    slope distance), 'adu' (azimuth, slope distance, up).
+    Parity: DynAdjustPrinter GNSS alternate-units printing
+    (dnaadjust_printer.cpp:4790-...) with PropagateVariances_CartLocal /
+    _LocalPolar_Diagonal (dnatemplatematrixfuncs.hpp)."""
+    import copy
+
+    import numpy as np
+
+    from ..geodesy.local_frame import rotation_local_to_cart
+
+    rx = rows3[0]
+    if rx.vcv3 is None:
+        return rows3
+    s1, s2 = rx.s1, rx.s2
+    if s2 >= 0:
+        mid_lat = 0.5 * (net.lat[s1] + net.lat[s2])
+        mid_lon = 0.5 * (net.lon[s1] + net.lon[s2])
+    else:
+        mid_lat, mid_lon = net.lat[s1], net.lon[s1]
+    R = rotation_local_to_cart(mid_lat, mid_lon)
+
+    meas = np.array([r.pre_adj_meas for r in rows3])
+    adj = np.array([r.adjusted for r in rows3])
+    ml = R.T @ meas
+    al = R.T @ adj
+    vl = R.T @ rx.vcv3 @ R
+    avl = R.T @ rx.adj_vcv3 @ R
+
+    if units == "enu":
+        vals_m, vals_a = ml, al
+        var_m = np.diag(vl)
+        var_a = np.diag(avl)
+        cards = "enu"
+        is_ang = (False, False, False)
+    else:
+        az = math.atan2(ml[0], ml[1]) % (2.0 * math.pi)
+        dist = float(np.linalg.norm(ml))
+        elev = math.asin(ml[2] / dist) if dist > 0 else 0.0
+        az_a = math.atan2(al[0], al[1]) % (2.0 * math.pi)
+        dist_a = float(np.linalg.norm(al))
+        elev_a = math.asin(al[2] / dist_a) if dist_a > 0 else 0.0
+        ca, sa = math.cos(az), math.sin(az)
+        ce, se = math.cos(elev), math.sin(elev)
+        J = np.array([[ca / dist, -sa / dist, 0.0],
+                      [-sa * se / dist, -ca * se / dist, ce / dist],
+                      [sa * ce, ca * ce, se]])
+        vp = np.diag(J @ vl @ J.T)
+        avp = np.diag(J @ avl @ J.T)
+        if units == "aed":
+            vals_m = np.array([az, elev, dist])
+            vals_a = np.array([az_a, elev_a, dist_a])
+            var_m = vp
+            var_a = avp
+            cards = "aes"
+            is_ang = (True, True, False)
+        else:   # adu
+            vals_m = np.array([az, dist, ml[2]])
+            vals_a = np.array([az_a, dist_a, al[2]])
+            var_m = np.array([vp[0], vp[2], vl[2, 2]])
+            var_a = np.array([avp[0], avp[2], avl[2, 2]])
+            cards = "asu"
+            is_ang = (True, False, False)
+
+    sigma0 = max(getattr(net, "_sigma0_hint", 1.0), 1e-20)
+    out = []
+    for k in range(3):
+        r = copy.copy(rows3[k])
+        r.cardinal = cards[k]
+        r.pre_adj_meas = float(vals_m[k])
+        r.measured = float(vals_m[k])
+        r.adjusted = float(vals_a[k])
+        r.correction = float(vals_a[k] - vals_m[k])
+        r.meas_var = max(float(var_m[k]), 0.0)
+        r.adj_prec = max(float(var_a[k]), 0.0)
+        r.resid_prec = abs(r.meas_var - r.adj_prec)
+        r.pelzer = (math.sqrt(r.meas_var / r.resid_prec)
+                    if r.resid_prec > 0 else 999.9999)
+        r.nstat = (r.correction / math.sqrt(r.resid_prec)
+                   if r.resid_prec > 0 else 0.0)
+        r.tstat = r.nstat / math.sqrt(sigma0)
+        r._force_angular = is_ang[k]
+        out.append(r)
     return out
 
 
 def measurement_lines(net: NetworkData, res, msr_prec_m=4,
-                      msr_prec_s=4) -> list:
-    """The Adjusted Measurements table."""
+                      msr_prec_s=4, tstat=False, gnss_units=0) -> list:
+    """The Adjusted Measurements table.
+
+    tstat: add the T-stat column (--output-adj-msr-tstat).
+    gnss_units: 0 as-measured XYZ, 1 ENU, 2 AED, 3 ADU
+    (--output-adj-gnss-units)."""
     lines = []
     hdr = (f"{'M':<2}{'Station 1':<{STATION}}{'Station 2':<{STATION}}"
            f"{'Station 3':<{STATION}}{'*':<{PAD3}}{'C':<{PAD2}}"
            f"{'Measured':>{MSR}}{'Adjusted':>{MSR}}{'Correction':>{CORR}}"
            f"{'Meas. SD':>{PREC}}{'Adj. SD':>{PREC}}{'Corr. SD':>{PREC}}"
-           f"{'N-stat':>{STAT}}{'Pelzer Rel':>{REL}}"
+           f"{'N-stat':>{STAT}}"
+           + (f"{'T-stat':>{STAT}}" if tstat else "")
+           + f"{'Pelzer Rel':>{REL}}"
            f"{'Pre Adj Corr':>{PREC + 1}}{'Outlier?':>{OUTLIER}}")
     lines.append(hdr)
-    lines.append("-" * 206)
+    lines.append("-" * (206 + (STAT if tstat else 0)))
+
+    stats_rows = res.msr_stats
+    if gnss_units:
+        units = {1: "enu", 2: "aed", 3: "adu"}[gnss_units]
+        net._sigma0_hint = res.sigma_zero
+        converted = []
+        i = 0
+        while i < len(stats_rows):
+            r = stats_rows[i]
+            if r.mtype in ("G", "X", "Y") and r.cardinal == "X" and                     i + 2 < len(stats_rows):
+                converted.extend(_gnss_alt_rows(
+                    net, stats_rows[i:i + 3], units))
+                i += 3
+            else:
+                converted.append(r)
+                i += 1
+        stats_rows = converted
 
     angular = set("ABDIJKPQVZ")
-    for r in res.msr_stats:
+    for r in stats_rows:
         s1 = net.names[r.s1] if r.s1 >= 0 else ""
         s2 = net.names[r.s2] if r.s2 >= 0 else ""
         s3 = net.names[r.s3] if r.s3 >= 0 else ""
@@ -143,14 +257,16 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
         head = (f"{r.mtype:<2}{s1:<{STATION}}{s2:<{STATION}}"
                 f"{s3:<{STATION}}{ignore_flag:<{PAD3}}"
                 f"{r.cardinal:<{PAD2}}")
-        if r.mtype in angular:
+        row_angular = (r.mtype in angular or
+                       getattr(r, "_force_angular", False))
+        if row_angular:
             body = (_fmt_angular(r.pre_adj_meas, msr_prec_s, MSR) +
                     _fmt_angular(r.adjusted, msr_prec_s, MSR) +
                     f"{_sec(r.correction):>{CORR}.4f}" +
                     f"{_sec(math.sqrt(r.meas_var)):>{PREC}.4f}" +
                     f"{_sec(math.sqrt(r.adj_prec)):>{PREC}.4f}" +
                     f"{_sec(math.sqrt(r.resid_prec)):>{PREC}.4f}" +
-                    _msr_stat_cols(r) +
+                    _msr_stat_cols(r, tstat) +
                     f"{_sec(r.pre_adj_corr):>{PREC + 1}.4f}")
         else:
             body = (f"{r.pre_adj_meas:>{MSR}.4f}"
@@ -159,7 +275,7 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
                     f"{math.sqrt(r.meas_var):>{PREC}.4f}"
                     f"{math.sqrt(r.adj_prec):>{PREC}.4f}"
                     f"{math.sqrt(r.resid_prec):>{PREC}.4f}"
-                    + _msr_stat_cols(r) +
+                    + _msr_stat_cols(r, tstat) +
                     f"{r.pre_adj_corr:>{PREC + 1}.4f}")
         outlier = f"{'*':>{OUTLIER}}" if r.outlier else f"{'':{OUTLIER}}"
         lines.append(head + body + outlier)
@@ -178,7 +294,8 @@ def _nz(v: float, places: int = 4) -> float:
 
 
 def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
-              print_adj_msr: bool = True, geoid_file: str = ""):
+              print_adj_msr: bool = True, geoid_file: str = "",
+              tstat: bool = False, gnss_units: int = 0):
     now = datetime.datetime.now()
     L = []
     L.append(OUTPUTLINE)
@@ -248,7 +365,8 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
         L.append("Adjusted Measurements")
         L.append("------------------------------------------")
         L.append("")
-        L.extend(measurement_lines(net, res))
+        L.extend(measurement_lines(net, res, tstat=tstat,
+                                   gnss_units=gnss_units))
         L.append("")
 
     L.append("Adjusted Coordinates")

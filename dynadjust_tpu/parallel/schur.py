@@ -456,3 +456,281 @@ def schur_solve_factored(bs: BlockSystem, refine: int = 2,
         xi = xi + di_
         xj = xj + dj_
     return xi, xj, factors
+
+
+# ---------------------------------------------------------------------------
+# nested (3-level) Schur: scalable junction solve
+# ---------------------------------------------------------------------------
+# For national-scale networks the reduced junction system is itself too
+# large for one replicated dense solve (GDA2020-scale: ~100k junction
+# params).  The fix is one more level of the same elimination: level-1
+# blocks are grouped into super-blocks; a junction parameter shared only
+# within one super-block is eliminated there (batched, on the MXU), and
+# only the super-block interfaces form the final (small) dense system.
+# Every level-1 block lies wholly inside one super-block, so each S_b
+# scatters into exactly one level-2 block — the dense global junction
+# matrix is never formed.  This is nested dissection expressed as two
+# batched Schur complements (cf. the reference's strictly sequential
+# forward/reverse sweeps, dnaadjust.cpp:2756/3461).
+
+
+@dataclass
+class NestedPartition:
+    """Level-2 partition of the global junction parameters.
+
+    Super-block param space layout: [0, ni2) inner-junction slots,
+    [ni2, ni2+nj2) super-junction slots, slot ni2+nj2 = scratch."""
+    sb_of_block: np.ndarray     # (B,) super-block of each level-1 block
+    l2slot: np.ndarray          # (B, nj) slot of each junction param in its
+                                # super-block's space (scratch for padding)
+    SB: int
+    ni2: int
+    nj2: int
+    j2map: np.ndarray           # (SB, nj2) global super-junction index
+    j2mask: np.ndarray          # (SB, nj2)
+    i2mask: np.ndarray          # (SB, ni2)
+    nsj_global: int             # number of super-junction params
+    xj_kind: np.ndarray         # (njg,) 0 = inner2, 1 = super-junction
+    xj_sb: np.ndarray           # (njg,) source super-block (kind 0)
+    xj_slot: np.ndarray         # (njg,) source slot / global index
+
+
+def build_nested_partition(bs: BlockSystem,
+                           block_super: np.ndarray) -> NestedPartition:
+    """Derive the level-2 partition from a super-block assignment of the
+    level-1 blocks.  A junction param referenced by blocks of a single
+    super-block becomes level-2 inner; one shared across super-blocks
+    becomes a super-junction."""
+    B, nj = bs.jmap.shape
+    njg = bs.nj_global
+    block_super = np.asarray(block_super, dtype=np.int64)
+    SB = int(block_super.max()) + 1 if B else 1
+
+    touched = [set() for _ in range(njg)]
+    for b in range(B):
+        sb = block_super[b]
+        for k in range(nj):
+            if bs.jmask[b, k] > 0:
+                touched[int(bs.jmap[b, k])].add(int(sb))
+
+    inner2 = [[] for _ in range(SB)]        # global junc param ids
+    junc2 = [[] for _ in range(SB)]
+    sj_global = {}                          # param id -> global sj index
+    for g, sbs in enumerate(touched):
+        if len(sbs) == 1:
+            inner2[next(iter(sbs))].append(g)
+        else:
+            sj_global[g] = len(sj_global)
+            for sb in sbs:
+                junc2[sb].append(g)
+
+    ni2 = max((len(v) for v in inner2), default=1) or 1
+    nj2 = max((len(v) for v in junc2), default=1) or 1
+    nsj = len(sj_global)
+
+    # per-super-block slot of every junction param
+    slot_of = {}                            # (sb, g) -> slot
+    j2map = np.zeros((SB, nj2), dtype=np.int32)
+    j2mask = np.zeros((SB, nj2))
+    i2mask = np.zeros((SB, ni2))
+    for sb in range(SB):
+        for q, g in enumerate(inner2[sb]):
+            slot_of[(sb, g)] = q
+            i2mask[sb, q] = 1.0
+        for q, g in enumerate(junc2[sb]):
+            slot_of[(sb, g)] = ni2 + q
+            j2map[sb, q] = sj_global[g]
+            j2mask[sb, q] = 1.0
+
+    scratch = ni2 + nj2
+    l2slot = np.full((B, nj), scratch, dtype=np.int32)
+    for b in range(B):
+        sb = int(block_super[b])
+        for k in range(nj):
+            if bs.jmask[b, k] > 0:
+                l2slot[b, k] = slot_of[(sb, int(bs.jmap[b, k]))]
+
+    xj_kind = np.zeros(njg, dtype=np.int32)
+    xj_sb = np.zeros(njg, dtype=np.int32)
+    xj_slot = np.zeros(njg, dtype=np.int32)
+    for g, sbs in enumerate(touched):
+        if len(sbs) == 1:
+            sb = next(iter(sbs))
+            xj_sb[g] = sb
+            xj_slot[g] = slot_of[(sb, g)]
+        else:
+            xj_kind[g] = 1
+            xj_slot[g] = sj_global[g]
+
+    return NestedPartition(
+        sb_of_block=block_super.astype(np.int32), l2slot=l2slot, SB=SB,
+        ni2=ni2, nj2=nj2, j2map=j2map, j2mask=j2mask, i2mask=i2mask,
+        nsj_global=nsj, xj_kind=xj_kind, xj_sb=xj_sb, xj_slot=xj_slot)
+
+
+@partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nsj_total",
+                                   "nj_total", "scale", "axis"))
+def _schur_solve_nested_jit(Nii, Nij, Njj, bi, bj, jmap, jmask,
+                            sb_of_block, l2slot,
+                            j2map, j2mask, i2mask,
+                            xj_kind, xj_sb, xj_slot,
+                            SB, ni2, nj2, nsj_total, nj_total,
+                            scale=True, axis=None):
+    if scale:
+        Nii, Nij, Njj, bi, bj, di, dj, djg = _unity_scale(
+            Nii, Nij, Njj, bi, bj, jmap, jmask, nj_total, axis)
+
+    # ---- level 1: eliminate inner stations (batched) --------------------
+    S_b, t_b, L, Y, w = _block_reduce(Nii, Nij, Njj, bi, bj, jmask)
+
+    # ---- scatter into level-2 blocked systems ---------------------------
+    m2 = ni2 + nj2 + 1                       # + scratch slot
+    nj1 = jmap.shape[1]
+    M2 = jnp.zeros((SB, m2, m2), dtype=S_b.dtype)
+    r2 = jnp.zeros((SB, m2), dtype=t_b.dtype)
+    sb_b = sb_of_block[:, None, None]
+    M2 = M2.at[jnp.broadcast_to(sb_b, (S_b.shape[0], nj1, nj1)),
+               jnp.broadcast_to(l2slot[:, :, None],
+                                (S_b.shape[0], nj1, nj1)),
+               jnp.broadcast_to(l2slot[:, None, :],
+                                (S_b.shape[0], nj1, nj1))].add(S_b)
+    r2 = r2.at[jnp.broadcast_to(sb_of_block[:, None],
+                                (t_b.shape[0], nj1)), l2slot].add(t_b)
+    if axis is not None:
+        M2 = jax.lax.psum(M2, axis)
+        r2 = jax.lax.psum(r2, axis)
+
+    Nii2 = M2[:, :ni2, :ni2]
+    Nij2 = M2[:, :ni2, ni2:ni2 + nj2]
+    Njj2 = M2[:, ni2:ni2 + nj2, ni2:ni2 + nj2]
+    bi2 = r2[:, :ni2]
+    bj2 = r2[:, ni2:ni2 + nj2]
+    # identity-pad empty inner slots so the batched Cholesky is defined
+    eye = jnp.eye(ni2, dtype=Nii2.dtype)
+    Nii2 = Nii2 + eye[None] * (1.0 - i2mask)[:, :, None] * \
+        (1.0 - i2mask)[:, None, :] * \
+        jnp.where(eye[None] > 0, 1.0, 0.0)
+
+    # ---- level 2: eliminate inner-junction params (batched) -------------
+    S2_b, t2_b, L2, Y2, w2 = _block_reduce(Nii2, Nij2, Njj2, bi2, bj2,
+                                           j2mask)
+
+    # ---- level 3: the (small) super-junction system ---------------------
+    S2, t2 = _scatter_junction(S2_b, t2_b, j2map, nsj_total)
+    xsj, _ = _solve_junction(S2, t2, nsj_total)
+
+    # ---- back-substitute level 2 ----------------------------------------
+    xsj_b = xsj[j2map] * j2mask
+    xi2 = w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b, precision=_HI)
+
+    # ---- reconstruct all junction params --------------------------------
+    from_inner = xi2[xj_sb, jnp.minimum(xj_slot, ni2 - 1)]
+    from_sj = xsj[jnp.minimum(xj_slot, nsj_total - 1)]
+    xj_real = jnp.where(xj_kind == 0, from_inner, from_sj)
+    xj = jnp.concatenate([xj_real,
+                          jnp.zeros((nj_total - xj_real.shape[0],),
+                                    dtype=xj_real.dtype)])
+
+    # ---- back-substitute level 1 ----------------------------------------
+    xj_b = xj[jmap] * jmask
+    xi = w - jnp.einsum("bij,bj->bi", Y, xj_b, precision=_HI)
+    if scale:
+        xi = xi * di
+        xj = xj * djg
+    return xi, xj
+
+
+def schur_solve_nested(bs: BlockSystem, part: NestedPartition,
+                       mesh: Mesh = None, axis: str = "blocks",
+                       scale: bool = True):
+    """Three-level solve: batched inner elimination, batched super-block
+    junction elimination, one small super-junction solve.  Sharded over
+    `mesh` when given (level-2 systems psum-reduced over ICI)."""
+    nj_total = bs.nj_global + 1
+    nsj_total = part.nsj_global + 1
+    args_np = (bs.Nii, bs.Nij, bs.Njj, bs.bi, bs.bj, bs.jmap, bs.jmask,
+               part.sb_of_block, part.l2slot)
+    part_np = (part.j2map, part.j2mask.astype(bs.Nii.dtype),
+               part.i2mask.astype(bs.Nii.dtype),
+               part.xj_kind, part.xj_sb, part.xj_slot)
+
+    if mesh is None:
+        xi, xj = _schur_solve_nested_jit(
+            *[jnp.asarray(a) for a in args_np],
+            *[jnp.asarray(a) for a in part_np],
+            part.SB, part.ni2, part.nj2, nsj_total, nj_total, scale, None)
+        return np.asarray(xi), np.asarray(xj)[:bs.nj_global]
+
+    ndev = mesh.shape[axis]
+    B = bs.Nii.shape[0]
+    Bp = ((B + ndev - 1) // ndev) * ndev
+
+    def pad(x, fill=0):
+        if x.shape[0] == Bp:
+            return x
+        pw = [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, pw, constant_values=fill)
+
+    Nii = pad(bs.Nii).copy()
+    for b in range(B, Bp):
+        Nii[b] = np.eye(Nii.shape[1], dtype=Nii.dtype)
+    # padded blocks: scratch l2 slots, super-block 0
+    scratch = part.ni2 + part.nj2
+    sharded = (Nii, pad(bs.Nij), pad(bs.Njj), pad(bs.bi), pad(bs.bj),
+               pad(bs.jmap), pad(bs.jmask), pad(part.sb_of_block),
+               pad(part.l2slot, fill=scratch))
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=tuple([P(axis)] * 9 + [P()] * 6),
+             out_specs=(P(axis), P()))
+    def solve(Nii, Nij, Njj, bi, bj, jmap, jmask, sbb, l2s,
+              j2map, j2mask, i2mask, xj_kind, xj_sb, xj_slot):
+        return _schur_solve_nested_jit(
+            Nii, Nij, Njj, bi, bj, jmap, jmask, sbb, l2s,
+            j2map, j2mask, i2mask, xj_kind, xj_sb, xj_slot,
+            part.SB, part.ni2, part.nj2, nsj_total, nj_total, scale, axis)
+
+    xi, xj = jax.jit(solve)(*[jnp.asarray(a) for a in sharded],
+                            *[jnp.asarray(a) for a in part_np])
+    return np.asarray(xi)[:B], np.asarray(xj)[:bs.nj_global]
+
+
+def schur_solve_nested_refined(bs: BlockSystem, part: NestedPartition,
+                               mesh: Mesh = None, axis: str = "blocks",
+                               refine: int = 2, dtype=np.float32):
+    """Mixed-precision nested solve: f32 three-level factorizations on the
+    MXU + float64 host residual refinement (same contraction argument as
+    schur_solve_refined)."""
+    def solve_low(rhs_i, rhs_j_blocks):
+        low = BlockSystem(
+            Nii=bs.Nii.astype(dtype), Nij=bs.Nij.astype(dtype),
+            Njj=bs.Njj.astype(dtype), bi=rhs_i.astype(dtype),
+            bj=rhs_j_blocks.astype(dtype), jmap=bs.jmap,
+            jmask=bs.jmask.astype(dtype), imask=bs.imask.astype(dtype),
+            nj_global=bs.nj_global)
+        return schur_solve_nested(low, part, mesh, axis)
+
+    xi, xj = solve_low(bs.bi, bs.bj)
+    xi = np.asarray(xi, dtype=np.float64)
+    xj = np.asarray(xj, dtype=np.float64)
+
+    rhs_j_global = _gather_rhs_junction(bs)
+    flat = bs.jmap.reshape(-1)
+    mask = bs.jmask.reshape(-1) > 0
+    first_idx = {}
+    for k in np.nonzero(mask)[0]:
+        g = flat[k]
+        if g not in first_idx:
+            first_idx[g] = k
+    gi = np.fromiter(first_idx.values(), dtype=np.int64)
+    gg = np.fromiter(first_idx.keys(), dtype=np.int64)
+    for _ in range(refine):
+        yi, yj = _block_matvec(bs, xi, xj)
+        ri = (bs.bi * bs.imask) - yi
+        rj = rhs_j_global - yj
+        rj_b = np.zeros_like(bs.bj).reshape(-1)
+        rj_b[gi] = rj[gg]
+        di_, dj_ = solve_low(ri, rj_b.reshape(bs.bj.shape))
+        xi = xi + np.asarray(di_, dtype=np.float64)
+        xj = xj + np.asarray(dj_, dtype=np.float64)
+    return xi, xj

@@ -101,3 +101,19 @@ def grid_segmentation(rows: int, cols: int, block_rows: int, block_cols: int):
             blocks.append((np.asarray(inner, dtype=np.int64),
                            np.asarray(sorted(junc), dtype=np.int64)))
     return blocks, np.asarray(sorted(junction), dtype=np.int64)
+
+
+def grid_super_assignment(rows: int, cols: int, block_rows: int,
+                          block_cols: int, super_rows: int = 4,
+                          super_cols: int = 4):
+    """Super-block id for each grid_segmentation block: tiles grouped into
+    super-tiles of (super_rows x super_cols) tiles — the level-2 partition
+    for the nested Schur solver."""
+    tr = (rows + block_rows - 1) // block_rows
+    tc = (cols + block_cols - 1) // block_cols
+    stc = (tc + super_cols - 1) // super_cols
+    out = []
+    for r in range(tr):
+        for c in range(tc):
+            out.append((r // super_rows) * stc + (c // super_cols))
+    return np.asarray(out, dtype=np.int32)

@@ -138,3 +138,44 @@ def test_split_cluster_boundary():
     assert split_cluster(cl, {"X"}) is None
     # everything retained returns the record itself
     assert split_cluster(cl, {"A", "B", "C", "D"}) is cl
+
+
+def test_adj_msr_tstat_and_gnss_units(sample_dir):
+    """T-stat column and GNSS alternate-units output
+    (--output-adj-msr-tstat / --output-adj-gnss-units)."""
+    import numpy as np
+    from dynadjust_tpu.adjust import AdjustmentOptions
+    from dynadjust_tpu.adjust.simultaneous import adjust_simultaneous
+    from dynadjust_tpu.io_formats import read_dna_stn, read_dna_msr
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.output.adj_writer import measurement_lines
+
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/gnss-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/gnss-network.msr")
+    net = build_network(stns, recs, frame, epoch)
+    res = adjust_simultaneous(net, AdjustmentOptions())
+
+    base = measurement_lines(net, res)
+    with_t = measurement_lines(net, res, tstat=True)
+    assert "T-stat" in with_t[0] and "T-stat" not in base[0]
+    # data rows got wider by the T-stat column
+    assert len(with_t[2]) > len(base[2])
+
+    enu = measurement_lines(net, res, gnss_units=1)
+    cards = [ln[65:66] for ln in enu[2:] if ln[:1] == "G"]
+    assert set(cards) <= {"e", "n", "u"} and cards, cards
+
+    aed = measurement_lines(net, res, gnss_units=2)
+    cards = [ln[65:66] for ln in aed[2:] if ln[:1] == "G"]
+    assert set(cards) <= {"a", "e", "s"} and cards
+
+    # ENU correction magnitudes match the XYZ correction magnitudes
+    # (rotation preserves the norm) for the first baseline triple
+    import math
+    gx = [r for r in res.msr_stats if r.mtype == "G"][:3]
+    xyz_norm = math.sqrt(sum(r.correction ** 2 for r in gx))
+    from dynadjust_tpu.output.adj_writer import _gnss_alt_rows
+    net._sigma0_hint = res.sigma_zero
+    enu_rows = _gnss_alt_rows(net, gx, "enu")
+    enu_norm = math.sqrt(sum(r.correction ** 2 for r in enu_rows))
+    assert abs(xyz_norm - enu_norm) < 1e-9

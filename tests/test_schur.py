@@ -117,3 +117,67 @@ def test_blocked_adjustment_f32_refinement(small_net):
     x32, it32, _, _ = adjust_blocked(bn, x0, dtype=np.float32)
     assert it32 == it64
     assert np.abs(x32 - x64).max() < 1e-8
+
+
+@pytest.fixture(scope="module")
+def grid_system():
+    rows, cols, blk = 16, 16, 4
+    xyz, pairs, obs, var, x0, fixed = synthetic_grid_network(rows, cols,
+                                                             seed=3)
+    blocks, junction = grid_segmentation(rows, cols, blk, blk)
+    bn = BlockedNetwork(nstations=rows * cols, pairs=pairs, obs=obs,
+                        weight=1.0 / var, blocks=blocks,
+                        junction_stations=junction, constrained=fixed)
+    bs = build_normals(bn, x0, 0.01)
+    return bs, bn, rows, cols, blk
+
+
+def test_nested_schur_matches_flat(grid_system):
+    """3-level nested solve equals the 2-level solve (and hence the dense
+    simultaneous solution)."""
+    from dynadjust_tpu.parallel.schur import (
+        build_nested_partition, schur_solve, schur_solve_nested,
+    )
+    from dynadjust_tpu.utils.synthetic import grid_super_assignment
+
+    bs, bn, rows, cols, blk = grid_system
+    xi, xj = schur_solve(bs)
+    sup = grid_super_assignment(rows, cols, blk, blk, 2, 2)
+    part = build_nested_partition(bs, sup)
+    assert part.nsj_global < bs.nj_global  # really eliminated something
+    xi_n, xj_n = schur_solve_nested(bs, part)
+    np.testing.assert_allclose(xi_n, xi, atol=1e-8)
+    np.testing.assert_allclose(xj_n, xj, atol=1e-8)
+
+
+def test_nested_schur_sharded(grid_system):
+    from dynadjust_tpu.parallel.schur import (
+        build_nested_partition, schur_solve, schur_solve_nested,
+    )
+    from dynadjust_tpu.utils.synthetic import grid_super_assignment
+    import jax
+    from jax.sharding import Mesh
+
+    bs, bn, rows, cols, blk = grid_system
+    xi, xj = schur_solve(bs)
+    sup = grid_super_assignment(rows, cols, blk, blk, 2, 2)
+    part = build_nested_partition(bs, sup)
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("blocks",))
+    xi_n, xj_n = schur_solve_nested(bs, part, mesh=mesh)
+    np.testing.assert_allclose(xi_n, xi, atol=1e-8)
+    np.testing.assert_allclose(xj_n, xj, atol=1e-8)
+
+
+def test_nested_schur_refined_f32(grid_system):
+    from dynadjust_tpu.parallel.schur import (
+        build_nested_partition, schur_solve, schur_solve_nested_refined,
+    )
+    from dynadjust_tpu.utils.synthetic import grid_super_assignment
+
+    bs, bn, rows, cols, blk = grid_system
+    xi, xj = schur_solve(bs)
+    sup = grid_super_assignment(rows, cols, blk, blk, 2, 2)
+    part = build_nested_partition(bs, sup)
+    xi_r, xj_r = schur_solve_nested_refined(bs, part, refine=2)
+    np.testing.assert_allclose(xi_r, xi, atol=1e-7)
+    np.testing.assert_allclose(xj_r, xj, atol=1e-7)
