@@ -734,3 +734,177 @@ def schur_solve_nested_refined(bs: BlockSystem, part: NestedPartition,
         xi = xi + np.asarray(di_, dtype=np.float64)
         xj = xj + np.asarray(dj_, dtype=np.float64)
     return xi, xj
+
+
+# ---------------------------------------------------------------------------
+# nested factor-once / apply-many
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nsj_total",
+                                   "nj_total"))
+def _schur_nested_factor_jit(Nii, Nij, Njj, jmap, jmask, sb_of_block,
+                             l2slot, j2map, j2mask, i2mask,
+                             SB, ni2, nj2, nsj_total, nj_total):
+    """Factor all three levels once; keep everything device-resident."""
+    zero_b = jnp.zeros_like(Nii[..., 0])
+    zero_j = jnp.zeros_like(Njj[..., 0])
+    Nii_s, Nij_s, Njj_s, _, _, di, dj, djg = _unity_scale(
+        Nii, Nij, Njj, zero_b, zero_j, jmap, jmask, nj_total, None)
+
+    # level 1
+    L = jnp.linalg.cholesky(Nii_s)
+    Y = jax.scipy.linalg.cho_solve((L, True), Nij_s)
+    S_b = Njj_s - jnp.einsum("bki,bkj->bij", Nij_s, Y, precision=_HI)
+    S_b = S_b * jmask[:, :, None] * jmask[:, None, :]
+
+    # scatter into level-2 systems
+    m2 = ni2 + nj2 + 1
+    B, nj1 = jmap.shape
+    M2 = jnp.zeros((SB, m2, m2), dtype=S_b.dtype)
+    sb_b = sb_of_block[:, None, None]
+    M2 = M2.at[jnp.broadcast_to(sb_b, (B, nj1, nj1)),
+               jnp.broadcast_to(l2slot[:, :, None], (B, nj1, nj1)),
+               jnp.broadcast_to(l2slot[:, None, :], (B, nj1, nj1))].add(S_b)
+    Nii2 = M2[:, :ni2, :ni2]
+    Nij2 = M2[:, :ni2, ni2:ni2 + nj2]
+    Njj2 = M2[:, ni2:ni2 + nj2, ni2:ni2 + nj2]
+    eye = jnp.eye(ni2, dtype=Nii2.dtype)
+    Nii2 = Nii2 + eye[None] * (1.0 - i2mask)[:, :, None] * \
+        (1.0 - i2mask)[:, None, :] * jnp.where(eye[None] > 0, 1.0, 0.0)
+
+    # level 2
+    L2 = jnp.linalg.cholesky(Nii2)
+    Y2 = jax.scipy.linalg.cho_solve((L2, True), Nij2)
+    S2_b = Njj2 - jnp.einsum("bki,bkj->bij", Nij2, Y2, precision=_HI)
+    S2_b = S2_b * j2mask[:, :, None] * j2mask[:, None, :]
+
+    # level 3
+    S2 = jnp.zeros((nsj_total, nsj_total), dtype=S2_b.dtype)
+    idx_i = jnp.repeat(j2map[:, :, None], nj2, axis=2).reshape(-1)
+    idx_j = jnp.repeat(j2map[:, None, :], nj2, axis=1).reshape(-1)
+    S2 = S2.at[idx_i, idx_j].add(S2_b.reshape(-1))
+    diag = jnp.diag(S2)
+    S2 = S2 + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
+    Lj = jnp.linalg.cholesky(S2)
+
+    return L, Y, Nij_s, L2, Y2, Nij2, Lj, di, dj, djg
+
+
+@partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nsj_total",
+                                   "nj_total"))
+def _schur_nested_apply_jit(L, Y, Nij_s, L2, Y2, Nij2, Lj, di, dj, djg,
+                            bi, bj, jmap, jmask, sb_of_block, l2slot,
+                            j2map, j2mask, xj_kind, xj_sb, xj_slot,
+                            SB, ni2, nj2, nsj_total, nj_total):
+    bi = bi * di
+    bj = bj * dj
+    B, nj1 = jmap.shape
+
+    # level 1 forward
+    w = jax.scipy.linalg.cho_solve((L, True), bi[..., None])[..., 0]
+    t_b = (bj - jnp.einsum("bki,bk->bi", Nij_s, w, precision=_HI)) * jmask
+
+    # scatter rhs into level-2 systems
+    m2 = ni2 + nj2 + 1
+    r2 = jnp.zeros((SB, m2), dtype=t_b.dtype)
+    r2 = r2.at[jnp.broadcast_to(sb_of_block[:, None], (B, nj1)),
+               l2slot].add(t_b)
+    bi2 = r2[:, :ni2]
+    bj2 = r2[:, ni2:ni2 + nj2]
+
+    # level 2 forward
+    w2 = jax.scipy.linalg.cho_solve((L2, True), bi2[..., None])[..., 0]
+    t2_b = (bj2 - jnp.einsum("bki,bk->bi", Nij2, w2,
+                             precision=_HI)) * j2mask
+    t2 = jnp.zeros((nsj_total,), dtype=t2_b.dtype)
+    t2 = t2.at[j2map.reshape(-1)].add(t2_b.reshape(-1))
+
+    # level 3 solve
+    xsj = jax.scipy.linalg.cho_solve((Lj, True), t2)
+
+    # back-substitute
+    xsj_b = xsj[j2map] * j2mask
+    xi2 = w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b, precision=_HI)
+    from_inner = xi2[xj_sb, jnp.minimum(xj_slot, ni2 - 1)]
+    from_sj = xsj[jnp.minimum(xj_slot, nsj_total - 1)]
+    xj_real = jnp.where(xj_kind == 0, from_inner, from_sj)
+    xj = jnp.concatenate([xj_real,
+                          jnp.zeros((nj_total - xj_real.shape[0],),
+                                    dtype=xj_real.dtype)])
+    xj_b = xj[jmap] * jmask
+    xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b, precision=_HI)) * di
+    return xi, xj * djg
+
+
+class NestedSchurFactors:
+    """Device-resident 3-level factorization (factor once, apply many)."""
+
+    def __init__(self, bs: BlockSystem, part: NestedPartition,
+                 dtype=np.float32):
+        self.bs = bs
+        self.part = part
+        self.dtype = dtype
+        self.nj_total = bs.nj_global + 1
+        self.nsj_total = part.nsj_global + 1
+        self.jmap = jnp.asarray(bs.jmap)
+        self.jmask = jnp.asarray(bs.jmask.astype(dtype))
+        self.sbb = jnp.asarray(part.sb_of_block)
+        self.l2slot = jnp.asarray(part.l2slot)
+        self.j2map = jnp.asarray(part.j2map)
+        self.j2mask = jnp.asarray(part.j2mask.astype(dtype))
+        self.xj_kind = jnp.asarray(part.xj_kind)
+        self.xj_sb = jnp.asarray(part.xj_sb)
+        self.xj_slot = jnp.asarray(part.xj_slot)
+        self.factors = _schur_nested_factor_jit(
+            jnp.asarray(bs.Nii.astype(dtype)),
+            jnp.asarray(bs.Nij.astype(dtype)),
+            jnp.asarray(bs.Njj.astype(dtype)),
+            self.jmap, self.jmask, self.sbb, self.l2slot,
+            self.j2map, self.j2mask,
+            jnp.asarray(part.i2mask.astype(dtype)),
+            part.SB, part.ni2, part.nj2, self.nsj_total, self.nj_total)
+
+    def solve(self, bi, bj):
+        xi, xj = _schur_nested_apply_jit(
+            *self.factors,
+            jnp.asarray(bi.astype(self.dtype)),
+            jnp.asarray(bj.astype(self.dtype)),
+            self.jmap, self.jmask, self.sbb, self.l2slot,
+            self.j2map, self.j2mask,
+            self.xj_kind, self.xj_sb, self.xj_slot,
+            self.part.SB, self.part.ni2, self.part.nj2,
+            self.nsj_total, self.nj_total)
+        return (np.asarray(xi, dtype=np.float64),
+                np.asarray(xj, dtype=np.float64)[:self.bs.nj_global])
+
+
+def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
+                                refine: int = 2, dtype=np.float32,
+                                factors: NestedSchurFactors = None):
+    """Nested mixed-precision solve with factor reuse: one 3-level f32
+    factorization, then 1 + refine cheap applies with f64 host residual
+    refinement.  Pass `factors` back in to skip re-factorizing when the
+    normals are unchanged (refinement rounds, repeated rhs)."""
+    if factors is None:
+        factors = NestedSchurFactors(bs, part, dtype)
+    xi, xj = factors.solve(bs.bi, bs.bj)
+    rhs_j_global = _gather_rhs_junction(bs)
+    flat = bs.jmap.reshape(-1)
+    mask = bs.jmask.reshape(-1) > 0
+    first_idx = {}
+    for k in np.nonzero(mask)[0]:
+        g = flat[k]
+        if g not in first_idx:
+            first_idx[g] = k
+    gi = np.fromiter(first_idx.values(), dtype=np.int64)
+    gg = np.fromiter(first_idx.keys(), dtype=np.int64)
+    for _ in range(refine):
+        yi, yj = _block_matvec(bs, xi, xj)
+        ri = (bs.bi * bs.imask) - yi
+        rj = rhs_j_global - yj
+        rj_b = np.zeros_like(bs.bj).reshape(-1)
+        rj_b[gi] = rj[gg]
+        di_, dj_ = factors.solve(ri, rj_b.reshape(bs.bj.shape))
+        xi = xi + di_
+        xj = xj + dj_
+    return xi, xj, factors

@@ -181,3 +181,22 @@ def test_nested_schur_refined_f32(grid_system):
     xi_r, xj_r = schur_solve_nested_refined(bs, part, refine=2)
     np.testing.assert_allclose(xi_r, xi, atol=1e-7)
     np.testing.assert_allclose(xj_r, xj, atol=1e-7)
+
+
+def test_nested_schur_factored(grid_system):
+    from dynadjust_tpu.parallel.schur import (
+        build_nested_partition, schur_solve, schur_solve_nested_factored,
+    )
+    from dynadjust_tpu.utils.synthetic import grid_super_assignment
+
+    bs, bn, rows, cols, blk = grid_system
+    xi, xj = schur_solve(bs)
+    sup = grid_super_assignment(rows, cols, blk, blk, 2, 2)
+    part = build_nested_partition(bs, sup)
+    xi_f, xj_f, factors = schur_solve_nested_factored(bs, part, refine=2)
+    np.testing.assert_allclose(xi_f, xi, atol=1e-7)
+    np.testing.assert_allclose(xj_f, xj, atol=1e-7)
+    # factor reuse path
+    xi_g, xj_g, _ = schur_solve_nested_factored(bs, part, refine=2,
+                                                factors=factors)
+    np.testing.assert_allclose(xi_g, xi_f, atol=1e-10)
