@@ -310,7 +310,9 @@ def _cmd_adjust(args) -> int:
     write_adj(adj_path, net, res, opts, cmdline=" ".join(sys.argv),
               print_adj_msr=args.output_adj_msr,
               tstat=getattr(args, "output_adj_msr_tstat", False),
-              gnss_units=getattr(args, "output_adj_gnss_units", 0))
+              gnss_units=getattr(args, "output_adj_gnss_units", 0),
+              msr_to_stn=getattr(args, "output_msr_to_stn", False),
+              sort_msr_to_stn=getattr(args, "sort_msr_to_stn", "name"))
     write_xyz(f"{base}.xyz", net, res)
     if args.output_pos_uncertainty:
         from .output.uncertainty import write_apu
@@ -397,6 +399,12 @@ def _add_adjust_args(p):
                    help="adjusted GNSS baseline units: 0 as measured "
                         "(XYZ), 1 local ENU, 2 polar az/vert-angle/dist, "
                         "3 polar az/dist/up")
+    p.add_argument("--output-msr-to-stn", action="store_true",
+                   help="print the measurement-to-station connectivity "
+                        "summary")
+    p.add_argument("--sort-msr-to-stn", default="name",
+                   choices=("name", "count", "count_desc", "file_order"),
+                   help="sort order of the msr-to-stn summary")
     p.add_argument("--phased", action="store_true",
                    help="phased (block-segmented) adjustment")
     p.add_argument("--multi-thread", action="store_true",

@@ -295,7 +295,8 @@ def _nz(v: float, places: int = 4) -> float:
 
 def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
               print_adj_msr: bool = True, geoid_file: str = "",
-              tstat: bool = False, gnss_units: int = 0):
+              tstat: bool = False, gnss_units: int = 0,
+              msr_to_stn: bool = False, sort_msr_to_stn: str = "name"):
     now = datetime.datetime.now()
     L = []
     L.append(OUTPUTLINE)
@@ -367,6 +368,8 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
         L.append("")
         L.extend(measurement_lines(net, res, tstat=tstat,
                                    gnss_units=gnss_units))
+    if msr_to_stn:
+        L.extend(msr_to_stn_lines(net, sort=sort_msr_to_stn))
         L.append("")
 
     L.append("Adjusted Coordinates")
@@ -385,3 +388,77 @@ def write_xyz(path: str, net: NetworkData, res):
          *station_lines(net, res), ""]
     with open(path, "w") as f:
         f.write("\n".join(L) + "\n")
+
+
+MSR_TYPE_ORDER = "ABCDEGHIJKLMPQRSVXYZ"
+
+
+def msr_to_stn_lines(net: NetworkData, sort: str = "name") -> list:
+    """Measurements-to-station connectivity summary
+    (PrintMeasurementsToStation, dnaadjust_printer.cpp:720; row format
+    MsrTally::coutSummaryMsrToStn).  sort: name | count | count_desc |
+    file_order (--sort-msr-to-stn)."""
+    from ..io_formats.dna import Measurement, GpsCluster, DirectionSet
+
+    NW = 8
+    counts = {i: {t: 0 for t in MSR_TYPE_ORDER}
+              for i in range(net.nstations)}
+
+    def bump(name, t):
+        i = net.station_index(name)
+        if i is not None and i >= 0:
+            counts[i][t] += 1
+
+    for rec in net.measurements:
+        if getattr(rec, "ignore", False):
+            continue
+        if isinstance(rec, GpsCluster):
+            for ob in rec.obs:
+                bump(ob.first, rec.mtype)
+                if ob.second:
+                    bump(ob.second, rec.mtype)
+        elif isinstance(rec, DirectionSet):
+            bump(rec.first, "D")
+            bump(rec.ro, "D")
+            for (tgt, _v, _sd, ign) in rec.directions:
+                if not ign:
+                    bump(tgt, "D")
+        elif isinstance(rec, Measurement):
+            for n in (rec.first, rec.second, rec.third):
+                if n:
+                    bump(n, rec.mtype)
+
+    order = list(range(net.nstations))
+    if sort == "name":
+        order.sort(key=lambda i: net.names[i])
+    elif sort == "count":
+        order.sort(key=lambda i: sum(counts[i].values()))
+    elif sort == "count_desc":
+        order.sort(key=lambda i: -sum(counts[i].values()))
+    # file_order: as built
+
+    lines = ["", "Measurements to Station ",
+             "------------------------------------------", ""]
+    hdr = f"{'Station':<{STATION}}"
+    for t in MSR_TYPE_ORDER:
+        hdr += f"{t:>{NW}}"
+    hdr += f"{'Total':>{STAT}}"
+    lines.append(hdr)
+    rule = "-" * (STATION + NW * 20 + STAT)
+    lines.append(rule)
+
+    def row(name, c):
+        s = f"{name:<{STATION}}"
+        for t in MSR_TYPE_ORDER:
+            s += f"{c[t]:>{NW}}" if c[t] else f"{'':>{NW}}"
+        s += f"{sum(c.values()):>{STAT}}"
+        return s
+
+    for i in order:
+        lines.append(row(net.names[i], counts[i]))
+    lines.append(rule)
+    totals = {t: sum(counts[i][t] for i in range(net.nstations))
+              for t in MSR_TYPE_ORDER}
+    lines.append(row("Totals", totals))
+    lines.append("")
+    return lines

@@ -179,3 +179,28 @@ def test_adj_msr_tstat_and_gnss_units(sample_dir):
     enu_rows = _gnss_alt_rows(net, gx, "enu")
     enu_norm = math.sqrt(sum(r.correction ** 2 for r in enu_rows))
     assert abs(xyz_norm - enu_norm) < 1e-9
+
+
+def test_msr_to_stn_summary(sample_dir):
+    from dynadjust_tpu.io_formats import read_dna_stn, read_dna_msr
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.output.adj_writer import msr_to_stn_lines
+
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/urban-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/urban-network.msr")
+    net = build_network(stns, recs, frame, epoch)
+    lines = msr_to_stn_lines(net)
+    assert lines[1].startswith("Measurements to Station")
+    hdr = [ln for ln in lines if ln.startswith("Station")][0]
+    assert hdr.split()[1:] == list("ABCDEGHIJKLMPQRSVXYZ") + ["Total"]
+    totals = [ln for ln in lines if ln.startswith("Totals")][0]
+    # every station row total sums to the grand total column
+    assert int(totals.split()[-1]) > 0
+    # count_desc ordering puts the busiest station first
+    desc = msr_to_stn_lines(net, sort="count_desc")
+    rows = [ln for ln in desc if ln and not ln.startswith(("-", "Station",
+                                                           "Totals",
+                                                           "Measurements"))]
+    t0 = int(rows[0].split()[-1])
+    t1 = int(rows[1].split()[-1])
+    assert t0 >= t1
