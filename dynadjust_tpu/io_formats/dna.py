@@ -81,6 +81,8 @@ class Station:
     p3: float                   # H(ortho for LLH, ellipsoidal for LLh) / Z
     hemi_zone: str = ""
     description: str = ""
+    frame: str = ""             # source frame (SINEX import); "" = project
+    epoch: str = ""
 
 
 @dataclass

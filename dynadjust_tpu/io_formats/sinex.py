@@ -121,7 +121,8 @@ def read_sinex(path: str, frame: str = "", epoch: str = "",
         stations.append(Station(
             name=code, constraints="FFF", coord_type="XYZ",
             p1=xyz[0], p2=xyz[1], p3=xyz[2],
-            description=descs.get(code, "")))
+            description=descs.get(code, ""),
+            frame=frame, epoch=epoch_str))
         ob = GpsObs(first=code, second="", vec=xyz.copy(),
                     vcv=V[3 * a:3 * a + 3, 3 * a:3 * a + 3])
         for b in range(a + 1, n):

@@ -49,6 +49,11 @@ class NetworkData:
     # progress flags, mirroring binary_file_meta_t reduced/reftran/geoid
     geoid_applied: bool = False
     reftran_applied: bool = False
+    # per-station source frame/epoch ("" = the project frame) — set by
+    # SINEX import; reftran transforms each (frame, epoch) group
+    # separately (reference: per-station epsgCode/epoch in station_t)
+    station_frames: list = None
+    station_epochs: list = None
 
     @property
     def nstations(self) -> int:
@@ -111,10 +116,15 @@ def build_network(stations: list, measurements: list, frame: str,
             raise ValueError(f"unsupported station coordinate type {ct!r}")
 
     name_to_idx = {nm: i for i, nm in enumerate(names)}
+    sframes = [getattr(s, "frame", "") or "" for s in stations]
+    sepochs = [getattr(s, "epoch", "") or "" for s in stations]
+    if not any(sframes):
+        sframes = sepochs = None
     return NetworkData(
         names=names, name_to_idx=name_to_idx, constraints=consts,
         coord_types=ctypes, lat=lat, lon=lon, height=hgt,
         initial_height=init_h, height_ref=height_ref,
         geoid_sep=np.zeros(n), meridian_def=np.zeros(n),
         vertical_def=np.zeros(n), descriptions=descs,
-        measurements=measurements, frame=frame, epoch=epoch, datum=datum)
+        measurements=measurements, frame=frame, epoch=epoch, datum=datum,
+        station_frames=sframes, station_epochs=sepochs)

@@ -104,20 +104,38 @@ def transform_network(net: NetworkData, frame: str | None = None,
               if plate_model is not None else None)
 
     # --- stations --------------------------------------------------------
-    # In this model all stations share the project frame (per-station frames
-    # only arise via SINEX import; tracked as a future extension).
-    datum_from = net.datum
-    if not datum_from.same_as(datum_to):
-        x, y, z = geo_to_cart(net.lat, net.lon, net.height,
+    # Stations carry their source frame when imported from SINEX
+    # (net.station_frames); transform each (frame, epoch) group.  Parity:
+    # per-station epsgCode/epoch in station_t, TransformStationRecords
+    # :1451.
+    if net.station_frames is not None:
+        groups: dict = {}
+        for i in range(net.nstations):
+            key = (net.station_frames[i] or net.frame,
+                   net.station_epochs[i] or net.epoch)
+            groups.setdefault(key, []).append(i)
+    else:
+        groups = {(net.frame, net.epoch): list(range(net.nstations))}
+
+    for (gframe, gepoch), idx in groups.items():
+        datum_from = _resolve_datum(gframe, gepoch)
+        if datum_from.same_as(datum_to):
+            stats["stations_skipped"] += len(idx)
+            continue
+        idx = np.asarray(idx)
+        x, y, z = geo_to_cart(net.lat[idx], net.lon[idx], net.height[idx],
                               datum_from.ellipsoid)
         xyz = np.stack([x, y, z], axis=-1)
-        xyz = _transform_xyz(xyz, datum_from, datum_to, plates, plate_model)
+        gplates = [plates[i] for i in idx] if plates is not None else None
+        xyz = _transform_xyz(xyz, datum_from, datum_to, gplates,
+                             plate_model)
         la, lo, h = cart_to_geo(xyz[:, 0], xyz[:, 1], xyz[:, 2],
                                 datum_to.ellipsoid)
-        net.lat, net.lon, net.height = la, lo, h
-        stats["stations"] = net.nstations
-    else:
-        stats["stations_skipped"] = net.nstations
+        net.lat[idx], net.lon[idx], net.height[idx] = la, lo, h
+        stats["stations"] += len(idx)
+    if net.station_frames is not None:
+        net.station_frames = [datum_to.frame] * net.nstations
+        net.station_epochs = [epoch or net.epoch] * net.nstations
 
     # --- measurements ----------------------------------------------------
     for rec in net.measurements:

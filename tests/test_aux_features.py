@@ -204,3 +204,35 @@ def test_msr_to_stn_summary(sample_dir):
     t0 = int(rows[0].split()[-1])
     t1 = int(rows[1].split()[-1])
     assert t0 >= t1
+
+
+def test_per_station_frames_reftran():
+    """Stations imported from SINEX carry their own frame; reftran
+    transforms each (frame, epoch) group separately."""
+    import numpy as np
+    from dynadjust_tpu.io_formats.dna import Station
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.reftran import transform_network
+    from dynadjust_tpu.geodesy.conversions import geo_to_cart
+
+    # one station already on GDA2020, one on ITRF2014@2018 (moves with AU)
+    stns = [
+        Station(name="A", constraints="FFF", coord_type="LLH",
+                p1=-37.4854687, p2=144.5830432, p3=100.0),
+        Station(name="B", constraints="FFF", coord_type="LLH",
+                p1=-36.4854687, p2=145.5830432, p3=120.0,
+                frame="ITRF2014", epoch="01.01.2018"),
+    ]
+    net = build_network(stns, [], "GDA2020", "01.01.2020")
+    assert net.station_frames is not None
+    lat0 = net.lat.copy()
+    lon0 = net.lon.copy()
+    stats = transform_network(net, "GDA2020", "01.01.2020")
+    # station A unchanged (already GDA2020); B moved ~2 years of AU motion
+    assert stats["stations_skipped"] == 1 and stats["stations"] == 1
+    assert abs(net.lat[0] - lat0[0]) < 1e-15
+    from dynadjust_tpu.params.ellipsoids import GRS80
+    x0 = np.array(geo_to_cart(lat0[1], lon0[1], 120.0, GRS80))
+    x1 = np.array(geo_to_cart(net.lat[1], net.lon[1], net.height[1], GRS80))
+    d = np.linalg.norm(x1 - x0)
+    assert 0.08 < d < 0.16, d   # ~2 yr x ~6cm/yr
