@@ -568,6 +568,49 @@ def build_nested_partition(bs: BlockSystem,
         nsj_global=nsj, xj_kind=xj_kind, xj_sb=xj_sb, xj_slot=xj_slot)
 
 
+
+
+def _scatter_l2_mats(S_b, sb_of_block, l2slot, SB, ni2, nj2):
+    """Scatter per-block Schur pieces directly into the three level-2
+    batched arrays (never materialising the full (SB, m2, m2) matrix —
+    essential for HBM at national scale).  Symmetric input: the
+    (junction, inner) orientation is recovered from the transpose."""
+    B, nj1 = l2slot.shape
+    a = l2slot[:, :, None]
+    b = l2slot[:, None, :]
+    sb = jnp.broadcast_to(sb_of_block[:, None, None], (B, nj1, nj1))
+    inner_a, inner_b = a < ni2, b < ni2
+    junc_a = (a >= ni2) & (a < ni2 + nj2)
+    junc_b = (b >= ni2) & (b < ni2 + nj2)
+    ia = jnp.broadcast_to(jnp.where(inner_a, a, ni2), (B, nj1, nj1))
+    ib = jnp.broadcast_to(jnp.where(inner_b, b, ni2), (B, nj1, nj1))
+    ja = jnp.broadcast_to(jnp.where(junc_a, a - ni2, nj2), (B, nj1, nj1))
+    jb = jnp.broadcast_to(jnp.where(junc_b, b - ni2, nj2), (B, nj1, nj1))
+    dt = S_b.dtype
+    Nii2 = jnp.zeros((SB, ni2 + 1, ni2 + 1), dtype=dt)
+    Nij2 = jnp.zeros((SB, ni2 + 1, nj2 + 1), dtype=dt)
+    Njj2 = jnp.zeros((SB, nj2 + 1, nj2 + 1), dtype=dt)
+    Nii2 = Nii2.at[sb, ia, ib].add(S_b * (inner_a & inner_b))
+    Nij2 = Nij2.at[sb, ia, jb].add(S_b * (inner_a & junc_b))
+    Njj2 = Njj2.at[sb, ja, jb].add(S_b * (junc_a & junc_b))
+    return (Nii2[:, :ni2, :ni2], Nij2[:, :ni2, :nj2],
+            Njj2[:, :nj2, :nj2])
+
+
+def _scatter_l2_rhs(t_b, sb_of_block, l2slot, SB, ni2, nj2):
+    B, nj1 = l2slot.shape
+    sbv = jnp.broadcast_to(sb_of_block[:, None], (B, nj1))
+    inner = l2slot < ni2
+    junc = (l2slot >= ni2) & (l2slot < ni2 + nj2)
+    ii = jnp.where(inner, l2slot, ni2)
+    jj = jnp.where(junc, l2slot - ni2, nj2)
+    bi2 = jnp.zeros((SB, ni2 + 1), dtype=t_b.dtype)
+    bj2 = jnp.zeros((SB, nj2 + 1), dtype=t_b.dtype)
+    bi2 = bi2.at[sbv, ii].add(t_b * inner)
+    bj2 = bj2.at[sbv, jj].add(t_b * junc)
+    return bi2[:, :ni2], bj2[:, :nj2]
+
+
 @partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nsj_total",
                                    "nj_total", "scale", "axis"))
 def _schur_solve_nested_jit(Nii, Nij, Njj, bi, bj, jmap, jmask,
@@ -584,31 +627,18 @@ def _schur_solve_nested_jit(Nii, Nij, Njj, bi, bj, jmap, jmask,
     S_b, t_b, L, Y, w = _block_reduce(Nii, Nij, Njj, bi, bj, jmask)
 
     # ---- scatter into level-2 blocked systems ---------------------------
-    m2 = ni2 + nj2 + 1                       # + scratch slot
-    nj1 = jmap.shape[1]
-    M2 = jnp.zeros((SB, m2, m2), dtype=S_b.dtype)
-    r2 = jnp.zeros((SB, m2), dtype=t_b.dtype)
-    sb_b = sb_of_block[:, None, None]
-    M2 = M2.at[jnp.broadcast_to(sb_b, (S_b.shape[0], nj1, nj1)),
-               jnp.broadcast_to(l2slot[:, :, None],
-                                (S_b.shape[0], nj1, nj1)),
-               jnp.broadcast_to(l2slot[:, None, :],
-                                (S_b.shape[0], nj1, nj1))].add(S_b)
-    r2 = r2.at[jnp.broadcast_to(sb_of_block[:, None],
-                                (t_b.shape[0], nj1)), l2slot].add(t_b)
+    Nii2, Nij2, Njj2 = _scatter_l2_mats(S_b, sb_of_block, l2slot,
+                                        SB, ni2, nj2)
+    bi2, bj2 = _scatter_l2_rhs(t_b, sb_of_block, l2slot, SB, ni2, nj2)
     if axis is not None:
-        M2 = jax.lax.psum(M2, axis)
-        r2 = jax.lax.psum(r2, axis)
-
-    Nii2 = M2[:, :ni2, :ni2]
-    Nij2 = M2[:, :ni2, ni2:ni2 + nj2]
-    Njj2 = M2[:, ni2:ni2 + nj2, ni2:ni2 + nj2]
-    bi2 = r2[:, :ni2]
-    bj2 = r2[:, ni2:ni2 + nj2]
+        Nii2 = jax.lax.psum(Nii2, axis)
+        Nij2 = jax.lax.psum(Nij2, axis)
+        Njj2 = jax.lax.psum(Njj2, axis)
+        bi2 = jax.lax.psum(bi2, axis)
+        bj2 = jax.lax.psum(bj2, axis)
     # identity-pad empty inner slots so the batched Cholesky is defined
     eye = jnp.eye(ni2, dtype=Nii2.dtype)
-    Nii2 = Nii2 + eye[None] * (1.0 - i2mask)[:, :, None] * \
-        (1.0 - i2mask)[:, None, :] * \
+    Nii2 = Nii2 + eye[None] * (1.0 - i2mask)[:, None, :] * \
         jnp.where(eye[None] > 0, 1.0, 0.0)
 
     # ---- level 2: eliminate inner-junction params (batched) -------------
@@ -740,81 +770,63 @@ def schur_solve_nested_refined(bs: BlockSystem, part: NestedPartition,
 # nested factor-once / apply-many
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nsj_total",
-                                   "nj_total"))
-def _schur_nested_factor_jit(Nii, Nij, Njj, jmap, jmask, sb_of_block,
-                             l2slot, j2map, j2mask, i2mask,
-                             SB, ni2, nj2, nsj_total, nj_total):
-    """Factor all three levels once; keep everything device-resident."""
+@partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nj_total"),
+         donate_argnums=(0, 1, 2))
+def _nested_factor_stage1(Nii, Nij, Njj, jmap, jmask, sb_of_block,
+                          l2slot, SB, ni2, nj2, nj_total):
+    """Level-1 factorization + level-2 assembly.  Memory-lean: scaled
+    normals are donated, Nij is folded into Y (t = bj − Yᵀbi needs no
+    stored coupling), and the level-2 systems are scattered directly."""
     zero_b = jnp.zeros_like(Nii[..., 0])
     zero_j = jnp.zeros_like(Njj[..., 0])
     Nii_s, Nij_s, Njj_s, _, _, di, dj, djg = _unity_scale(
         Nii, Nij, Njj, zero_b, zero_j, jmap, jmask, nj_total, None)
-
-    # level 1
     L = jnp.linalg.cholesky(Nii_s)
     Y = jax.scipy.linalg.cho_solve((L, True), Nij_s)
     S_b = Njj_s - jnp.einsum("bki,bkj->bij", Nij_s, Y, precision=_HI)
     S_b = S_b * jmask[:, :, None] * jmask[:, None, :]
+    Nii2, Nij2, Njj2 = _scatter_l2_mats(S_b, sb_of_block, l2slot,
+                                        SB, ni2, nj2)
+    return L, Y, Nii2, Nij2, Njj2, di, dj, djg
 
-    # scatter into level-2 systems
-    m2 = ni2 + nj2 + 1
-    B, nj1 = jmap.shape
-    M2 = jnp.zeros((SB, m2, m2), dtype=S_b.dtype)
-    sb_b = sb_of_block[:, None, None]
-    M2 = M2.at[jnp.broadcast_to(sb_b, (B, nj1, nj1)),
-               jnp.broadcast_to(l2slot[:, :, None], (B, nj1, nj1)),
-               jnp.broadcast_to(l2slot[:, None, :], (B, nj1, nj1))].add(S_b)
-    Nii2 = M2[:, :ni2, :ni2]
-    Nij2 = M2[:, :ni2, ni2:ni2 + nj2]
-    Njj2 = M2[:, ni2:ni2 + nj2, ni2:ni2 + nj2]
-    eye = jnp.eye(ni2, dtype=Nii2.dtype)
-    Nii2 = Nii2 + eye[None] * (1.0 - i2mask)[:, :, None] * \
-        (1.0 - i2mask)[:, None, :] * jnp.where(eye[None] > 0, 1.0, 0.0)
 
-    # level 2
+@partial(jax.jit, static_argnames=("nsj_total",), donate_argnums=(0, 2))
+def _nested_factor_stage2(Nii2, Nij2, Njj2, i2mask, j2mask, j2map,
+                          nsj_total):
+    """Level-2 factorization + level-3 assembly and factorization."""
+    eye = jnp.eye(Nii2.shape[1], dtype=Nii2.dtype)
+    Nii2 = Nii2 + eye[None] * (1.0 - i2mask)[:, None, :] * \
+        jnp.where(eye[None] > 0, 1.0, 0.0)
     L2 = jnp.linalg.cholesky(Nii2)
     Y2 = jax.scipy.linalg.cho_solve((L2, True), Nij2)
     S2_b = Njj2 - jnp.einsum("bki,bkj->bij", Nij2, Y2, precision=_HI)
     S2_b = S2_b * j2mask[:, :, None] * j2mask[:, None, :]
-
-    # level 3
-    S2 = jnp.zeros((nsj_total, nsj_total), dtype=S2_b.dtype)
-    idx_i = jnp.repeat(j2map[:, :, None], nj2, axis=2).reshape(-1)
-    idx_j = jnp.repeat(j2map[:, None, :], nj2, axis=1).reshape(-1)
-    S2 = S2.at[idx_i, idx_j].add(S2_b.reshape(-1))
+    S2, _ = _scatter_junction(S2_b, jnp.zeros_like(S2_b[..., 0]), j2map,
+                              nsj_total)
     diag = jnp.diag(S2)
     S2 = S2 + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
     Lj = jnp.linalg.cholesky(S2)
-
-    return L, Y, Nij_s, L2, Y2, Nij2, Lj, di, dj, djg
+    return L2, Y2, Lj
 
 
 @partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nsj_total",
                                    "nj_total"))
-def _schur_nested_apply_jit(L, Y, Nij_s, L2, Y2, Nij2, Lj, di, dj, djg,
+def _schur_nested_apply_jit(L, Y, L2, Y2, Lj, di, dj, djg,
                             bi, bj, jmap, jmask, sb_of_block, l2slot,
                             j2map, j2mask, xj_kind, xj_sb, xj_slot,
                             SB, ni2, nj2, nsj_total, nj_total):
     bi = bi * di
     bj = bj * dj
-    B, nj1 = jmap.shape
 
-    # level 1 forward
+    # level 1 forward: t_b = bj − Nijᵀ Nii⁻¹ bi = bj − Yᵀ bi
     w = jax.scipy.linalg.cho_solve((L, True), bi[..., None])[..., 0]
-    t_b = (bj - jnp.einsum("bki,bk->bi", Nij_s, w, precision=_HI)) * jmask
+    t_b = (bj - jnp.einsum("bkj,bk->bj", Y, bi, precision=_HI)) * jmask
 
-    # scatter rhs into level-2 systems
-    m2 = ni2 + nj2 + 1
-    r2 = jnp.zeros((SB, m2), dtype=t_b.dtype)
-    r2 = r2.at[jnp.broadcast_to(sb_of_block[:, None], (B, nj1)),
-               l2slot].add(t_b)
-    bi2 = r2[:, :ni2]
-    bj2 = r2[:, ni2:ni2 + nj2]
+    bi2, bj2 = _scatter_l2_rhs(t_b, sb_of_block, l2slot, SB, ni2, nj2)
 
     # level 2 forward
     w2 = jax.scipy.linalg.cho_solve((L2, True), bi2[..., None])[..., 0]
-    t2_b = (bj2 - jnp.einsum("bki,bk->bi", Nij2, w2,
+    t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2,
                              precision=_HI)) * j2mask
     t2 = jnp.zeros((nsj_total,), dtype=t2_b.dtype)
     t2 = t2.at[j2map.reshape(-1)].add(t2_b.reshape(-1))
@@ -837,7 +849,11 @@ def _schur_nested_apply_jit(L, Y, Nij_s, L2, Y2, Nij2, Lj, di, dj, djg,
 
 
 class NestedSchurFactors:
-    """Device-resident 3-level factorization (factor once, apply many)."""
+    """Device-resident 3-level factorization (factor once, apply many).
+
+    Persistent state: L (level-1 Cholesky), Y (eliminated coupling),
+    L2/Y2 (level-2), Lj (super-junction Cholesky), scale factors.
+    The scaled normals and level-2 assemblies are donated/freed."""
 
     def __init__(self, bs: BlockSystem, part: NestedPartition,
                  dtype=np.float32):
@@ -855,14 +871,17 @@ class NestedSchurFactors:
         self.xj_kind = jnp.asarray(part.xj_kind)
         self.xj_sb = jnp.asarray(part.xj_sb)
         self.xj_slot = jnp.asarray(part.xj_slot)
-        self.factors = _schur_nested_factor_jit(
+        L, Y, Nii2, Nij2, Njj2, di, dj, djg = _nested_factor_stage1(
             jnp.asarray(bs.Nii.astype(dtype)),
             jnp.asarray(bs.Nij.astype(dtype)),
             jnp.asarray(bs.Njj.astype(dtype)),
             self.jmap, self.jmask, self.sbb, self.l2slot,
-            self.j2map, self.j2mask,
+            part.SB, part.ni2, part.nj2, self.nj_total)
+        L2, Y2, Lj = _nested_factor_stage2(
+            Nii2, Nij2, Njj2,
             jnp.asarray(part.i2mask.astype(dtype)),
-            part.SB, part.ni2, part.nj2, self.nsj_total, self.nj_total)
+            self.j2mask, self.j2map, self.nsj_total)
+        self.factors = (L, Y, L2, Y2, Lj, di, dj, djg)
 
     def solve(self, bi, bj):
         xi, xj = _schur_nested_apply_jit(
