@@ -14,7 +14,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from .schur import BlockSystem, build_block_system, schur_solve, \
-    schur_solve_sharded, schur_solve_refined
+    schur_solve_sharded, schur_solve_refined, build_nested_partition, \
+    schur_solve_nested_factored
 
 
 @dataclass
@@ -133,17 +134,28 @@ def build_normals_vectorised(bn: BlockedNetwork, x: np.ndarray,
 def adjust_blocked(bn: BlockedNetwork, x0: np.ndarray,
                    free_sd: float = 10.0, max_iterations: int = 10,
                    threshold: float = 0.0005, mesh=None,
-                   dtype=np.float64):
+                   dtype=np.float64, block_super=None):
     """Gauss-Newton over the blocked system.  Returns (x, iterations,
-    max_corr, history)."""
+    max_corr, history).
+
+    block_super: optional super-block assignment — switches the solve to
+    the memory-lean 3-level nested Schur (required at national scale,
+    where the flat junction system no longer fits one dense solve)."""
     x = np.asarray(x0, dtype=np.float64).copy()
     free_weight = 1.0 / (free_sd * free_sd)
     history = []
     from .assembly import build_plan, assemble
     plan = build_plan(bn, free_weight)
+    part = None
     for it in range(1, max_iterations + 1):
         bs = assemble(plan, x)
-        if dtype != np.float64:
+        if block_super is not None:
+            if part is None:
+                part = build_nested_partition(bs, block_super)
+            xi, xj, _ = schur_solve_nested_factored(
+                bs, part, refine=2,
+                dtype=np.float32 if dtype == np.float64 else dtype)
+        elif dtype != np.float64:
             # f32 factorizations (MXU) + f64 residual refinement
             xi, xj = schur_solve_refined(bs, mesh=mesh, dtype=dtype)
         elif mesh is not None:

@@ -200,3 +200,28 @@ def test_nested_schur_factored(grid_system):
     xi_g, xj_g, _ = schur_solve_nested_factored(bs, part, refine=2,
                                                 factors=factors)
     np.testing.assert_allclose(xi_g, xi_f, atol=1e-10)
+
+
+def test_adjust_blocked_nested(grid_system):
+    """Full Gauss-Newton through the nested path converges to the same
+    coordinates as the flat path."""
+    from dynadjust_tpu.parallel.blocked_adjust import adjust_blocked
+    from dynadjust_tpu.utils.synthetic import (
+        synthetic_grid_network, grid_segmentation, grid_super_assignment,
+    )
+    from dynadjust_tpu.parallel.blocked_adjust import BlockedNetwork
+
+    rows, cols, blk = 16, 16, 4
+    xyz, pairs, obs, var, x0, fixed = synthetic_grid_network(rows, cols,
+                                                             seed=3)
+    bn = BlockedNetwork(nstations=rows * cols, pairs=pairs, obs=obs,
+                        weight=1.0 / var,
+                        blocks=grid_segmentation(rows, cols, blk, blk)[0],
+                        junction_stations=grid_segmentation(
+                            rows, cols, blk, blk)[1],
+                        constrained=fixed)
+    x_flat, it_f, mc_f, _ = adjust_blocked(bn, x0)
+    sup = grid_super_assignment(rows, cols, blk, blk, 2, 2)
+    x_nest, it_n, mc_n, _ = adjust_blocked(bn, x0, block_super=sup)
+    assert it_n == it_f
+    np.testing.assert_allclose(x_nest, x_flat, atol=1e-6)
