@@ -110,6 +110,12 @@ def _cmd_import(args) -> int:
             split_clusters=getattr(args, "split_clusters", False))
         print(f"+ Station filter retained {len(stations)} stations, "
               f"{len(measurements)} measurement records")
+    if getattr(args, "ignore_insufficient_msrs", False):
+        from .network.screening import ignore_insufficient_measurements
+        poorly = ignore_insufficient_measurements(stations, measurements)
+        if poorly:
+            print(f"- Warning: {len(poorly)} poorly constrained stations "
+                  f"(measurements ignored): {' '.join(poorly[:20])}")
     if getattr(args, "flag_unused_stations", False):
         from .network.screening import unused_stations
         unused = unused_stations(stations, measurements)
@@ -452,6 +458,9 @@ def main(argv=None) -> int:
     p.add_argument("-d", "--discontinuity-file", default="",
                    help="SINEX discontinuity file; renames station "
                         "references to SITE_YYYYDDD by observation epoch")
+    p.add_argument("--ignore-insufficient-msrs", action="store_true",
+                   help="detect stations with insufficient measurements "
+                        "and ignore their measurements")
     p.add_argument("--split-clusters", action="store_true",
                    help="split GNSS X/Y clusters straddling a bounding box "
                         "or station selection boundary")

@@ -199,3 +199,62 @@ def find_nearby_stations(stations: list, tolerance_m: float = 30.0) -> list:
                     out.append((stations[i].name, stations[j].name,
                                 float(np.linalg.norm(pts[i] - pts[j]))))
     return sorted(set(out))
+
+
+_VERTICAL_TYPES = set("HRVZL")
+
+
+def ignore_insufficient_measurements(stations: list, measurements: list):
+    """Iteratively flag stations with too few measurements to be estimable
+    and ignore their (non-GNSS) measurements, until a fixpoint.
+
+    Rules (IgnoreInsufficientMeasurements, dnaimport/dnainterop.cpp):
+    a station with exactly one measurement is estimable only if that
+    measurement is GNSS (3D), or it is a vertical type (H R V Z L) and
+    the station is 2D/3D-constrained (CCF/CCC), or the station is fully
+    constrained (CCC).  Returns the list of poorly constrained station
+    names."""
+    constr = {s.name: (s.constraints or "FFF").upper() for s in stations}
+    poorly: list = []
+
+    def _constraint_kind(c):
+        if c.startswith("CC"):
+            return "CCC" if c == "CCC" else "CCF"
+        return c
+
+    while True:
+        # association count + single-association record per station
+        count: dict = {}
+        single: dict = {}
+        for rec in measurements:
+            if getattr(rec, "ignore", False):
+                continue
+            for name in stations_of_record(rec):
+                count[name] = count.get(name, 0) + 1
+                single[name] = rec
+        insufficient = []
+        for s in stations:
+            if count.get(s.name, 0) != 1:
+                continue
+            rec = single[s.name]
+            c = constr.get(s.name, "FFF")
+            if isinstance(rec, GpsCluster):
+                continue                    # GNSS estimates 3D
+            mtype = rec.mtype if isinstance(rec, Measurement) else "D"
+            if mtype in _VERTICAL_TYPES:
+                if c in ("CCC", "CCF"):
+                    continue
+            else:
+                if c == "CCC":
+                    continue
+            insufficient.append(s.name)
+        if not insufficient:
+            break
+        poorly.extend(insufficient)
+        bad = set(insufficient)
+        for rec in measurements:
+            if getattr(rec, "ignore", False) or isinstance(rec, GpsCluster):
+                continue
+            if bad & set(stations_of_record(rec)):
+                rec.ignore = True
+    return poorly

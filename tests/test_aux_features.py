@@ -236,3 +236,45 @@ def test_per_station_frames_reftran():
     x1 = np.array(geo_to_cart(net.lat[1], net.lon[1], net.height[1], GRS80))
     d = np.linalg.norm(x1 - x0)
     assert 0.08 < d < 0.16, d   # ~2 yr x ~6cm/yr
+
+
+def test_ignore_insufficient_measurements():
+    from dynadjust_tpu.io_formats.dna import Station, Measurement, \
+        GpsCluster, GpsObs
+    from dynadjust_tpu.network.screening import \
+        ignore_insufficient_measurements
+    import numpy as np
+
+    def stn(name, c="FFF"):
+        return Station(name=name, constraints=c, coord_type="LLH",
+                       p1=-37.0, p2=145.0, p3=100.0)
+
+    # A--B slope distance; B has only this one measurement and is FFF ->
+    # B is poorly constrained; ignoring the S leaves A with nothing, but
+    # A has a GNSS point so A survives.
+    stations = [stn("A"), stn("B"), stn("C", "CCC")]
+    y = GpsCluster(mtype="Y", ignore=False, coord_type="XYZ", vscale=1,
+                   pscale=1, lscale=1, hscale=1, epsg_frame="GDA2020",
+                   epoch="")
+    y.obs.append(GpsObs(first="A", second="", vec=np.zeros(3),
+                        vcv=np.eye(3)))
+    s_ab = Measurement(mtype="S", ignore=False, first="A", second="B",
+                       value=1000.0, sd=0.01)
+    s_c = Measurement(mtype="S", ignore=False, first="C", second="A",
+                      value=900.0, sd=0.01)
+    msrs = [y, s_ab, s_c]
+    poorly = ignore_insufficient_measurements(stations, msrs)
+    assert poorly == ["B"]
+    assert s_ab.ignore and not s_c.ignore and not y.ignore
+
+    # a CCC station with one height measurement is fine
+    stations2 = [stn("D", "CCC")]
+    h = Measurement(mtype="H", ignore=False, first="D", value=10.0, sd=0.02)
+    assert ignore_insufficient_measurements(stations2, [h]) == []
+
+    # an FFF station with only a height is insufficient
+    stations3 = [stn("E", "FFF")]
+    h2 = Measurement(mtype="H", ignore=False, first="E", value=10.0,
+                     sd=0.02)
+    assert ignore_insufficient_measurements(stations3, [h2]) == ["E"]
+    assert h2.ignore
