@@ -147,14 +147,19 @@ def adjust_blocked(bn: BlockedNetwork, x0: np.ndarray,
     from .assembly import build_plan, assemble
     plan = build_plan(bn, free_weight)
     part = None
+    factors = None
     for it in range(1, max_iterations + 1):
         bs = assemble(plan, x)
         if block_super is not None:
             if part is None:
                 part = build_nested_partition(bs, block_super)
-            xi, xj, _ = schur_solve_nested_factored(
+            # GNSS design is constant (+/-I): the normals do not change
+            # between relinearisations, so the 3-level factorization is
+            # reused for the whole Gauss-Newton loop
+            xi, xj, factors = schur_solve_nested_factored(
                 bs, part, refine=2,
-                dtype=np.float32 if dtype == np.float64 else dtype)
+                dtype=np.float32 if dtype == np.float64 else dtype,
+                factors=factors)
         elif dtype != np.float64:
             # f32 factorizations (MXU) + f64 residual refinement
             xi, xj = schur_solve_refined(bs, mesh=mesh, dtype=dtype)
