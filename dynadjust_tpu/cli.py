@@ -318,7 +318,8 @@ def _cmd_adjust(args) -> int:
               tstat=getattr(args, "output_adj_msr_tstat", False),
               gnss_units=getattr(args, "output_adj_gnss_units", 0),
               msr_to_stn=getattr(args, "output_msr_to_stn", False),
-              sort_msr_to_stn=getattr(args, "sort_msr_to_stn", "name"))
+              sort_msr_to_stn=getattr(args, "sort_msr_to_stn", "name"),
+              database_ids=getattr(args, "output_database_ids", False))
     write_xyz(f"{base}.xyz", net, res)
     if args.output_pos_uncertainty:
         from .output.uncertainty import write_apu
@@ -405,6 +406,9 @@ def _add_adjust_args(p):
                    help="adjusted GNSS baseline units: 0 as measured "
                         "(XYZ), 1 local ENU, 2 polar az/vert-angle/dist, "
                         "3 polar az/dist/up")
+    p.add_argument("--output-database-ids", action="store_true",
+                   help="append measurement/cluster id columns to the "
+                        "adjusted measurements table")
     p.add_argument("--output-msr-to-stn", action="store_true",
                    help="print the measurement-to-station connectivity "
                         "summary")

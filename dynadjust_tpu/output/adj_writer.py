@@ -209,12 +209,15 @@ def _gnss_alt_rows(net, rows3, units: str):
 
 
 def measurement_lines(net: NetworkData, res, msr_prec_m=4,
-                      msr_prec_s=4, tstat=False, gnss_units=0) -> list:
+                      msr_prec_s=4, tstat=False, gnss_units=0,
+                      database_ids=False) -> list:
     """The Adjusted Measurements table.
 
     tstat: add the T-stat column (--output-adj-msr-tstat).
     gnss_units: 0 as-measured XYZ, 1 ENU, 2 AED, 3 ADU
-    (--output-adj-gnss-units)."""
+    (--output-adj-gnss-units).
+    database_ids: append measurement id and (for D/G/X/Y) cluster id
+    columns (--output-database-ids; PrintMeasurementDatabaseID)."""
     lines = []
     hdr = (f"{'M':<2}{'Station 1':<{STATION}}{'Station 2':<{STATION}}"
            f"{'Station 3':<{STATION}}{'*':<{PAD3}}{'C':<{PAD2}}"
@@ -223,7 +226,9 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
            f"{'N-stat':>{STAT}}"
            + (f"{'T-stat':>{STAT}}" if tstat else "")
            + f"{'Pelzer Rel':>{REL}}"
-           f"{'Pre Adj Corr':>{PREC + 1}}{'Outlier?':>{OUTLIER}}")
+           f"{'Pre Adj Corr':>{PREC + 1}}{'Outlier?':>{OUTLIER}}"
+           + (f"{'Meas. ID':>{STDDEV}}{'Cluster ID':>{STDDEV}}"
+              if database_ids else ""))
     lines.append(hdr)
     lines.append("-" * (206 + (STAT if tstat else 0)))
 
@@ -278,7 +283,15 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
                     + _msr_stat_cols(r, tstat) +
                     f"{r.pre_adj_corr:>{PREC + 1}.4f}")
         outlier = f"{'*':>{OUTLIER}}" if r.outlier else f"{'':{OUTLIER}}"
-        lines.append(head + body + outlier)
+        line = head + body + outlier
+        if database_ids:
+            line += f"{r.rec_idx:>{STDDEV}}"
+            if r.mtype in ("D", "G", "X", "Y"):
+                rec = net.measurements[r.rec_idx] \
+                    if r.rec_idx < len(net.measurements) else None
+                cid = getattr(rec, "cluster_id", 0) or r.rec_idx
+                line += f"{cid:>{STDDEV}}"
+        lines.append(line)
     return lines
 
 
@@ -296,7 +309,8 @@ def _nz(v: float, places: int = 4) -> float:
 def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
               print_adj_msr: bool = True, geoid_file: str = "",
               tstat: bool = False, gnss_units: int = 0,
-              msr_to_stn: bool = False, sort_msr_to_stn: str = "name"):
+              msr_to_stn: bool = False, sort_msr_to_stn: str = "name",
+              database_ids: bool = False):
     now = datetime.datetime.now()
     L = []
     L.append(OUTPUTLINE)
@@ -367,7 +381,8 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
         L.append("------------------------------------------")
         L.append("")
         L.extend(measurement_lines(net, res, tstat=tstat,
-                                   gnss_units=gnss_units))
+                                   gnss_units=gnss_units,
+                                   database_ids=database_ids))
     if msr_to_stn:
         L.extend(msr_to_stn_lines(net, sort=sort_msr_to_stn))
         L.append("")
