@@ -164,19 +164,19 @@ def _cmd_geoid(args) -> int:
     from .geoid import apply_geoid
     from . import project
 
-    if args.create_ntv2:
+    if getattr(args, "create_ntv2", ""):
         from .geoid.gridtools import create_ntv2_from_dat, write_gsb
         grid = create_ntv2_from_dat(args.create_ntv2)
         write_gsb(grid, args.grid)
         print(f"+ Created NTv2 grid {args.grid} from {args.create_ntv2}")
         return 0
-    if args.export_ascii_grid:
+    if getattr(args, "export_ascii_grid", ""):
         from .geoid.gridtools import export_ascii
         grid = NTv2Grid.read(args.grid)
         export_ascii(grid, args.export_ascii_grid)
         print(f"+ Exported {args.grid} to {args.export_ascii_grid}")
         return 0
-    if args.point_file:
+    if getattr(args, "point_file", ""):
         from .geoid.gridtools import interpolate_point_file
         grid = NTv2Grid.read(args.grid)
         out = args.point_file + ".geoid.txt"
@@ -373,6 +373,24 @@ def _apply_cli_constraints(net, spec: str):
 
 def _cmd_dynadjust(args) -> int:
     """Orchestrator: run import → geoid → reftran → segment → adjust."""
+    if getattr(args, "project_file", ""):
+        from .io_formats.dnaproj import project_to_args
+        loaded = project_to_args(args.project_file)
+        for k, v in loaded.items():
+            cur = getattr(args, k, None)
+            if cur in (None, "", [], False, 0) or \
+                    (k == "files" and not args.files):
+                setattr(args, k, v)
+        print(f"+ Loaded project file {args.project_file} "
+              f"(network {args.network_name})")
+    if not args.network_name:
+        print("error: network name required (use -n or -p)",
+              file=sys.stderr)
+        return 1
+    if not args.files:
+        print("error: no input files (use positional files or -p)",
+              file=sys.stderr)
+        return 1
     rc = _cmd_import(args)
     if rc:
         return rc
@@ -531,8 +549,11 @@ def main(argv=None) -> int:
     p.set_defaults(func=_cmd_adjust)
 
     p = sub.add_parser("dynadjust", help="run the full pipeline")
-    p.add_argument("-n", "--network-name", required=True)
-    p.add_argument("files", nargs="+")
+    p.add_argument("-n", "--network-name", default="")
+    p.add_argument("files", nargs="*")
+    p.add_argument("-p", "--project-file", default="",
+                   help=".dnaproj project file supplying all settings "
+                        "(CDnaProjectFile layout)")
     p.add_argument("-r", "--reference-frame", default="")
     p.add_argument("-e", "--epoch", default="")
     p.add_argument("-g", "--grid", default="")

@@ -278,3 +278,31 @@ def test_ignore_insufficient_measurements():
                      sd=0.02)
     assert ignore_insufficient_measurements(stations3, [h2]) == ["E"]
     assert h2.ignore
+
+
+def test_dnaproj_roundtrip_and_args(tmp_path):
+    from dynadjust_tpu.io_formats.dnaproj import (
+        read_dnaproj, settings, write_dnaproj, project_to_args,
+    )
+    src = "/root/reference/sampleData/sample.dnaproj"
+    sections = read_dnaproj(src)
+    cfg = settings(sections)
+    assert cfg["general"]["network-name"] == "sample"
+    assert cfg["import"]["stn-msr-file"] == ["urban-network.stn",
+                                             "urban-network.msr"]
+    assert cfg["adjust"]["adjustment-mode"] == "phased-adjustment"
+
+    args = project_to_args(src)
+    assert args["network_name"] == "sample"
+    assert args["phased"] is True
+    assert args["max_iterations"] == 10
+    assert abs(args["fixed_stn_sd"] - 1e-6) < 1e-12
+    assert args["grid"] == "urban-network-geoid.gsb"
+    assert args["output_adj_msr"] is True
+    assert len(args["files"]) == 2
+
+    # round trip
+    out = tmp_path / "copy.dnaproj"
+    write_dnaproj(str(out), sections)
+    cfg2 = settings(read_dnaproj(str(out)))
+    assert cfg2 == cfg
