@@ -14,8 +14,13 @@ import numpy as np
 
 
 def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
-                 ellipse_scale=None, title=None):
-    """Write a network map (PDF/PNG by extension)."""
+                 ellipse_scale=None, title=None, show_corrections=False,
+                 correction_scale=None, show_pu=False, initial_coords=None):
+    """Write a network map (PDF/PNG by extension).
+
+    show_corrections: arrows from initial to adjusted positions (the
+    reference's correction arrows; requires initial_coords (lat, lon)
+    radian arrays).  show_pu: positional uncertainty circles (95%)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -81,6 +86,49 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
                         angle=-np.degrees(az),
                         fill=False, color="tab:red", lw=0.6, zorder=6)
             ax.add_patch(e)
+
+    # correction arrows (initial → adjusted), magnified to be visible
+    if show_corrections and initial_coords is not None:
+        lat0, lon0 = initial_coords
+        dlat = lat - np.degrees(lat0)
+        dlon = lon - np.degrees(lon0)
+        mag = np.hypot(dlat, dlon)
+        spans = max(lat.max() - lat.min(), lon.max() - lon.min(), 1e-6)
+        if correction_scale is None:
+            ref = np.median(mag[mag > 0]) if (mag > 0).any() else 1.0
+            correction_scale = 0.03 * spans / max(ref, 1e-12)
+        for i in range(net.nstations):
+            if mag[i] <= 0:
+                continue
+            ax.annotate("", xy=(lon[i] + dlon[i] * correction_scale,
+                                lat[i] + dlat[i] * correction_scale),
+                        xytext=(lon[i], lat[i]),
+                        arrowprops=dict(arrowstyle="->", color="tab:green",
+                                        lw=0.8), zorder=7)
+
+    # positional uncertainty circles (95% circularised)
+    if show_pu and res is not None:
+        from ..geodesy.local_frame import rotation_cart_to_local
+        from .uncertainty import error_ellipse, positional_uncertainty
+        from matplotlib.patches import Circle
+        spans = max(lat.max() - lat.min(), lon.max() - lon.min(), 1e-6)
+        pus = []
+        for i in range(net.nstations):
+            Vc = res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
+            R = rotation_cart_to_local(net.lat[i], net.lon[i])
+            Vl = R @ Vc @ R.T
+            a, b, _ = error_ellipse(Vl)
+            hp, _vp = positional_uncertainty(a, b, np.sqrt(max(Vl[2, 2],
+                                                               0.0)))
+            pus.append(hp)
+        scale = 0.02 * spans / (np.median([p for p in pus if p > 0])
+                                or 1.0)
+        for i, pu in enumerate(pus):
+            if pu <= 0:
+                continue
+            ax.add_patch(Circle((lon[i], lat[i]), pu * scale, fill=False,
+                                color="tab:purple", lw=0.5, ls=":",
+                                zorder=6))
 
     ax.set_xlabel("Longitude (°)")
     ax.set_ylabel("Latitude (°)")
