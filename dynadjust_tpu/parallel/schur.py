@@ -787,7 +787,12 @@ def _nested_factor_stage1(Nii, Nij, Njj, jmap, jmask, sb_of_block,
     S_b = S_b * jmask[:, :, None] * jmask[:, None, :]
     Nii2, Nij2, Njj2 = _scatter_l2_mats(S_b, sb_of_block, l2slot,
                                         SB, ni2, nj2)
-    return L, Y, Nii2, Nij2, Njj2, di, dj, djg
+    # explicit inverse (the reference's dpotri): applies become pure
+    # MXU matmuls — XLA's batched triangular_solve materialises masked
+    # matrix copies per solve, which blows HBM at national scale
+    eye1 = jnp.broadcast_to(jnp.eye(L.shape[1], dtype=L.dtype), L.shape)
+    Ainv = jax.scipy.linalg.cho_solve((L, True), eye1)
+    return Ainv, Y, Nii2, Nij2, Njj2, di, dj, djg
 
 
 @partial(jax.jit, static_argnames=("nsj_total",), donate_argnums=(0, 2))
@@ -806,12 +811,16 @@ def _nested_factor_stage2(Nii2, Nij2, Njj2, i2mask, j2mask, j2map,
     diag = jnp.diag(S2)
     S2 = S2 + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
     Lj = jnp.linalg.cholesky(S2)
-    return L2, Y2, Lj
+    A2inv = jax.scipy.linalg.cho_solve(
+        (L2, True), jnp.broadcast_to(eye, Nii2.shape))
+    Sinv = jax.scipy.linalg.cho_solve(
+        (Lj, True), jnp.eye(S2.shape[0], dtype=S2.dtype))
+    return A2inv, Y2, Sinv
 
 
 @partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nsj_total",
                                    "nj_total"))
-def _schur_nested_apply_jit(L, Y, L2, Y2, Lj, di, dj, djg,
+def _schur_nested_apply_jit(Ainv, Y, A2inv, Y2, Sinv, di, dj, djg,
                             bi, bj, jmap, jmask, sb_of_block, l2slot,
                             j2map, j2mask, xj_kind, xj_sb, xj_slot,
                             SB, ni2, nj2, nsj_total, nj_total):
@@ -819,20 +828,20 @@ def _schur_nested_apply_jit(L, Y, L2, Y2, Lj, di, dj, djg,
     bj = bj * dj
 
     # level 1 forward: t_b = bj − Nijᵀ Nii⁻¹ bi = bj − Yᵀ bi
-    w = jax.scipy.linalg.cho_solve((L, True), bi[..., None])[..., 0]
+    w = jnp.einsum("bij,bj->bi", Ainv, bi, precision=_HI)
     t_b = (bj - jnp.einsum("bkj,bk->bj", Y, bi, precision=_HI)) * jmask
 
     bi2, bj2 = _scatter_l2_rhs(t_b, sb_of_block, l2slot, SB, ni2, nj2)
 
     # level 2 forward
-    w2 = jax.scipy.linalg.cho_solve((L2, True), bi2[..., None])[..., 0]
+    w2 = jnp.einsum("bij,bj->bi", A2inv, bi2, precision=_HI)
     t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2,
                              precision=_HI)) * j2mask
     t2 = jnp.zeros((nsj_total,), dtype=t2_b.dtype)
     t2 = t2.at[j2map.reshape(-1)].add(t2_b.reshape(-1))
 
     # level 3 solve
-    xsj = jax.scipy.linalg.cho_solve((Lj, True), t2)
+    xsj = Sinv @ t2
 
     # back-substitute
     xsj_b = xsj[j2map] * j2mask
@@ -851,8 +860,10 @@ def _schur_nested_apply_jit(L, Y, L2, Y2, Lj, di, dj, djg,
 class NestedSchurFactors:
     """Device-resident 3-level factorization (factor once, apply many).
 
-    Persistent state: L (level-1 Cholesky), Y (eliminated coupling),
-    L2/Y2 (level-2), Lj (super-junction Cholesky), scale factors.
+    Persistent state: Ainv (level-1 block inverses), Y (eliminated
+    coupling), A2inv/Y2 (level-2), Sinv (super-junction inverse), scale
+    factors.  Explicit inverses (the reference's dpotri) keep applies
+    pure matmuls; f64 refinement absorbs the extra rounding.
     The scaled normals and level-2 assemblies are donated/freed."""
 
     def __init__(self, bs: BlockSystem, part: NestedPartition,
@@ -871,17 +882,17 @@ class NestedSchurFactors:
         self.xj_kind = jnp.asarray(part.xj_kind)
         self.xj_sb = jnp.asarray(part.xj_sb)
         self.xj_slot = jnp.asarray(part.xj_slot)
-        L, Y, Nii2, Nij2, Njj2, di, dj, djg = _nested_factor_stage1(
+        Ainv, Y, Nii2, Nij2, Njj2, di, dj, djg = _nested_factor_stage1(
             jnp.asarray(bs.Nii.astype(dtype)),
             jnp.asarray(bs.Nij.astype(dtype)),
             jnp.asarray(bs.Njj.astype(dtype)),
             self.jmap, self.jmask, self.sbb, self.l2slot,
             part.SB, part.ni2, part.nj2, self.nj_total)
-        L2, Y2, Lj = _nested_factor_stage2(
+        A2inv, Y2, Sinv = _nested_factor_stage2(
             Nii2, Nij2, Njj2,
             jnp.asarray(part.i2mask.astype(dtype)),
             self.j2mask, self.j2map, self.nsj_total)
-        self.factors = (L, Y, L2, Y2, Lj, di, dj, djg)
+        self.factors = (Ainv, Y, A2inv, Y2, Sinv, di, dj, djg)
 
     def solve(self, bi, bj):
         xi, xj = _schur_nested_apply_jit(
