@@ -324,7 +324,9 @@ def _cmd_adjust(args) -> int:
     if args.output_pos_uncertainty:
         from .output.uncertainty import write_apu
         write_apu(f"{base}.apu", net, res,
-                  confidence=opts.confidence_interval)
+                  confidence=opts.confidence_interval,
+                  all_covariances=getattr(args, "output_all_covariances",
+                                          False))
     if args.output_corrections_file:
         from .output.uncertainty import write_cor
         from .geodesy.conversions import geo_to_cart
@@ -424,6 +426,9 @@ def _add_adjust_args(p):
                    help="adjusted GNSS baseline units: 0 as measured "
                         "(XYZ), 1 local ENU, 2 polar az/vert-angle/dist, "
                         "3 polar az/dist/up")
+    p.add_argument("--output-all-covariances", action="store_true",
+                   help="print inter-station covariance blocks in the "
+                        ".apu file")
     p.add_argument("--output-database-ids", action="store_true",
                    help="append measurement/cluster id columns to the "
                         "adjusted measurements table")

@@ -55,11 +55,15 @@ def positional_uncertainty(semimajor, semiminor, sd_up):
 
 
 def write_apu(path: str, net: NetworkData, res, vcv_units: str = "ENU",
-              confidence: float = 95.0):
+              confidence: float = 95.0, all_covariances: bool = False):
+    """all_covariances: also print the 3x3 covariance blocks between each
+    station and every later station (--output-all-covariances)."""
     L = [OUTPUTLINE, "DYNADJUST-TPU POSITIONAL UNCERTAINTY OUTPUT FILE", ""]
     L.append(f"{'PU confidence interval:':<35}{confidence:.1f}%")
     L.append(f"{'Error ellipse axes:':<35}1 sigma")
     L.append(f"{'Variance matrix units:':<35}{vcv_units}")
+    L.append(f"{'Full covariance matrix:':<35}"
+             f"{'Yes' if all_covariances else 'No'}")
     L.append(OUTPUTLINE)
     L.append("")
     L.append("Positional Uncertainty")
@@ -98,6 +102,19 @@ def write_apu(path: str, net: NetworkData, res, vcv_units: str = "ENU",
         pad = STATION + PAD2 + LAT_EAST + LON_NORTH + STAT * 2 + PREC * 3
         L.append(f"{'':{pad + MSR}}{V[1, 1]:>{MSR}.9e}{V[1, 2]:>{MSR}.9e}")
         L.append(f"{'':{pad + 2 * MSR}}{V[2, 2]:>{MSR}.9e}")
+        if all_covariances:
+            Ri = R
+            for j in range(i + 1, net.nstations):
+                C = res.cov_xyz[3 * i:3 * i + 3, 3 * j:3 * j + 3]
+                if vcv_units == "ENU":
+                    Rj = rotation_cart_to_local(res.lat[j], res.lon[j])
+                    C = Ri @ C @ Rj.T
+                name_pad = STATION + PAD2
+                for r_ in range(3):
+                    prefix = (f"{net.names[j]:<{name_pad}}" if r_ == 0
+                              else " " * name_pad)
+                    L.append(prefix + "".join(
+                        f"{C[r_, c_]:>{MSR}.9e}" for c_ in range(3)))
     with open(path, "w") as f:
         f.write("\n".join(L) + "\n")
 

@@ -306,3 +306,28 @@ def test_dnaproj_roundtrip_and_args(tmp_path):
     write_dnaproj(str(out), sections)
     cfg2 = settings(read_dnaproj(str(out)))
     assert cfg2 == cfg
+
+
+def test_apu_all_covariances(sample_dir, tmp_path):
+    from dynadjust_tpu.adjust import AdjustmentOptions
+    from dynadjust_tpu.adjust.simultaneous import adjust_simultaneous
+    from dynadjust_tpu.io_formats import read_dna_stn, read_dna_msr
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.output.uncertainty import write_apu
+
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/gnss-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/gnss-network.msr")
+    net = build_network(stns, recs, frame, epoch)
+    res = adjust_simultaneous(net, AdjustmentOptions())
+    p1 = tmp_path / "a.apu"
+    p2 = tmp_path / "b.apu"
+    write_apu(str(p1), net, res)
+    write_apu(str(p2), net, res, all_covariances=True)
+    t1 = p1.read_text()
+    t2 = p2.read_text()
+    assert "Full covariance matrix:            No" in t1
+    assert "Full covariance matrix:            Yes" in t2
+    # covariance output: n*(n-1)/2 extra 3x3 blocks => 3 lines each
+    extra = len(t2.splitlines()) - len(t1.splitlines())
+    n = net.nstations
+    assert extra == 3 * n * (n - 1) // 2
