@@ -17,3 +17,4 @@ class AdjustmentOptions:
     scale_normals_to_unity: bool = False
     stations_constrained: str = ""           # "name,CCC,name2,FFC,..."
     mode: str = "simultaneous"               # simultaneous | phased
+    output_iter_stations: bool = False       # snapshot coords per iteration

@@ -180,8 +180,11 @@ def adjust_simultaneous(net: NetworkData,
         est = est + dx
         imax = int(np.argmax(np.abs(dx)))
         max_corr = dx[imax]
-        it_log.append({"iteration": iteration, "max_corr": float(max_corr),
-                       "station": net.names[imax // 3]})
+        entry = {"iteration": iteration, "max_corr": float(max_corr),
+                 "station": net.names[imax // 3]}
+        if opts.output_iter_stations:
+            entry["est"] = est.copy()
+        it_log.append(entry)
         osc.update(iteration, np.arange(S), dx, net.lat, net.lon)
 
         if abs(max_corr) <= opts.iteration_threshold:

@@ -262,6 +262,7 @@ def _cmd_adjust(args) -> int:
         confidence_interval=args.confidence_interval,
         free_std_dev=args.free_stn_sd,
         fixed_std_dev=args.fixed_stn_sd,
+        output_iter_stations=getattr(args, "output_iter_adj_stn", False),
         scale_normals_to_unity=args.scale_normals_to_unity,
         mode="phased" if args.phased else "simultaneous",
     )
@@ -426,6 +427,9 @@ def _add_adjust_args(p):
                    help="adjusted GNSS baseline units: 0 as measured "
                         "(XYZ), 1 local ENU, 2 polar az/vert-angle/dist, "
                         "3 polar az/dist/up")
+    p.add_argument("--output-iter-adj-stn", action="store_true",
+                   help="print adjusted station coordinates at each "
+                        "iteration")
     p.add_argument("--output-all-covariances", action="store_true",
                    help="print inter-station covariance blocks in the "
                         ".apu file")

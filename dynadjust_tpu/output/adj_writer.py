@@ -344,6 +344,18 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
         L.append(OUTPUTLINE)
         L.append(f"{'ITERATION':<{PRINT_VAR_PAD}}{entry['iteration']}")
         L.append("")
+        if "est" in entry:
+            # per-iteration adjusted stations (--output-iter-adj-stn)
+            from ..geodesy.conversions import cart_to_geo
+            est = entry["est"].reshape(-1, 3)
+            L.append(f"{'Station':<{STATION}}{'X':>{MSR}}{'Y':>{MSR}}"
+                     f"{'Z':>{MSR}}")
+            L.append("-" * (STATION + 3 * MSR))
+            for i in range(net.nstations):
+                L.append(f"{net.names[i]:<{STATION}}"
+                         f"{est[i, 0]:>{MSR}.4f}{est[i, 1]:>{MSR}.4f}"
+                         f"{est[i, 2]:>{MSR}.4f}")
+            L.append("")
         L.append(f"{'Maximum station correction':<{PRINT_VAR_PAD}}"
                  f"Station {entry['station']}")
         L.append(f"{'':{PRINT_VAR_PAD}}{entry['max_corr']:.6g} (max)")
