@@ -802,17 +802,25 @@ def _nested_factor_stage2(Nii2, Nij2, Njj2, i2mask, j2mask, j2map,
     eye = jnp.eye(Nii2.shape[1], dtype=Nii2.dtype)
     Nii2 = Nii2 + eye[None] * (1.0 - i2mask)[:, None, :] * \
         jnp.where(eye[None] > 0, 1.0, 0.0)
-    L2 = jnp.linalg.cholesky(Nii2)
-    Y2 = jax.scipy.linalg.cho_solve((L2, True), Nij2)
-    S2_b = Njj2 - jnp.einsum("bki,bkj->bij", Nij2, Y2, precision=_HI)
-    S2_b = S2_b * j2mask[:, :, None] * j2mask[:, None, :]
+
+    # level-2 systems are few but large: factor/invert them one
+    # super-block at a time (lax.map is sequential) so XLA's
+    # triangular-solve temps are paid for a single system, not the batch
+    def _factor_one(args):
+        Nii2b, Nij2b = args
+        L2b = jnp.linalg.cholesky(Nii2b)
+        Y2b = jax.scipy.linalg.cho_solve((L2b, True), Nij2b)
+        A2invb = jax.scipy.linalg.cho_solve((L2b, True), eye)
+        S2b = - jnp.einsum("ki,kj->ij", Nij2b, Y2b, precision=_HI)
+        return A2invb, Y2b, S2b
+
+    A2inv, Y2, S2_b = jax.lax.map(_factor_one, (Nii2, Nij2))
+    S2_b = (Njj2 + S2_b) * j2mask[:, :, None] * j2mask[:, None, :]
     S2, _ = _scatter_junction(S2_b, jnp.zeros_like(S2_b[..., 0]), j2map,
                               nsj_total)
     diag = jnp.diag(S2)
     S2 = S2 + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
     Lj = jnp.linalg.cholesky(S2)
-    A2inv = jax.scipy.linalg.cho_solve(
-        (L2, True), jnp.broadcast_to(eye, Nii2.shape))
     Sinv = jax.scipy.linalg.cho_solve(
         (Lj, True), jnp.eye(S2.shape[0], dtype=S2.dtype))
     return A2inv, Y2, Sinv
