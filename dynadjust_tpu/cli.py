@@ -76,6 +76,33 @@ def _cmd_import(args) -> int:
         frame = args.reference_frame
 
     # --- import-time screening and auxiliaries --------------------------
+    if getattr(args, "include_msr_types", "") or \
+            getattr(args, "exclude_msr_types", ""):
+        from .io_formats.dna import Measurement, GpsCluster, DirectionSet
+        inc = set(getattr(args, "include_msr_types", "").upper())
+        exc = set(getattr(args, "exclude_msr_types", "").upper())
+
+        def _mt(rec):
+            return rec.mtype if not isinstance(rec, DirectionSet) else "D"
+        before = len(measurements)
+        if inc:
+            measurements = [r for r in measurements if _mt(r) in inc]
+        if exc:
+            measurements = [r for r in measurements if _mt(r) not in exc]
+        print(f"+ Measurement type filter retained {len(measurements)} of "
+              f"{before} records")
+    if any(getattr(args, k, 1.0) != 1.0
+           for k in ("vscale", "pscale", "lscale", "hscale")):
+        from .io_formats.dna import GpsCluster
+        n = 0
+        for rec in measurements:
+            if isinstance(rec, GpsCluster):
+                rec.vscale *= getattr(args, "vscale", 1.0)
+                rec.pscale *= getattr(args, "pscale", 1.0)
+                rec.lscale *= getattr(args, "lscale", 1.0)
+                rec.hscale *= getattr(args, "hscale", 1.0)
+                n += 1
+        print(f"+ Applied global VCV scalars to {n} GNSS clusters")
     if disconts:
         from .io_formats.discontinuities import apply_discontinuities
         pairs = apply_discontinuities(stations, measurements, disconts)
@@ -122,10 +149,21 @@ def _cmd_import(args) -> int:
         if unused:
             print(f"- Warning: {len(unused)} unused stations: "
                   f"{' '.join(unused[:20])}")
-    if getattr(args, "search_similar_msr", False):
+    if getattr(args, "search_similar_msr", False) or \
+            getattr(args, "ignore_similar_msr", False):
         from .network.screening import find_similar_measurements
         sim = find_similar_measurements(measurements)
         print(f"+ Similar measurement pairs found: {len(sim)}")
+        if getattr(args, "ignore_similar_msr", False):
+            for (_a, b) in sim:
+                measurements[b].ignore = True
+            print(f"+ Ignored {len(sim)} later duplicates")
+    if getattr(args, "remove_ignored_msr", False):
+        before = len(measurements)
+        measurements = [r for r in measurements
+                        if not getattr(r, "ignore", False)]
+        print(f"+ Removed {before - len(measurements)} ignored "
+              f"measurements")
     if getattr(args, "search_nearby_stn", False):
         from .network.screening import find_nearby_stations
         near = find_nearby_stations(stations)
@@ -489,6 +527,20 @@ def main(argv=None) -> int:
     p.add_argument("-d", "--discontinuity-file", default="",
                    help="SINEX discontinuity file; renames station "
                         "references to SITE_YYYYDDD by observation epoch")
+    p.add_argument("--include-msr-types", default="",
+                   help="keep only these measurement type letters")
+    p.add_argument("--exclude-msr-types", default="",
+                   help="drop these measurement type letters")
+    p.add_argument("--vscale", type=float, default=1.0,
+                   help="global GNSS VCV scalar")
+    p.add_argument("--pscale", type=float, default=1.0)
+    p.add_argument("--lscale", type=float, default=1.0)
+    p.add_argument("--hscale", type=float, default=1.0)
+    p.add_argument("--ignore-similar-msr", action="store_true",
+                   help="ignore the later measurement of each similar "
+                        "pair")
+    p.add_argument("--remove-ignored-msr", action="store_true",
+                   help="drop ignored measurements entirely")
     p.add_argument("--ignore-insufficient-msrs", action="store_true",
                    help="detect stations with insufficient measurements "
                         "and ignore their measurements")
