@@ -181,6 +181,20 @@ def _cmd_import(args) -> int:
         write_dna_msr(f"{base}.simulated.msr", net)
         print(f"+ Simulated {n} measurement records -> "
               f"{base}.simulated.msr")
+    if getattr(args, "export_asl_file", False) or \
+            getattr(args, "export_aml_file", False) or \
+            getattr(args, "export_map_file", False):
+        from .io_formats import assoc_files
+        base = os.path.join(args.output_folder, args.network_name)
+        if args.export_asl_file:
+            assoc_files.export_asl(f"{base}.asl.txt", net)
+            print(f"+ Exported {base}.asl.txt")
+        if args.export_aml_file:
+            assoc_files.export_aml(f"{base}.aml.txt", net)
+            print(f"+ Exported {base}.aml.txt")
+        if args.export_map_file:
+            assoc_files.export_map(f"{base}.map.txt", net)
+            print(f"+ Exported {base}.map.txt")
     if getattr(args, "export_dna", False):
         from .io_formats.dna_writer import write_dna_stn, write_dna_msr
         base = os.path.join(args.output_folder, args.network_name)
@@ -527,6 +541,12 @@ def main(argv=None) -> int:
     p.add_argument("-d", "--discontinuity-file", default="",
                    help="SINEX discontinuity file; renames station "
                         "references to SITE_YYYYDDD by observation epoch")
+    p.add_argument("--export-asl-file", action="store_true",
+                   help="export the station association list (text)")
+    p.add_argument("--export-aml-file", action="store_true",
+                   help="export the associated measurement list (text)")
+    p.add_argument("--export-map-file", action="store_true",
+                   help="export the station name-index map (text)")
     p.add_argument("--include-msr-types", default="",
                    help="keep only these measurement type letters")
     p.add_argument("--exclude-msr-types", default="",
