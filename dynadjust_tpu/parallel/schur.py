@@ -781,17 +781,38 @@ def _nested_factor_stage1(Nii, Nij, Njj, jmap, jmask, sb_of_block,
     zero_j = jnp.zeros_like(Njj[..., 0])
     Nii_s, Nij_s, Njj_s, _, _, di, dj, djg = _unity_scale(
         Nii, Nij, Njj, zero_b, zero_j, jmap, jmask, nj_total, None)
-    L = jnp.linalg.cholesky(Nii_s)
-    Y = jax.scipy.linalg.cho_solve((L, True), Nij_s)
-    S_b = Njj_s - jnp.einsum("bki,bkj->bij", Nij_s, Y, precision=_HI)
+
+    # Factor + invert level-1 blocks in sequential chunks (lax.map):
+    # batched Cholesky/triangular-solve temps scale with the whole batch,
+    # which exceeds HBM at national scale.  Explicit inverses (the
+    # reference's dpotri) make applies pure MXU matmuls.
+    B, ni = Nii_s.shape[0], Nii_s.shape[1]
+    nchunks = min(16, B)
+    while B % nchunks:
+        nchunks -= 1
+    eye1 = jnp.eye(ni, dtype=Nii_s.dtype)
+
+    def _chunk(args):
+        Nii_c, Nij_c, Njj_c = args
+        L_c = jnp.linalg.cholesky(Nii_c)
+        Y_c = jax.scipy.linalg.cho_solve((L_c, True), Nij_c)
+        Ainv_c = jax.scipy.linalg.cho_solve(
+            (L_c, True), jnp.broadcast_to(eye1, Nii_c.shape))
+        S_c = Njj_c - jnp.einsum("bki,bkj->bij", Nij_c, Y_c,
+                                 precision=_HI)
+        return Ainv_c, Y_c, S_c
+
+    C = B // nchunks
+    Ainv, Y, S_b = jax.lax.map(_chunk, (
+        Nii_s.reshape(nchunks, C, ni, ni),
+        Nij_s.reshape(nchunks, C, ni, -1),
+        Njj_s.reshape(nchunks, C, Njj_s.shape[1], Njj_s.shape[2])))
+    Ainv = Ainv.reshape(B, ni, ni)
+    Y = Y.reshape(B, ni, -1)
+    S_b = S_b.reshape(B, S_b.shape[-2], S_b.shape[-1])
     S_b = S_b * jmask[:, :, None] * jmask[:, None, :]
     Nii2, Nij2, Njj2 = _scatter_l2_mats(S_b, sb_of_block, l2slot,
                                         SB, ni2, nj2)
-    # explicit inverse (the reference's dpotri): applies become pure
-    # MXU matmuls — XLA's batched triangular_solve materialises masked
-    # matrix copies per solve, which blows HBM at national scale
-    eye1 = jnp.broadcast_to(jnp.eye(L.shape[1], dtype=L.dtype), L.shape)
-    Ainv = jax.scipy.linalg.cho_solve((L, True), eye1)
     return Ainv, Y, Nii2, Nij2, Njj2, di, dj, djg
 
 
