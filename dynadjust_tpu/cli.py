@@ -374,6 +374,14 @@ def _cmd_adjust(args) -> int:
               sort_msr_to_stn=getattr(args, "sort_msr_to_stn", "name"),
               database_ids=getattr(args, "output_database_ids", False))
     write_xyz(f"{base}.xyz", net, res)
+    if getattr(args, "output_json", False):
+        from .output.json_writer import write_adj_jsonl
+        from .geodesy.conversions import geo_to_cart as _g2c
+        import numpy as _np
+        ox, oy, oz = _g2c(net.lat, net.lon, net.height, net.datum.ellipsoid)
+        n = write_adj_jsonl(f"{base}.adj.jsonl", net, res,
+                            _np.stack([ox, oy, oz], axis=-1))
+        print(f"+ Wrote {base}.adj.jsonl ({n} records)")
     if args.output_pos_uncertainty:
         from .output.uncertainty import write_apu
         write_apu(f"{base}.apu", net, res,
@@ -479,6 +487,10 @@ def _add_adjust_args(p):
                    help="adjusted GNSS baseline units: 0 as measured "
                         "(XYZ), 1 local ENU, 2 polar az/vert-angle/dist, "
                         "3 polar az/dist/up")
+    p.add_argument("--output-json", action="store_true",
+                   help="write a JSONL sibling of the adjustment report "
+                        "(DnaAdjustmentReport/DnaStation/DnaMeasurement "
+                        "records)")
     p.add_argument("--output-iter-adj-stn", action="store_true",
                    help="print adjusted station coordinates at each "
                         "iteration")

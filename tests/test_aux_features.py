@@ -331,3 +331,33 @@ def test_apu_all_covariances(sample_dir, tmp_path):
     extra = len(t2.splitlines()) - len(t1.splitlines())
     n = net.nstations
     assert extra == 3 * n * (n - 1) // 2
+
+
+def test_json_adjustment_report(sample_dir, tmp_path):
+    import json
+    import numpy as np
+    from dynadjust_tpu.adjust import AdjustmentOptions
+    from dynadjust_tpu.adjust.simultaneous import adjust_simultaneous
+    from dynadjust_tpu.io_formats import read_dna_stn, read_dna_msr
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.output.json_writer import write_adj_jsonl
+
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/gnss-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/gnss-network.msr")
+    net = build_network(stns, recs, frame, epoch)
+    res = adjust_simultaneous(net, AdjustmentOptions())
+    out = tmp_path / "r.adj.jsonl"
+    n = write_adj_jsonl(str(out), net, res)
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert n == len(lines)
+    assert "DnaAdjustmentReport" in lines[0]
+    stations = [l for l in lines if "DnaStation" in l]
+    msrs = [l for l in lines if "DnaMeasurement" in l]
+    stats = [l for l in lines if "DnaStatistics" in l]
+    assert len(stations) == net.nstations
+    assert len(msrs) == len(res.msr_stats)
+    assert len(stats) == 1
+    s0 = stations[0]["DnaStation"]
+    assert {"Name", "StationCoord", "Adjusted", "Uncertainty"} <= set(s0)
+    assert abs(stats[0]["DnaStatistics"]["SigmaZero"] -
+               res.sigma_zero) < 1e-12
