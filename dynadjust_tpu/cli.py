@@ -91,6 +91,16 @@ def _cmd_import(args) -> int:
             measurements = [r for r in measurements if _mt(r) not in exc]
         print(f"+ Measurement type filter retained {len(measurements)} of "
               f"{before} records")
+    if getattr(args, "prefer_single_x_as_g", False):
+        from .io_formats.dna import GpsCluster
+        n = 0
+        for rec in measurements:
+            if isinstance(rec, GpsCluster) and rec.mtype == "X" and \
+                    len(rec.obs) == 1:
+                rec.mtype = "G"
+                n += 1
+        if n:
+            print(f"+ Converted {n} single-baseline X clusters to G")
     if any(getattr(args, k, 1.0) != 1.0
            for k in ("vscale", "pscale", "lscale", "hscale")):
         from .io_formats.dna import GpsCluster
@@ -559,6 +569,8 @@ def main(argv=None) -> int:
                    help="export the associated measurement list (text)")
     p.add_argument("--export-map-file", action="store_true",
                    help="export the station name-index map (text)")
+    p.add_argument("--prefer-single-x-as-g", action="store_true",
+                   help="treat single-baseline X clusters as G baselines")
     p.add_argument("--include-msr-types", default="",
                    help="keep only these measurement type letters")
     p.add_argument("--exclude-msr-types", default="",

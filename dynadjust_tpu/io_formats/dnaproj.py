@@ -99,6 +99,8 @@ def project_to_args(path: str) -> dict:
         "baseline_scalar_file": imp.get("baseline-scalar-file", ""),
         "bounding_box": imp.get("bounding-box", ""),
         "split_clusters": _yes(imp.get("split-gnss-cluster-msrs", "no")),
+        "prefer_single_x_as_g": _yes(imp.get("prefer-single-x-as-g",
+                                             "no")),
         "flag_unused_stations": _yes(imp.get("flag-unused-stations", "no")),
         "search_nearby_stn": _yes(imp.get("search-nearby-stn", "no")),
         "search_similar_msr": _yes(imp.get("search-similar-msr", "no")),
