@@ -153,6 +153,15 @@ def _cmd_import(args) -> int:
         if poorly:
             print(f"- Warning: {len(poorly)} poorly constrained stations "
                   f"(measurements ignored): {' '.join(poorly[:20])}")
+    if getattr(args, "test_integrity", False):
+        from .network.integrity import check_integrity
+        probs = check_integrity(stations, measurements)
+        if probs:
+            print(f"- Integrity check found {len(probs)} problems:")
+            for pr in probs[:20]:
+                print(f"    {pr}")
+        else:
+            print("+ Integrity check passed")
     if getattr(args, "flag_unused_stations", False):
         from .network.screening import unused_stations
         unused = unused_stations(stations, measurements)
@@ -569,6 +578,9 @@ def main(argv=None) -> int:
                    help="export the associated measurement list (text)")
     p.add_argument("--export-map-file", action="store_true",
                    help="export the station name-index map (text)")
+    p.add_argument("--test-integrity", action="store_true",
+                   help="validate station references, VCVs and cluster "
+                        "covariance structure")
     p.add_argument("--prefer-single-x-as-g", action="store_true",
                    help="treat single-baseline X clusters as G baselines")
     p.add_argument("--include-msr-types", default="",

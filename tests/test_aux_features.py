@@ -361,3 +361,23 @@ def test_json_adjustment_report(sample_dir, tmp_path):
     assert {"Name", "StationCoord", "Adjusted", "Uncertainty"} <= set(s0)
     assert abs(stats[0]["DnaStatistics"]["SigmaZero"] -
                res.sigma_zero) < 1e-12
+
+
+def test_integrity_checks(sample_dir):
+    import numpy as np
+    from dynadjust_tpu.io_formats import read_dna_stn, read_dna_msr
+    from dynadjust_tpu.io_formats.dna import Measurement
+    from dynadjust_tpu.network.integrity import check_integrity
+
+    stns, _, _ = read_dna_stn(f"{sample_dir}/urban-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/urban-network.msr")
+    assert check_integrity(stns, recs) == []
+
+    # inject problems
+    recs.append(Measurement(mtype="S", ignore=False, first="NOPE",
+                            second="1003", value=10.0, sd=0.01))
+    recs.append(Measurement(mtype="S", ignore=False, first="1003",
+                            second="1004", value=10.0, sd=0.0))
+    probs = check_integrity(stns, recs)
+    assert any("unknown station 'NOPE'" in p for p in probs)
+    assert any("non-positive std dev" in p for p in probs)
