@@ -391,7 +391,9 @@ def _cmd_adjust(args) -> int:
               gnss_units=getattr(args, "output_adj_gnss_units", 0),
               msr_to_stn=getattr(args, "output_msr_to_stn", False),
               sort_msr_to_stn=getattr(args, "sort_msr_to_stn", "name"),
-              database_ids=getattr(args, "output_database_ids", False))
+              database_ids=getattr(args, "output_database_ids", False),
+              sort_adj_msr=getattr(args, "sort_adj_msr", 0),
+              print_ignored=getattr(args, "output_ignored_msrs", False))
     write_xyz(f"{base}.xyz", net, res)
     if getattr(args, "output_json", False):
         from .output.json_writer import write_adj_jsonl
@@ -506,6 +508,14 @@ def _add_adjust_args(p):
                    help="adjusted GNSS baseline units: 0 as measured "
                         "(XYZ), 1 local ENU, 2 polar az/vert-angle/dist, "
                         "3 polar az/dist/up")
+    p.add_argument("--sort-adj-msr", type=int, default=0,
+                   choices=range(8),
+                   help="adjusted measurement sort: 0 file order, 1 type,"
+                        " 2 instrument, 3 target, 4 value, 5 correction, "
+                        "6 adj sd, 7 n-stat")
+    p.add_argument("--output-ignored-msrs", action="store_true",
+                   help="include ignored measurements in the adjusted "
+                        "measurements table")
     p.add_argument("--output-json", action="store_true",
                    help="write a JSONL sibling of the adjustment report "
                         "(DnaAdjustmentReport/DnaStation/DnaMeasurement "

@@ -210,14 +210,20 @@ def _gnss_alt_rows(net, rows3, units: str):
 
 def measurement_lines(net: NetworkData, res, msr_prec_m=4,
                       msr_prec_s=4, tstat=False, gnss_units=0,
-                      database_ids=False) -> list:
+                      database_ids=False, sort_by=0,
+                      include_ignored=False) -> list:
     """The Adjusted Measurements table.
 
     tstat: add the T-stat column (--output-adj-msr-tstat).
     gnss_units: 0 as-measured XYZ, 1 ENU, 2 AED, 3 ADU
     (--output-adj-gnss-units).
     database_ids: append measurement id and (for D/G/X/Y) cluster id
-    columns (--output-database-ids; PrintMeasurementDatabaseID)."""
+    columns (--output-database-ids; PrintMeasurementDatabaseID).
+    sort_by: 0 file order, 1 type, 2 instrument, 3 target, 4 measured
+    value, 5 correction, 6 adj sd, 7 n-stat (--sort-adj-msr,
+    ADJ_MSR_SORT_UI).
+    include_ignored: keep rows for ignored measurements
+    (--output-ignored-msrs)."""
     lines = []
     hdr = (f"{'M':<2}{'Station 1':<{STATION}}{'Station 2':<{STATION}}"
            f"{'Station 3':<{STATION}}{'*':<{PAD3}}{'C':<{PAD2}}"
@@ -233,6 +239,21 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
     lines.append("-" * (206 + (STAT if tstat else 0)))
 
     stats_rows = res.msr_stats
+    if not include_ignored:
+        stats_rows = [r for r in stats_rows if not r.ignore]
+    if sort_by:
+        keyfns = {
+            1: lambda r: (r.mtype, r.rec_idx),
+            2: lambda r: (net.names[r.s1] if r.s1 >= 0 else "", r.rec_idx),
+            3: lambda r: (net.names[r.s2] if r.s2 >= 0 else "", r.rec_idx),
+            4: lambda r: (r.pre_adj_meas, r.rec_idx),
+            5: lambda r: (-abs(r.correction), r.rec_idx),
+            6: lambda r: (-r.adj_prec, r.rec_idx),
+            7: lambda r: (-abs(r.nstat), r.rec_idx),
+        }
+        fn = keyfns.get(sort_by)
+        if fn is not None:
+            stats_rows = sorted(stats_rows, key=fn)
     if gnss_units:
         units = {1: "enu", 2: "aed", 3: "adu"}[gnss_units]
         net._sigma0_hint = res.sigma_zero
@@ -310,7 +331,8 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
               print_adj_msr: bool = True, geoid_file: str = "",
               tstat: bool = False, gnss_units: int = 0,
               msr_to_stn: bool = False, sort_msr_to_stn: str = "name",
-              database_ids: bool = False):
+              database_ids: bool = False, sort_adj_msr: int = 0,
+              print_ignored: bool = False):
     now = datetime.datetime.now()
     L = []
     L.append(OUTPUTLINE)
@@ -394,7 +416,9 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
         L.append("")
         L.extend(measurement_lines(net, res, tstat=tstat,
                                    gnss_units=gnss_units,
-                                   database_ids=database_ids))
+                                   database_ids=database_ids,
+                                   sort_by=sort_adj_msr,
+                                   include_ignored=print_ignored))
     if msr_to_stn:
         L.extend(msr_to_stn_lines(net, sort=sort_msr_to_stn))
         L.append("")
