@@ -87,19 +87,27 @@ def build_normals(bn: BlockedNetwork, x: np.ndarray, free_weight: float,
         r = np.zeros(n)
         member = bn.member[b]
 
-        msel = bn.block_of_msr == b
-        for m in np.nonzero(msel)[0]:
-            i, j = int(bn.pairs[m, 0]), int(bn.pairs[m, 1])
-            li, lj = 3 * member[i], 3 * member[j]
-            w = bn.weight[m]
-            mmc = bn.obs[m] - (x[j] - x[i])
+        # vectorised scatter of this block's baselines (the python
+        # per-measurement loop dominated assembly at national scale)
+        ms = np.nonzero(bn.block_of_msr == b)[0]
+        if len(ms):
+            loc = np.full(bn.nstations, -1, dtype=np.int64)
+            for sg, li_ in member.items():
+                loc[sg] = li_
+            gi = bn.pairs[ms, 0]
+            gj = bn.pairs[ms, 1]
+            li = 3 * loc[gi]
+            lj = 3 * loc[gj]
+            w = bn.weight[ms]
+            mmc = bn.obs[ms] - (x[gj] - x[gi])
+            Nf = N.ravel()
             for k in range(3):
-                N[li + k, li + k] += w
-                N[lj + k, lj + k] += w
-                N[li + k, lj + k] -= w
-                N[lj + k, li + k] -= w
-                r[li + k] -= w * mmc[k]
-                r[lj + k] += w * mmc[k]
+                np.add.at(Nf, (li + k) * n + (li + k), w)
+                np.add.at(Nf, (lj + k) * n + (lj + k), w)
+                np.add.at(Nf, (li + k) * n + (lj + k), -w)
+                np.add.at(Nf, (lj + k) * n + (li + k), -w)
+                np.add.at(r, li + k, -w * mmc[:, k])
+                np.add.at(r, lj + k, w * mmc[:, k])
 
         for s in stations:
             s = int(s)
