@@ -393,8 +393,10 @@ def _cmd_adjust(args) -> int:
               sort_msr_to_stn=getattr(args, "sort_msr_to_stn", "name"),
               database_ids=getattr(args, "output_database_ids", False),
               sort_adj_msr=getattr(args, "sort_adj_msr", 0),
-              print_ignored=getattr(args, "output_ignored_msrs", False))
-    write_xyz(f"{base}.xyz", net, res)
+              print_ignored=getattr(args, "output_ignored_msrs", False),
+              stn_coord_types=getattr(args, "stn_coord_types", "PLHhXYZ"))
+    write_xyz(f"{base}.xyz", net, res,
+              stn_coord_types=getattr(args, "stn_coord_types", "PLHhXYZ"))
     if getattr(args, "output_json", False):
         from .output.json_writer import write_adj_jsonl
         from .geodesy.conversions import geo_to_cart as _g2c
@@ -508,6 +510,10 @@ def _add_adjust_args(p):
                    help="adjusted GNSS baseline units: 0 as measured "
                         "(XYZ), 1 local ENU, 2 polar az/vert-angle/dist, "
                         "3 polar az/dist/up")
+    p.add_argument("--stn-coord-types", default="PLHhXYZ",
+                   help="station table coordinate columns: P lat, L lon, "
+                        "H ortho, h ellipsoidal, X Y Z cartesian, "
+                        "E N UTM, z zone")
     p.add_argument("--sort-adj-msr", type=int, default=0,
                    choices=range(8),
                    help="adjusted measurement sort: 0 file order, 1 type,"

@@ -49,17 +49,61 @@ def format_dms(rad: float, dec_places: int = 5, add4: bool = True) -> str:
     return f"{float(rad_to_dms(rad)):.{total}f}"
 
 
-def _station_line(net: NetworkData, i: int, xyz, lat, lon, h, sd_enu) -> str:
-    H_ortho = h - net.geoid_sep[i]
+_DEFAULT_COORD_TYPES = "PLHhXYZ"
+
+
+def _coord_cols(net, i, xyz, lat, lon, h, coord_types):
+    """Per-station coordinate columns for a stn-coord-types string:
+    P=lat, L=lon, H=ortho, h=ellipsoidal, X/Y/Z=cartesian, E/N=UTM
+    easting/northing, z=zone (PrintAdjStations coord type handling)."""
+    out = []
+    en = None
+    for c in coord_types:
+        if c == "P":
+            out.append(f"{format_dms(lat, 5):>{LAT_EAST}}")
+        elif c == "L":
+            out.append(f"{format_dms(lon, 5):>{LON_NORTH}}")
+        elif c == "H":
+            out.append(f"{h - net.geoid_sep[i]:>{HEIGHT}.4f}")
+        elif c == "h":
+            out.append(f"{h:>{HEIGHT}.4f}")
+        elif c in "XYZ":
+            out.append(f"{xyz['XYZ'.index(c)]:>{XYZ_W}.4f}")
+        elif c in ("E", "N", "z"):
+            if en is None:
+                from ..geodesy.projections import geo_to_grid
+                east, north, zone = geo_to_grid(lat, lon)
+                en = (east, north, zone)
+            if c == "E":
+                out.append(f"{en[0]:>{XYZ_W}.4f}")
+            elif c == "N":
+                out.append(f"{en[1]:>{XYZ_W}.4f}")
+            else:
+                out.append(f"{int(en[2]):>{PAD3 + 3}d}")
+    return "".join(out)
+
+
+def _coord_headers(coord_types):
+    names = {"P": ("Latitude", LAT_EAST), "L": ("Longitude", LON_NORTH),
+             "H": ("H(Ortho)", HEIGHT), "h": ("h(Ellipse)", HEIGHT),
+             "X": ("X", XYZ_W), "Y": ("Y", XYZ_W), "Z": ("Z", XYZ_W),
+             "E": ("Easting", XYZ_W), "N": ("Northing", XYZ_W),
+             "z": ("Zone", PAD3 + 3)}
+    out = ""
+    width = 0
+    for c in coord_types:
+        if c in names:
+            t, w = names[c]
+            out += f"{t:>{w}}"
+            width += w
+    return out, width
+
+
+def _station_line(net: NetworkData, i: int, xyz, lat, lon, h, sd_enu,
+                  coord_types=_DEFAULT_COORD_TYPES) -> str:
     line = (f"{net.names[i]:<{STATION}}"
             f"{net.constraints[i]:<{CONSTRAINT}}"
-            f"{format_dms(lat, 5):>{LAT_EAST}}"
-            f"{format_dms(lon, 5):>{LON_NORTH}}"
-            f"{H_ortho:>{HEIGHT}.4f}"
-            f"{h:>{HEIGHT}.4f}"
-            f"{xyz[0]:>{XYZ_W}.4f}"
-            f"{xyz[1]:>{XYZ_W}.4f}"
-            f"{xyz[2]:>{XYZ_W}.4f}"
+            + _coord_cols(net, i, xyz, lat, lon, h, coord_types) +
             f"{'':<{PAD2}}"
             f"{sd_enu[0]:>{STDDEV}.4f}"
             f"{sd_enu[1]:>{STDDEV}.4f}"
@@ -69,17 +113,18 @@ def _station_line(net: NetworkData, i: int, xyz, lat, lon, h, sd_enu) -> str:
     return line.rstrip() if not net.descriptions[i] else line
 
 
-def _station_header() -> list:
+def _station_header(coord_types=_DEFAULT_COORD_TYPES) -> list:
+    cols, width = _coord_headers(coord_types)
     hdr = (f"{'Station':<{STATION}}{'Const':<{CONSTRAINT}}"
-           f"{'Latitude':>{LAT_EAST}}{'Longitude':>{LON_NORTH}}"
-           f"{'H(Ortho)':>{HEIGHT}}{'h(Ellipse)':>{HEIGHT}}"
-           f"{'X':>{XYZ_W}}{'Y':>{XYZ_W}}{'Z':>{XYZ_W}}"
+           + cols +
            f"{'':<{PAD2}}{'SD(e)':>{STDDEV}}{'SD(n)':>{STDDEV}}"
            f"{'SD(up)':>{STDDEV}}{'':{PAD2}}Description")
-    return [hdr, "-" * 211]
+    total = STATION + CONSTRAINT + width + PAD2 * 2 + STDDEV * 3 + 11
+    return [hdr, "-" * max(total, 80)]
 
 
-def station_lines(net: NetworkData, res) -> list:
+def station_lines(net: NetworkData, res,
+                  coord_types=_DEFAULT_COORD_TYPES) -> list:
     lines = []
     for i in range(net.nstations):
         V = res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
@@ -87,7 +132,8 @@ def station_lines(net: NetworkData, res) -> list:
         Vl = R @ V @ R.T
         sd = np.sqrt(np.diag(Vl))
         lines.append(_station_line(net, i, res.xyz[i], res.lat[i],
-                                   res.lon[i], res.height[i], sd))
+                                   res.lon[i], res.height[i], sd,
+                                   coord_types))
     return lines
 
 
@@ -332,7 +378,8 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
               tstat: bool = False, gnss_units: int = 0,
               msr_to_stn: bool = False, sort_msr_to_stn: str = "name",
               database_ids: bool = False, sort_adj_msr: int = 0,
-              print_ignored: bool = False):
+              print_ignored: bool = False,
+              stn_coord_types: str = _DEFAULT_COORD_TYPES):
     now = datetime.datetime.now()
     L = []
     L.append(OUTPUTLINE)
@@ -426,17 +473,18 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
     L.append("Adjusted Coordinates")
     L.append("------------------------------------------")
     L.append("")
-    L.extend(_station_header())
-    L.extend(station_lines(net, res))
+    L.extend(_station_header(stn_coord_types))
+    L.extend(station_lines(net, res, stn_coord_types))
     L.append("")
 
     with open(path, "w") as f:
         f.write("\n".join(L) + "\n")
 
 
-def write_xyz(path: str, net: NetworkData, res):
-    L = ["Adjusted Coordinates", "", *_station_header(),
-         *station_lines(net, res), ""]
+def write_xyz(path: str, net: NetworkData, res,
+              stn_coord_types: str = _DEFAULT_COORD_TYPES):
+    L = ["Adjusted Coordinates", "", *_station_header(stn_coord_types),
+         *station_lines(net, res, stn_coord_types), ""]
     with open(path, "w") as f:
         f.write("\n".join(L) + "\n")
 
