@@ -816,6 +816,28 @@ def _nested_factor_stage1(Nii, Nij, Njj, jmap, jmask, sb_of_block,
     return Ainv, Y, Nii2, Nij2, Njj2, di, dj, djg
 
 
+
+
+def _chunked_spd_inverse(L, max_chunk: int = 2048):
+    """Inverse from a Cholesky factor by solving identity columns in
+    sequential chunks — XLA's triangular solve materialises temps
+    proportional to rhs width, which is prohibitive for a full-width
+    identity at national scale."""
+    n = L.shape[0]
+    chunk = min(max_chunk, n)
+    nchunks = (n + chunk - 1) // chunk
+    npad = nchunks * chunk
+
+    def _cols(g):
+        cols = g * chunk + jnp.arange(chunk)
+        E = (jnp.arange(n)[:, None] == cols[None, :]).astype(L.dtype)
+        return jax.scipy.linalg.cho_solve((L, True), E)
+
+    parts = jax.lax.map(_cols, jnp.arange(nchunks))   # (nchunks, n, chunk)
+    inv = jnp.transpose(parts, (1, 0, 2)).reshape(n, npad)
+    return inv[:, :n]
+
+
 @partial(jax.jit, static_argnames=("nsj_total",), donate_argnums=(0, 2))
 def _nested_factor_stage2(Nii2, Nij2, Njj2, i2mask, j2mask, j2map,
                           nsj_total):
@@ -842,8 +864,7 @@ def _nested_factor_stage2(Nii2, Nij2, Njj2, i2mask, j2mask, j2map,
     diag = jnp.diag(S2)
     S2 = S2 + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
     Lj = jnp.linalg.cholesky(S2)
-    Sinv = jax.scipy.linalg.cho_solve(
-        (Lj, True), jnp.eye(S2.shape[0], dtype=S2.dtype))
+    Sinv = _chunked_spd_inverse(Lj)
     return A2inv, Y2, Sinv
 
 
