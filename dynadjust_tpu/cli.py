@@ -394,7 +394,9 @@ def _cmd_adjust(args) -> int:
               database_ids=getattr(args, "output_database_ids", False),
               sort_adj_msr=getattr(args, "sort_adj_msr", 0),
               print_ignored=getattr(args, "output_ignored_msrs", False),
-              stn_coord_types=getattr(args, "stn_coord_types", "PLHhXYZ"))
+              stn_coord_types=getattr(args, "stn_coord_types", "PLHhXYZ"),
+              angular_style=getattr(args, "angular_msr_format",
+                                    "separated"))
     write_xyz(f"{base}.xyz", net, res,
               stn_coord_types=getattr(args, "stn_coord_types", "PLHhXYZ"))
     if getattr(args, "output_json", False):
@@ -510,6 +512,9 @@ def _add_adjust_args(p):
                    help="adjusted GNSS baseline units: 0 as measured "
                         "(XYZ), 1 local ENU, 2 polar az/vert-angle/dist, "
                         "3 polar az/dist/up")
+    p.add_argument("--angular-msr-format", default="separated",
+                   choices=("separated", "symbols", "hp", "ddeg"),
+                   help="angular measurement display format")
     p.add_argument("--stn-coord-types", default="PLHhXYZ",
                    help="station table coordinate columns: P lat, L lon, "
                         "H ortho, h ellipsoidal, X Y Z cartesian, "

@@ -137,8 +137,18 @@ def station_lines(net: NetworkData, res,
     return lines
 
 
-def _fmt_angular(rad: float, prec: int, width: int) -> str:
-    """'ddd mm ss.ssss' fixed-width angular display."""
+def _fmt_angular(rad: float, prec: int, width: int,
+                 style: str = "separated") -> str:
+    """Fixed-width angular display.
+
+    style: 'separated' (ddd mm ss.ssss, default), 'symbols'
+    (ddd°mm'ss.ssss"), 'hp' (packed ddd.mmssss), 'ddeg' (decimal
+    degrees) — the reference's --angular-msr-type / --dms-msr-format
+    options (FormatAngularMeasurement, dnaadjust_printer.cpp)."""
+    if style == "ddeg":
+        return f"{math.degrees(rad):>{width}.{5 + prec}f}"
+    if style == "hp":
+        return f"{float(rad_to_dms(rad)):>{width}.{2 + prec}f}"
     neg = rad < 0
     dms = abs(float(rad_to_dms(rad)))
     d = int(dms)
@@ -153,7 +163,10 @@ def _fmt_angular(rad: float, prec: int, width: int) -> str:
         m -= 60
         d += 1
     sign = "-" if neg else ""
-    txt = f"{sign}{d} {m:02d} {s:0{3 + prec}.{prec}f}"
+    if style == "symbols":
+        txt = f"{sign}{d}\u00b0{m:02d}'{s:0{3 + prec}.{prec}f}\""
+    else:
+        txt = f"{sign}{d} {m:02d} {s:0{3 + prec}.{prec}f}"
     return f"{txt:>{width}}"
 
 
@@ -257,7 +270,8 @@ def _gnss_alt_rows(net, rows3, units: str):
 def measurement_lines(net: NetworkData, res, msr_prec_m=4,
                       msr_prec_s=4, tstat=False, gnss_units=0,
                       database_ids=False, sort_by=0,
-                      include_ignored=False) -> list:
+                      include_ignored=False,
+                      angular_style="separated") -> list:
     """The Adjusted Measurements table.
 
     tstat: add the T-stat column (--output-adj-msr-tstat).
@@ -332,8 +346,10 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
         row_angular = (r.mtype in angular or
                        getattr(r, "_force_angular", False))
         if row_angular:
-            body = (_fmt_angular(r.pre_adj_meas, msr_prec_s, MSR) +
-                    _fmt_angular(r.adjusted, msr_prec_s, MSR) +
+            body = (_fmt_angular(r.pre_adj_meas, msr_prec_s, MSR,
+                                 angular_style) +
+                    _fmt_angular(r.adjusted, msr_prec_s, MSR,
+                                 angular_style) +
                     f"{_sec(r.correction):>{CORR}.4f}" +
                     f"{_sec(math.sqrt(r.meas_var)):>{PREC}.4f}" +
                     f"{_sec(math.sqrt(r.adj_prec)):>{PREC}.4f}" +
@@ -379,7 +395,8 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
               msr_to_stn: bool = False, sort_msr_to_stn: str = "name",
               database_ids: bool = False, sort_adj_msr: int = 0,
               print_ignored: bool = False,
-              stn_coord_types: str = _DEFAULT_COORD_TYPES):
+              stn_coord_types: str = _DEFAULT_COORD_TYPES,
+              angular_style: str = "separated"):
     now = datetime.datetime.now()
     L = []
     L.append(OUTPUTLINE)
@@ -465,7 +482,8 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
                                    gnss_units=gnss_units,
                                    database_ids=database_ids,
                                    sort_by=sort_adj_msr,
-                                   include_ignored=print_ignored))
+                                   include_ignored=print_ignored,
+                                   angular_style=angular_style))
     if msr_to_stn:
         L.extend(msr_to_stn_lines(net, sort=sort_msr_to_stn))
         L.append("")
