@@ -18,3 +18,4 @@ class AdjustmentOptions:
     stations_constrained: str = ""           # "name,CCC,name2,FFC,..."
     mode: str = "simultaneous"               # simultaneous | phased
     output_iter_stations: bool = False       # snapshot coords per iteration
+    checkpoint_file: str = ""                # save/resume iteration state

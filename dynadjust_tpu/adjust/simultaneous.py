@@ -15,6 +15,7 @@ UpdateMsrRecords :8083, ComputeGlobalPelzer :8302.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -153,6 +154,15 @@ def adjust_simultaneous(net: NetworkData,
     x, y, z = geo_to_cart(net.lat, net.lon, net.height, net.datum.ellipsoid)
     est = np.stack([x, y, z], axis=-1).reshape(-1)
 
+    # checkpoint/resume: a long adjustment interrupted mid-run restarts
+    # from the last completed iteration's estimates
+    resume_iteration = 0
+    if opts.checkpoint_file and os.path.exists(opts.checkpoint_file):
+        ck = np.load(opts.checkpoint_file)
+        if ck["est"].shape == est.shape:
+            est = ck["est"]
+            resume_iteration = int(ck["iteration"])
+
     # initial fill with one-time reductions
     asm.fill(est, apply_reductions=True)
     Wc = asm.constraint_weights()
@@ -185,6 +195,12 @@ def adjust_simultaneous(net: NetworkData,
         if opts.output_iter_stations:
             entry["est"] = est.copy()
         it_log.append(entry)
+        if opts.checkpoint_file:
+            tmp = opts.checkpoint_file + ".tmp.npz"
+            with open(tmp, "wb") as fh:
+                np.savez(fh, est=est,
+                         iteration=iteration + resume_iteration)
+            os.replace(tmp, opts.checkpoint_file)
         osc.update(iteration, np.arange(S), dx, net.lat, net.lon)
 
         if abs(max_corr) <= opts.iteration_threshold:

@@ -334,6 +334,7 @@ def _cmd_adjust(args) -> int:
         free_std_dev=args.free_stn_sd,
         fixed_std_dev=args.fixed_stn_sd,
         output_iter_stations=getattr(args, "output_iter_adj_stn", False),
+        checkpoint_file=getattr(args, "checkpoint_file", ""),
         scale_normals_to_unity=args.scale_normals_to_unity,
         mode="phased" if args.phased else "simultaneous",
     )
@@ -512,6 +513,9 @@ def _add_adjust_args(p):
                    help="adjusted GNSS baseline units: 0 as measured "
                         "(XYZ), 1 local ENU, 2 polar az/vert-angle/dist, "
                         "3 polar az/dist/up")
+    p.add_argument("--checkpoint-file", default="",
+                   help="save iteration state here and resume from it if "
+                        "present (long-running adjustments)")
     p.add_argument("--angular-msr-format", default="separated",
                    choices=("separated", "symbols", "hp", "ddeg"),
                    help="angular measurement display format")

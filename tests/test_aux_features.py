@@ -381,3 +381,29 @@ def test_integrity_checks(sample_dir):
     probs = check_integrity(stns, recs)
     assert any("unknown station 'NOPE'" in p for p in probs)
     assert any("non-positive std dev" in p for p in probs)
+
+
+def test_adjustment_checkpoint_resume(sample_dir, tmp_path):
+    import numpy as np
+    from dynadjust_tpu.adjust import AdjustmentOptions
+    from dynadjust_tpu.adjust.simultaneous import adjust_simultaneous
+    from dynadjust_tpu.io_formats import read_dna_stn, read_dna_msr
+    from dynadjust_tpu.network import build_network
+
+    def fresh():
+        stns, frame, epoch = read_dna_stn(f"{sample_dir}/gnss-network.stn")
+        recs, _, _ = read_dna_msr(f"{sample_dir}/gnss-network.msr")
+        return build_network(stns, recs, frame, epoch)
+
+    ck = str(tmp_path / "state.npz")
+    # run one iteration only, checkpointing
+    r1 = adjust_simultaneous(fresh(), AdjustmentOptions(
+        max_iterations=1, checkpoint_file=ck))
+    assert r1.iterations == 1
+    import os
+    assert os.path.exists(ck)
+    # resume: converges to the same answer as an uninterrupted run
+    r2 = adjust_simultaneous(fresh(), AdjustmentOptions(
+        checkpoint_file=ck))
+    rf = adjust_simultaneous(fresh(), AdjustmentOptions())
+    np.testing.assert_allclose(r2.xyz, rf.xyz, atol=1e-8)
