@@ -426,8 +426,9 @@ def _cmd_adjust(args) -> int:
         from .io_formats.sinex import write_sinex
         write_sinex(f"{base}.snx", net, res)
     if args.export_xml:
-        from .io_formats.dynaml import write_dynaml_stn
+        from .io_formats.dynaml import write_dynaml_stn, write_dynaml_msr
         write_dynaml_stn(f"{base}.adjusted.stn.xml", net)
+        write_dynaml_msr(f"{base}.adjusted.msr.xml", net)
     project.save_network(net, args.output_folder, args.network_name)
     project.update_project(args.output_folder, args.network_name, "adjust",
                            {"mode": mode, "status": res.status,

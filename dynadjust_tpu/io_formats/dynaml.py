@@ -171,3 +171,117 @@ def write_dynaml_stn(path: str, net, comment: str = ""):
     lines.append("</DnaXmlFormat>")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def write_dynaml_msr(path: str, net, comment: str = ""):
+    """DynaML measurement export covering all record types (round-trips
+    through read_dynaml; reference: --export-xml-files measurement file,
+    CDnaMeasurement::WriteDynaMLMsr)."""
+    import numpy as np
+
+    from ..geodesy.conversions import rad_to_dms
+
+    RAD_TO_SEC = 180.0 / 3.141592653589793 * 3600.0
+    L = ['<?xml version="1.0"?>',
+         f'<DnaXmlFormat type="Measurement File" referenceframe='
+         f'"{net.frame}" epoch="{net.epoch}" '
+         f'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" '
+         f'xsi:noNamespaceSchemaLocation="DynaML.xsd">']
+
+    def ig(rec):
+        return "*" if getattr(rec, "ignore", False) else ""
+
+    for rec in net.measurements:
+        if isinstance(rec, GpsCluster):
+            L.append("  <DnaMeasurement>")
+            L.append(f"    <Type>{rec.mtype}</Type>")
+            L.append(f"    <Ignore>{ig(rec)}</Ignore>")
+            L.append(f"    <ReferenceFrame>{rec.epsg_frame}"
+                     f"</ReferenceFrame>")
+            L.append(f"    <Epoch>{rec.epoch}</Epoch>")
+            L.append(f"    <Vscale>{rec.vscale:g}</Vscale>")
+            L.append(f"    <Pscale>{rec.pscale:g}</Pscale>")
+            L.append(f"    <Lscale>{rec.lscale:g}</Lscale>")
+            L.append(f"    <Hscale>{rec.hscale:g}</Hscale>")
+            if rec.mtype == "Y":
+                L.append(f"    <Coords>{rec.coord_type}</Coords>")
+            first = rec.obs[0].first if rec.obs else ""
+            L.append(f"    <First>{first}</First>")
+            if rec.mtype in ("G", "X") and rec.obs:
+                L.append(f"    <Second>{rec.obs[0].second}</Second>")
+            tag = "GPSBaseline" if rec.mtype in ("G", "X") \
+                else "Clusterpoint"
+            cov_tag = "GPSCovariance" if rec.mtype in ("G", "X") \
+                else "PointCovariance"
+            geographic = (rec.mtype == "Y" and
+                          rec.coord_type.upper().startswith("LL"))
+            for ob in rec.obs:
+                v = ob.vec
+                if geographic:
+                    v = [float(rad_to_dms(v[0])), float(rad_to_dms(v[1])),
+                         v[2]]
+                L.append(f"    <{tag}>")
+                L.append(f"      <X>{v[0]:.8f}</X>")
+                L.append(f"      <Y>{v[1]:.8f}</Y>")
+                L.append(f"      <Z>{v[2]:.8f}</Z>")
+                V = np.asarray(ob.vcv)
+                L.append(f"      <SigmaXX>{V[0, 0]:.10e}</SigmaXX>")
+                L.append(f"      <SigmaXY>{V[0, 1]:.10e}</SigmaXY>")
+                L.append(f"      <SigmaXZ>{V[0, 2]:.10e}</SigmaXZ>")
+                L.append(f"      <SigmaYY>{V[1, 1]:.10e}</SigmaYY>")
+                L.append(f"      <SigmaYZ>{V[1, 2]:.10e}</SigmaYZ>")
+                L.append(f"      <SigmaZZ>{V[2, 2]:.10e}</SigmaZZ>")
+                for C in ob.covs:
+                    L.append(f"      <{cov_tag}>")
+                    for r in range(3):
+                        for c in range(3):
+                            L.append(f"        <m{r + 1}{c + 1}>"
+                                     f"{C[r, c]:.10e}</m{r + 1}{c + 1}>")
+                    L.append(f"      </{cov_tag}>")
+                L.append(f"    </{tag}>")
+            L.append("  </DnaMeasurement>")
+        elif isinstance(rec, DirectionSet):
+            L.append("  <DnaMeasurement>")
+            L.append("    <Type>D</Type>")
+            L.append(f"    <Ignore>{ig(rec)}</Ignore>")
+            L.append(f"    <First>{rec.first}</First>")
+            L.append(f"    <Second>{rec.ro}</Second>")
+            L.append(f"    <Value>{float(rad_to_dms(rec.ro_value)):.6f}"
+                     f"</Value>")
+            L.append(f"    <StdDev>{rec.ro_sd * RAD_TO_SEC:.4f}</StdDev>")
+            L.append(f"    <Total>{len(rec.directions)}</Total>")
+            for (t, v, sd, ign) in rec.directions:
+                L.append("    <Directions>")
+                L.append(f"      <Ignore>{'*' if ign else ''}</Ignore>")
+                L.append(f"      <Target>{t}</Target>")
+                L.append(f"      <Value>{float(rad_to_dms(v)):.6f}"
+                         f"</Value>")
+                L.append(f"      <StdDev>{sd * RAD_TO_SEC:.4f}</StdDev>")
+                L.append("    </Directions>")
+            L.append("  </DnaMeasurement>")
+        elif isinstance(rec, Measurement):
+            L.append("  <DnaMeasurement>")
+            L.append(f"    <Type>{rec.mtype}</Type>")
+            L.append(f"    <Ignore>{ig(rec)}</Ignore>")
+            L.append(f"    <First>{rec.first}</First>")
+            if rec.second:
+                L.append(f"    <Second>{rec.second}</Second>")
+            if rec.third:
+                L.append(f"    <Third>{rec.third}</Third>")
+            if rec.mtype in ANGULAR_TYPES:
+                L.append(f"    <Value>"
+                         f"{float(rad_to_dms(rec.value)):.6f}</Value>")
+                L.append(f"    <StdDev>{rec.sd * RAD_TO_SEC:.4f}"
+                         f"</StdDev>")
+            else:
+                L.append(f"    <Value>{rec.value:.4f}</Value>")
+                L.append(f"    <StdDev>{rec.sd:.4f}</StdDev>")
+            if rec.inst_height or rec.targ_height:
+                L.append(f"    <InstHeight>{rec.inst_height:.3f}"
+                         f"</InstHeight>")
+                L.append(f"    <TargHeight>{rec.targ_height:.3f}"
+                         f"</TargHeight>")
+            L.append("  </DnaMeasurement>")
+    L.append("</DnaXmlFormat>")
+    with open(path, "w") as f:
+        f.write("\n".join(L) + "\n")

@@ -407,3 +407,35 @@ def test_adjustment_checkpoint_resume(sample_dir, tmp_path):
         checkpoint_file=ck))
     rf = adjust_simultaneous(fresh(), AdjustmentOptions())
     np.testing.assert_allclose(r2.xyz, rf.xyz, atol=1e-8)
+
+
+def test_dynaml_msr_round_trip(sample_dir, tmp_path):
+    from dynadjust_tpu.io_formats import read_dna_stn, read_dna_msr
+    from dynadjust_tpu.io_formats.dynaml import read_dynaml, \
+        write_dynaml_msr
+    from dynadjust_tpu.io_formats.dna import Measurement, GpsCluster, \
+        DirectionSet
+    from dynadjust_tpu.network import build_network
+    import numpy as np
+
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/urban-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/urban-network.msr")
+    net = build_network(stns, recs, frame, epoch)
+    out = tmp_path / "m.xml"
+    write_dynaml_msr(str(out), net)
+    _, recs2, _, _ = read_dynaml(str(out))
+    assert len(recs2) == len(recs)
+    for a, b in zip(recs, recs2):
+        assert type(a) is type(b)
+        if isinstance(a, Measurement):
+            assert a.mtype == b.mtype and a.first == b.first
+            assert abs(a.value - b.value) < 1e-8
+        elif isinstance(a, GpsCluster):
+            assert a.mtype == b.mtype and len(a.obs) == len(b.obs)
+            np.testing.assert_allclose(a.obs[0].vec, b.obs[0].vec,
+                                       atol=1e-6)
+            np.testing.assert_allclose(a.obs[0].vcv, b.obs[0].vcv,
+                                       rtol=1e-8)
+        elif isinstance(a, DirectionSet):
+            assert len(a.directions) == len(b.directions)
+            assert abs(a.ro_value - b.ro_value) < 1e-9
