@@ -36,6 +36,10 @@ ROWS = int(os.environ.get("BENCH_ROWS", "64"))
 COLS = int(os.environ.get("BENCH_COLS", "64"))
 BLOCK = int(os.environ.get("BENCH_BLOCK", "16"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+# BENCH_NESTED=1: use the 3-level nested solver (national-scale path);
+# BENCH_SUPER: super-tile size in tiles (default 4)
+NESTED = os.environ.get("BENCH_NESTED", "") == "1"
+SUPER = int(os.environ.get("BENCH_SUPER", "4"))
 
 
 def main():
@@ -62,16 +66,31 @@ def main():
         f"Njj{bs.Njj.shape}")
 
     # ---- TPU blocked solve (f32 factor + f64-refined applies) -----------
+    if NESTED:
+        from dynadjust_tpu.parallel.schur import (
+            build_nested_partition, schur_solve_nested_factored)
+        from dynadjust_tpu.utils.synthetic import grid_super_assignment
+        part = build_nested_partition(bs, grid_super_assignment(
+            ROWS, COLS, BLOCK, BLOCK, SUPER, SUPER))
+        log(f"nested: SB={part.SB} ni2={part.ni2} nsj={part.nsj_global}")
+
+        def solve(factors=None):
+            return schur_solve_nested_factored(bs, part, refine=2,
+                                               factors=factors)
+    else:
+        def solve(factors=None):
+            return schur_solve_factored(bs, refine=2, factors=factors)
+
     t0 = time.time()
-    xi, xj, factors = schur_solve_factored(bs, refine=2)    # compile
+    xi, xj, factors = solve()                               # compile
     log(f"warm-up (compile) {time.time() - t0:.2f}s")
     t0 = time.time()
     for _ in range(ITERS):
-        xi, xj, factors = schur_solve_factored(bs, refine=2)
+        xi, xj, factors = solve()
     t_blocked = (time.time() - t0) / ITERS
     t0 = time.time()
     for _ in range(ITERS):
-        xi, xj, _ = schur_solve_factored(bs, refine=2, factors=factors)
+        xi, xj, _ = solve(factors=factors)
     t_apply = (time.time() - t0) / ITERS
     log(f"per-solve: factor+apply {t_blocked:.4f}s, "
         f"apply-only {t_apply:.4f}s")
@@ -113,7 +132,8 @@ def main():
     err = np.abs(dxb.reshape(-1) - dx_dense).max()
 
     result = {
-        "metric": f"blocked_schur_solve_{S}stn_gnss_network",
+        "metric": (f"nested_schur_solve_{S}stn_gnss_network" if NESTED
+                   else f"blocked_schur_solve_{S}stn_gnss_network"),
         "value": round(1.0 / t_blocked, 3),
         "unit": "solves/s",
         "vs_baseline": round(t_dense / t_blocked, 2),

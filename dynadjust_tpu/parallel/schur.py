@@ -868,32 +868,38 @@ def _nested_factor_stage2(Nii2, Nij2, Njj2, i2mask, j2mask, j2map,
     return A2inv, Y2, Sinv
 
 
-@partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nsj_total",
-                                   "nj_total"))
-def _schur_nested_apply_jit(Ainv, Y, A2inv, Y2, Sinv, di, dj, djg,
-                            bi, bj, jmap, jmask, sb_of_block, l2slot,
-                            j2map, j2mask, xj_kind, xj_sb, xj_slot,
-                            SB, ni2, nj2, nsj_total, nj_total):
+# The apply is split into three small jitted programs: the monolithic
+# version compiles (temp arena ~1.6G) but exhausts HBM at runtime at
+# national scale, while the same math as separate programs runs fine —
+# smaller per-program arenas and no cross-stage temp pile-up.
+
+@partial(jax.jit, static_argnames=("SB", "ni2", "nj2"))
+def _nested_apply_fwd(Ainv, Y, di, dj, bi, bj, jmask, sb_of_block,
+                      l2slot, SB, ni2, nj2):
     bi = bi * di
     bj = bj * dj
-
-    # level 1 forward: t_b = bj − Nijᵀ Nii⁻¹ bi = bj − Yᵀ bi
     w = jnp.einsum("bij,bj->bi", Ainv, bi, precision=_HI)
     t_b = (bj - jnp.einsum("bkj,bk->bj", Y, bi, precision=_HI)) * jmask
-
     bi2, bj2 = _scatter_l2_rhs(t_b, sb_of_block, l2slot, SB, ni2, nj2)
+    return w, bi2, bj2
 
-    # level 2 forward
+
+@partial(jax.jit, static_argnames=("nsj_total",))
+def _nested_apply_mid(A2inv, Y2, Sinv, bi2, bj2, j2map, j2mask,
+                      nsj_total):
     w2 = jnp.einsum("bij,bj->bi", A2inv, bi2, precision=_HI)
     t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2,
                              precision=_HI)) * j2mask
     t2 = jnp.zeros((nsj_total,), dtype=t2_b.dtype)
     t2 = t2.at[j2map.reshape(-1)].add(t2_b.reshape(-1))
-
-    # level 3 solve
     xsj = Sinv @ t2
+    return w2, xsj
 
-    # back-substitute
+
+@partial(jax.jit, static_argnames=("ni2", "nsj_total", "nj_total"))
+def _nested_apply_back(Y, Y2, w, w2, xsj, di, djg, jmap, jmask,
+                       j2map, j2mask, xj_kind, xj_sb, xj_slot,
+                       ni2, nsj_total, nj_total):
     xsj_b = xsj[j2map] * j2mask
     xi2 = w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b, precision=_HI)
     from_inner = xi2[xj_sb, jnp.minimum(xj_slot, ni2 - 1)]
@@ -945,15 +951,20 @@ class NestedSchurFactors:
         self.factors = (Ainv, Y, A2inv, Y2, Sinv, di, dj, djg)
 
     def solve(self, bi, bj):
-        xi, xj = _schur_nested_apply_jit(
-            *self.factors,
+        Ainv, Y, A2inv, Y2, Sinv, di, dj, djg = self.factors
+        w, bi2, bj2 = _nested_apply_fwd(
+            Ainv, Y, di, dj,
             jnp.asarray(bi.astype(self.dtype)),
             jnp.asarray(bj.astype(self.dtype)),
-            self.jmap, self.jmask, self.sbb, self.l2slot,
-            self.j2map, self.j2mask,
-            self.xj_kind, self.xj_sb, self.xj_slot,
-            self.part.SB, self.part.ni2, self.part.nj2,
-            self.nsj_total, self.nj_total)
+            self.jmask, self.sbb, self.l2slot,
+            self.part.SB, self.part.ni2, self.part.nj2)
+        w2, xsj = _nested_apply_mid(A2inv, Y2, Sinv, bi2, bj2,
+                                    self.j2map, self.j2mask,
+                                    self.nsj_total)
+        xi, xj = _nested_apply_back(
+            Y, Y2, w, w2, xsj, di, djg, self.jmap, self.jmask,
+            self.j2map, self.j2mask, self.xj_kind, self.xj_sb,
+            self.xj_slot, self.part.ni2, self.nsj_total, self.nj_total)
         return (np.asarray(xi, dtype=np.float64),
                 np.asarray(xj, dtype=np.float64)[:self.bs.nj_global])
 
