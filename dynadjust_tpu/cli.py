@@ -481,6 +481,40 @@ def _cmd_dynadjust(args) -> int:
         print("error: no input files (use positional files or -p)",
               file=sys.stderr)
         return 1
+    if getattr(args, "export_project", ""):
+        from .io_formats.dnaproj import write_dnaproj
+        import os as _os
+        sections = {
+            "general": [("network-name", args.network_name),
+                        ("input-folder", "."),
+                        ("output-folder", args.output_folder)],
+            "import": ([("stn-msr-file", _os.path.basename(f))
+                        for f in args.files] +
+                       [("reference-frame", args.reference_frame)]),
+            "reftran": [("reference-frame", args.reference_frame),
+                        ("epoch", args.epoch)],
+            "geoid": [("ntv2-file", args.grid),
+                      ("interpolation-method",
+                       "1" if args.interpolation_method == "bicubic"
+                       else "0"),
+                      ("convert-stn-hts",
+                       "yes" if args.convert_stn_hts else "no")],
+            "segment": [("min-inner-stns", str(args.min_inner_stns)),
+                        ("max-block-stns", str(args.max_block_stns))],
+            "adjust": [("adjustment-mode",
+                        "phased-adjustment" if args.phased
+                        else "simultaneous-adjustment"),
+                       ("conf-interval", str(args.confidence_interval)),
+                       ("iteration-threshold",
+                        str(args.iteration_threshold)),
+                       ("max-iterations", str(args.max_iterations)),
+                       ("free-stn-sd", str(args.free_stn_sd)),
+                       ("fixed-stn-sd", str(args.fixed_stn_sd))],
+            "output": [("output-adj-msr",
+                        "yes" if args.output_adj_msr else "no")],
+        }
+        write_dnaproj(args.export_project, sections)
+        print(f"+ Wrote project file {args.export_project}")
     rc = _cmd_import(args)
     if rc:
         return rc
@@ -697,6 +731,8 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--project-file", default="",
                    help=".dnaproj project file supplying all settings "
                         "(CDnaProjectFile layout)")
+    p.add_argument("--export-project", default="",
+                   help="write the effective settings to a .dnaproj file")
     p.add_argument("-r", "--reference-frame", default="")
     p.add_argument("-e", "--epoch", default="")
     p.add_argument("-g", "--grid", default="")
