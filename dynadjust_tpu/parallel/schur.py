@@ -896,21 +896,15 @@ def _nested_apply_mid(A2inv, Y2, Sinv, bi2, bj2, j2map, j2mask,
     return w2, xsj
 
 
-@partial(jax.jit, static_argnames=("ni2", "nsj_total", "nj_total"))
-def _nested_apply_back(Y, Y2, w, w2, xsj, di, djg, jmap, jmask,
-                       j2map, j2mask, xj_kind, xj_sb, xj_slot,
-                       ni2, nsj_total, nj_total):
+@jax.jit
+def _nested_apply_back2(Y2, w2, xsj, j2map, j2mask):
     xsj_b = xsj[j2map] * j2mask
-    xi2 = w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b, precision=_HI)
-    from_inner = xi2[xj_sb, jnp.minimum(xj_slot, ni2 - 1)]
-    from_sj = xsj[jnp.minimum(xj_slot, nsj_total - 1)]
-    xj_real = jnp.where(xj_kind == 0, from_inner, from_sj)
-    xj = jnp.concatenate([xj_real,
-                          jnp.zeros((nj_total - xj_real.shape[0],),
-                                    dtype=xj_real.dtype)])
-    xj_b = xj[jmap] * jmask
-    xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b, precision=_HI)) * di
-    return xi, xj * djg
+    return w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b, precision=_HI)
+
+
+@jax.jit
+def _nested_apply_back1(Y, w, xj_b, di):
+    return (w - jnp.einsum("bij,bj->bi", Y, xj_b, precision=_HI)) * di
 
 
 class NestedSchurFactors:
@@ -961,12 +955,28 @@ class NestedSchurFactors:
         w2, xsj = _nested_apply_mid(A2inv, Y2, Sinv, bi2, bj2,
                                     self.j2map, self.j2mask,
                                     self.nsj_total)
-        xi, xj = _nested_apply_back(
-            Y, Y2, w, w2, xsj, di, djg, self.jmap, self.jmask,
-            self.j2map, self.j2mask, self.xj_kind, self.xj_sb,
-            self.xj_slot, self.part.ni2, self.nsj_total, self.nj_total)
+        xi2 = _nested_apply_back2(Y2, w2, xsj, self.j2map, self.j2mask)
+
+        # junction reconstruction on host: two-level gathers compile
+        # pathologically slowly on the TPU toolchain, and the vectors are
+        # tiny compared to the factors
+        part = self.part
+        xi2_h = np.asarray(xi2)
+        xsj_h = np.asarray(xsj)
+        njg = self.bs.nj_global
+        xj = np.where(part.xj_kind == 0,
+                      xi2_h[part.xj_sb,
+                            np.minimum(part.xj_slot, part.ni2 - 1)],
+                      xsj_h[np.minimum(part.xj_slot,
+                                       self.nsj_total - 1)])
+        xj_pad = np.concatenate([xj, [0.0]]).astype(xi2_h.dtype)
+        xj_b = xj_pad[self.bs.jmap] * self.bs.jmask
+
+        xi = _nested_apply_back1(Y, w, jnp.asarray(
+            xj_b.astype(self.dtype)), di)
+        djg_h = np.asarray(djg)[:njg]
         return (np.asarray(xi, dtype=np.float64),
-                np.asarray(xj, dtype=np.float64)[:self.bs.nj_global])
+                np.asarray(xj, dtype=np.float64) * djg_h)
 
 
 def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
