@@ -224,6 +224,19 @@ def _cmd_import(args) -> int:
     project.update_project(args.output_folder, args.network_name, "import",
                            {"files": args.files, "frame": frame,
                             "epoch": epoch})
+    # parse tally (the reference's import summary block)
+    from collections import Counter
+    from .io_formats.dna import DirectionSet as _DS, GpsCluster as _GC
+    tally = Counter()
+    for rec in net.measurements:
+        if isinstance(rec, _GC):
+            tally[rec.mtype] += (len(rec.obs) * 3)
+        elif isinstance(rec, _DS):
+            tally["D"] += len(rec.directions)
+        else:
+            tally[rec.mtype] += 1
+    parts = "  ".join(f"{t}:{n}" for t, n in sorted(tally.items()))
+    print(f"+ Measurement tally ({sum(tally.values())} rows): {parts}")
     print(f"+ Imported {net.nstations} stations, "
           f"{len(net.measurements)} measurement records "
           f"({frame} @ {epoch})")
