@@ -873,40 +873,6 @@ def _nested_factor_stage2(Nii2, Nij2, Njj2, i2mask, j2mask, j2map,
 # national scale, while the same math as separate programs runs fine —
 # smaller per-program arenas and no cross-stage temp pile-up.
 
-@partial(jax.jit, static_argnames=("SB", "ni2", "nj2"))
-def _nested_apply_fwd(Ainv, Y, di, dj, bi, bj, jmask, sb_of_block,
-                      l2slot, SB, ni2, nj2):
-    bi = bi * di
-    bj = bj * dj
-    w = jnp.einsum("bij,bj->bi", Ainv, bi, precision=_HI)
-    t_b = (bj - jnp.einsum("bkj,bk->bj", Y, bi, precision=_HI)) * jmask
-    bi2, bj2 = _scatter_l2_rhs(t_b, sb_of_block, l2slot, SB, ni2, nj2)
-    return w, bi2, bj2
-
-
-@partial(jax.jit, static_argnames=("nsj_total",))
-def _nested_apply_mid(A2inv, Y2, Sinv, bi2, bj2, j2map, j2mask,
-                      nsj_total):
-    w2 = jnp.einsum("bij,bj->bi", A2inv, bi2, precision=_HI)
-    t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2,
-                             precision=_HI)) * j2mask
-    t2 = jnp.zeros((nsj_total,), dtype=t2_b.dtype)
-    t2 = t2.at[j2map.reshape(-1)].add(t2_b.reshape(-1))
-    xsj = Sinv @ t2
-    return w2, xsj
-
-
-@jax.jit
-def _nested_apply_back2(Y2, w2, xsj, j2map, j2mask):
-    xsj_b = xsj[j2map] * j2mask
-    return w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b, precision=_HI)
-
-
-@jax.jit
-def _nested_apply_back1(Y, w, xj_b, di):
-    return (w - jnp.einsum("bij,bj->bi", Y, xj_b, precision=_HI)) * di
-
-
 class NestedSchurFactors:
     """Device-resident 3-level factorization (factor once, apply many).
 
@@ -945,22 +911,31 @@ class NestedSchurFactors:
         self.factors = (Ainv, Y, A2inv, Y2, Sinv, di, dj, djg)
 
     def solve(self, bi, bj):
+        """Op-by-op application: fused apply programs compile to larger
+        scratch arenas which, stacked on the factor programs', exhaust
+        HBM at national scale — individual einsum/scatter dispatches run
+        with the same math and minimal arenas."""
         Ainv, Y, A2inv, Y2, Sinv, di, dj, djg = self.factors
-        w, bi2, bj2 = _nested_apply_fwd(
-            Ainv, Y, di, dj,
-            jnp.asarray(bi.astype(self.dtype)),
-            jnp.asarray(bj.astype(self.dtype)),
-            self.jmask, self.sbb, self.l2slot,
-            self.part.SB, self.part.ni2, self.part.nj2)
-        w2, xsj = _nested_apply_mid(A2inv, Y2, Sinv, bi2, bj2,
-                                    self.j2map, self.j2mask,
-                                    self.nsj_total)
-        xi2 = _nested_apply_back2(Y2, w2, xsj, self.j2map, self.j2mask)
+        part = self.part
+        bi = jnp.asarray(bi.astype(self.dtype)) * di
+        bj = jnp.asarray(bj.astype(self.dtype)) * dj
+        w = jnp.einsum("bij,bj->bi", Ainv, bi, precision=_HI)
+        t_b = (bj - jnp.einsum("bkj,bk->bj", Y, bi,
+                               precision=_HI)) * self.jmask
+        bi2, bj2 = _scatter_l2_rhs(t_b, self.sbb, self.l2slot,
+                                   part.SB, part.ni2, part.nj2)
+        w2 = jnp.einsum("bij,bj->bi", A2inv, bi2, precision=_HI)
+        t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2,
+                                 precision=_HI)) * self.j2mask
+        t2 = jnp.zeros((self.nsj_total,), dtype=t2_b.dtype)
+        t2 = t2.at[self.j2map.reshape(-1)].add(t2_b.reshape(-1))
+        xsj = Sinv @ t2
+        xsj_b = xsj[self.j2map] * self.j2mask
+        xi2 = w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b, precision=_HI)
 
         # junction reconstruction on host: two-level gathers compile
         # pathologically slowly on the TPU toolchain, and the vectors are
         # tiny compared to the factors
-        part = self.part
         xi2_h = np.asarray(xi2)
         xsj_h = np.asarray(xsj)
         njg = self.bs.nj_global
@@ -972,8 +947,9 @@ class NestedSchurFactors:
         xj_pad = np.concatenate([xj, [0.0]]).astype(xi2_h.dtype)
         xj_b = xj_pad[self.bs.jmap] * self.bs.jmask
 
-        xi = _nested_apply_back1(Y, w, jnp.asarray(
-            xj_b.astype(self.dtype)), di)
+        xj_b_d = jnp.asarray(xj_b.astype(self.dtype))
+        xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b_d,
+                             precision=_HI)) * di
         djg_h = np.asarray(djg)[:njg]
         return (np.asarray(xi, dtype=np.float64),
                 np.asarray(xj, dtype=np.float64) * djg_h)
