@@ -919,9 +919,11 @@ class NestedSchurFactors:
         part = self.part
         bi = jnp.asarray(bi.astype(self.dtype)) * di
         bj = jnp.asarray(bj.astype(self.dtype)) * dj
-        w = jnp.einsum("bij,bj->bi", Ainv, bi, precision=_HI)
-        t_b = (bj - jnp.einsum("bkj,bk->bj", Y, bi,
-                               precision=_HI)) * self.jmask
+        # level-1 matvecs run at default precision: HIGHEST at this batch
+        # size exhausts HBM, and the f64 refinement loop absorbs the
+        # extra matvec noise (a round or two slower to converge)
+        w = jnp.einsum("bij,bj->bi", Ainv, bi)
+        t_b = (bj - jnp.einsum("bkj,bk->bj", Y, bi)) * self.jmask
         bi2, bj2 = _scatter_l2_rhs(t_b, self.sbb, self.l2slot,
                                    part.SB, part.ni2, part.nj2)
         w2 = jnp.einsum("bij,bj->bi", A2inv, bi2, precision=_HI)
@@ -948,8 +950,7 @@ class NestedSchurFactors:
         xj_b = xj_pad[self.bs.jmap] * self.bs.jmask
 
         xj_b_d = jnp.asarray(xj_b.astype(self.dtype))
-        xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b_d,
-                             precision=_HI)) * di
+        xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b_d)) * di
         djg_h = np.asarray(djg)[:njg]
         return (np.asarray(xi, dtype=np.float64),
                 np.asarray(xj, dtype=np.float64) * djg_h)
