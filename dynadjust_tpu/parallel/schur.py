@@ -922,16 +922,21 @@ class NestedSchurFactors:
         # level-1 matvecs run at default precision: HIGHEST at this batch
         # size exhausts HBM, and the f64 refinement loop absorbs the
         # extra matvec noise (a round or two slower to converge)
-        w = jnp.einsum("bij,bj->bi", Ainv, bi)
-        t_b = (bj - jnp.einsum("bkj,bk->bj", Y, bi)) * self.jmask
+        # serialise the big dispatches: async enqueue keeps several
+        # matvec workspaces (transposed operand copies) alive at once,
+        # which tips HBM over at national scale
+        w = jax.block_until_ready(jnp.einsum("bij,bj->bi", Ainv, bi))
+        t_b = jax.block_until_ready(
+            (bj - jnp.einsum("bkj,bk->bj", Y, bi)) * self.jmask)
         bi2, bj2 = _scatter_l2_rhs(t_b, self.sbb, self.l2slot,
                                    part.SB, part.ni2, part.nj2)
-        w2 = jnp.einsum("bij,bj->bi", A2inv, bi2, precision=_HI)
+        w2 = jax.block_until_ready(
+            jnp.einsum("bij,bj->bi", A2inv, bi2, precision=_HI))
         t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2,
                                  precision=_HI)) * self.j2mask
         t2 = jnp.zeros((self.nsj_total,), dtype=t2_b.dtype)
         t2 = t2.at[self.j2map.reshape(-1)].add(t2_b.reshape(-1))
-        xsj = Sinv @ t2
+        xsj = jax.block_until_ready(Sinv @ t2)
         xsj_b = xsj[self.j2map] * self.j2mask
         xi2 = w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b, precision=_HI)
 
