@@ -931,14 +931,14 @@ class NestedSchurFactors:
         bi2, bj2 = _scatter_l2_rhs(t_b, self.sbb, self.l2slot,
                                    part.SB, part.ni2, part.nj2)
         w2 = jax.block_until_ready(
-            jnp.einsum("bij,bj->bi", A2inv, bi2, precision=_HI))
-        t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2,
-                                 precision=_HI)) * self.j2mask
+            jnp.einsum("bij,bj->bi", A2inv, bi2))
+        t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2)) * self.j2mask
         t2 = jnp.zeros((self.nsj_total,), dtype=t2_b.dtype)
         t2 = t2.at[self.j2map.reshape(-1)].add(t2_b.reshape(-1))
         xsj = jax.block_until_ready(Sinv @ t2)
         xsj_b = xsj[self.j2map] * self.j2mask
-        xi2 = w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b, precision=_HI)
+        xi2 = jax.block_until_ready(
+            w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b))
 
         # junction reconstruction on host: two-level gathers compile
         # pathologically slowly on the TPU toolchain, and the vectors are
