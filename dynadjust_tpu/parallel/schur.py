@@ -770,8 +770,11 @@ def schur_solve_nested_refined(bs: BlockSystem, part: NestedPartition,
 # nested factor-once / apply-many
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nj_total"),
-         donate_argnums=(0, 1, 2))
+# NOTE: no donate_argnums — donation on this runtime leaves zombie
+# buffers when XLA rejects a donated layout, wedging HBM at national
+# scale (observed: post-factor the device rejects even KB-sized
+# transfers).  Inputs are dropped by python refcount instead.
+@partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nj_total"))
 def _nested_factor_stage1(Nii, Nij, Njj, jmap, jmask, sb_of_block,
                           l2slot, SB, ni2, nj2, nj_total):
     """Level-1 factorization + level-2 assembly.  Memory-lean: scaled
@@ -838,7 +841,7 @@ def _chunked_spd_inverse(L, max_chunk: int = 2048):
     return inv[:, :n]
 
 
-@partial(jax.jit, static_argnames=("nsj_total",), donate_argnums=(0, 2))
+@partial(jax.jit, static_argnames=("nsj_total",))
 def _nested_factor_stage2(Nii2, Nij2, Njj2, i2mask, j2mask, j2map,
                           nsj_total):
     """Level-2 factorization + level-3 assembly and factorization."""
