@@ -66,6 +66,7 @@ def main():
         f"Njj{bs.Njj.shape}")
 
     # ---- TPU blocked solve (f32 factor + f64-refined applies) -----------
+    t_gn_iter = None
     if NESTED:
         from dynadjust_tpu.parallel.schur import (
             build_nested_partition, schur_solve_nested_factored)
@@ -77,21 +78,62 @@ def main():
         def solve(factors=None):
             return schur_solve_nested_factored(bs, part, refine=2,
                                                factors=factors)
-    else:
-        def solve(factors=None):
-            return schur_solve_factored(bs, refine=2, factors=factors)
 
-    t0 = time.time()
-    xi, xj, factors = solve()                               # compile
-    log(f"warm-up (compile) {time.time() - t0:.2f}s")
-    t0 = time.time()
-    for _ in range(ITERS):
-        xi, xj, factors = solve()
-    t_blocked = (time.time() - t0) / ITERS
-    t0 = time.time()
-    for _ in range(ITERS):
-        xi, xj, _ = solve(factors=factors)
-    t_apply = (time.time() - t0) / ITERS
+        t0 = time.time()
+        xi, xj, factors = solve()                           # compile
+        log(f"warm-up (compile) {time.time() - t0:.2f}s")
+        t0 = time.time()
+        for _ in range(ITERS):
+            xi, xj, factors = solve()
+        t_blocked = (time.time() - t0) / ITERS
+        t0 = time.time()
+        for _ in range(ITERS):
+            xi, xj, _ = solve(factors=factors)
+        t_apply = (time.time() - t0) / ITERS
+    else:
+        # Device-resident solver: normals uploaded once; a refined solve
+        # (apply + 2 on-device f64 refinement rounds) is ONE dispatch; a
+        # re-factorization (terrestrial re-linearisation model) runs on
+        # device-resident casts — no host↔device matrix traffic either way.
+        import jax.numpy as jnp
+        from dynadjust_tpu.parallel.schur import (
+            DeviceSchurFactors, schur_solve_device, _schur_factor_jit)
+        t0 = time.time()
+        factors = DeviceSchurFactors(bs)
+        xi, xj, _ = schur_solve_device(bs, refine=2, factors=factors)
+        log(f"warm-up (upload+compile) {time.time() - t0:.2f}s")
+
+        def refactor():
+            factors.factors = _schur_factor_jit(
+                factors.Nii64.astype(np.float32),
+                factors.Nij64.astype(np.float32),
+                factors.Njj64.astype(np.float32),
+                factors.jmap, factors.jmask32, factors.nj_total)
+
+        t0 = time.time()
+        for _ in range(ITERS):
+            refactor()
+            xi, xj, _ = schur_solve_device(bs, refine=2, factors=factors)
+        t_blocked = (time.time() - t0) / ITERS
+        t0 = time.time()
+        for _ in range(ITERS):
+            xi, xj, _ = schur_solve_device(bs, refine=2, factors=factors)
+        t_apply = (time.time() - t0) / ITERS
+
+        # full Gauss-Newton iteration (device rhs assembly + refined
+        # solve + coordinate update; only a scalar crosses the link)
+        from dynadjust_tpu.parallel.assembly import build_plan
+        from dynadjust_tpu.parallel.device_adjust import DeviceAdjustment
+        adj = DeviceAdjustment(build_plan(bn, 0.01))
+        xd = jnp.asarray(x0)
+        _ = adj.step(xd)                                    # compile
+        t0 = time.time()
+        for _ in range(ITERS):
+            _, mc = adj.step(xd)
+            float(mc)
+        t_gn_iter = (time.time() - t0) / ITERS
+        log(f"full GN iteration (on-device assembly) {t_gn_iter:.4f}s")
+
     log(f"per-solve: factor+apply {t_blocked:.4f}s, "
         f"apply-only {t_apply:.4f}s")
 
@@ -143,6 +185,8 @@ def main():
             "blocks": len(blocks),
             "t_blocked_s": round(t_blocked, 4),
             "t_apply_s": round(t_apply, 4),
+            "t_gn_iteration_s": (round(t_gn_iter, 4)
+                                 if t_gn_iter is not None else None),
             "t_dense_host_s": round(t_dense, 4),
             "t_assembly_s": round(t_assembly, 4),
             "max_err_vs_dense_m": float(err),

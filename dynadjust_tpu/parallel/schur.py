@@ -388,9 +388,8 @@ def _schur_factor_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
     return L, Y, Lj, di, dj, djg, jnp.asarray(Nij_s)
 
 
-@partial(jax.jit, static_argnames=("nj_total",))
-def _schur_apply_jit(L, Y, Lj, di, dj, djg, Nij_s, bi, bj, jmap, jmask,
-                     nj_total):
+def _schur_apply_core(L, Y, Lj, di, dj, djg, Nij_s, bi, bj, jmap, jmask,
+                      nj_total):
     """Solve with precomputed factors (triangular solves only)."""
     bi = bi * di
     bj = bj * dj
@@ -402,6 +401,10 @@ def _schur_apply_jit(L, Y, Lj, di, dj, djg, Nij_s, bi, bj, jmap, jmask,
     xj_b = xj[jmap] * jmask
     xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b, precision=_HI)) * di
     return xi, xj * djg
+
+
+_schur_apply_jit = partial(jax.jit, static_argnames=("nj_total",))(
+    _schur_apply_core)
 
 
 class SchurFactors:
@@ -455,6 +458,119 @@ def schur_solve_factored(bs: BlockSystem, refine: int = 2,
         di_, dj_ = factors.solve(ri, rj_b.reshape(bs.bj.shape))
         xi = xi + di_
         xj = xj + dj_
+    return xi, xj, factors
+
+
+# ---------------------------------------------------------------------------
+# fully device-resident solve (single dispatch per refined solve)
+# ---------------------------------------------------------------------------
+
+
+def _owner_indices(jmap, jmask):
+    """One owner slot per global junction param: (flat positions into the
+    (B*nj) block-rhs array, corresponding global param ids)."""
+    flat = jmap.reshape(-1)
+    mask = jmask.reshape(-1) > 0
+    first_idx = {}
+    for k in np.nonzero(mask)[0]:
+        g = int(flat[k])
+        if g not in first_idx:
+            first_idx[g] = int(k)
+    gi = np.fromiter(first_idx.values(), dtype=np.int32)
+    gg = np.fromiter(first_idx.keys(), dtype=np.int32)
+    return gi, gg
+
+
+@partial(jax.jit, static_argnames=("nj_total", "refine"))
+def _device_solve_refined_jit(L, Y, Lj, di, dj, djg, Nij_s,
+                              Nii64, Nij64, Njj64, bi64, bj64,
+                              jmap, jmask32, jmask64, imask64,
+                              gi, gg, nj_total, refine):
+    """Factored apply + `refine` rounds of float64 residual refinement, all
+    inside one program.  The residual matvecs run in f64 on-device (VPU —
+    they are tiny next to the factorization), so a refined solve costs one
+    dispatch and rhs/solution-sized transfers only."""
+    f32 = L.dtype
+    B, nj = jmap.shape
+
+    def apply(ri64, rjb64):
+        xi, xj = _schur_apply_core(L, Y, Lj, di, dj, djg, Nij_s,
+                                   ri64.astype(f32), rjb64.astype(f32),
+                                   jmap, jmask32, nj_total)
+        return xi.astype(bi64.dtype), xj.astype(bi64.dtype)
+
+    xi, xj = apply(bi64, bj64)
+    t_glob = jnp.zeros((nj_total,), dtype=bi64.dtype)
+    t_glob = t_glob.at[jmap.reshape(-1)].add((bj64 * jmask64).reshape(-1))
+    for _ in range(refine):
+        xj_b = xj[jmap] * jmask64
+        yi = (jnp.einsum("bij,bj->bi", Nii64, xi) +
+              jnp.einsum("bij,bj->bi", Nij64, xj_b))
+        yj_b = (jnp.einsum("bij,bi->bj", Nij64, xi) +
+                jnp.einsum("bij,bj->bi", Njj64, xj_b)) * jmask64
+        yj = jnp.zeros((nj_total,), dtype=bi64.dtype)
+        yj = yj.at[jmap.reshape(-1)].add(yj_b.reshape(-1))
+        ri = bi64 * imask64 - yi
+        rj = t_glob - yj
+        rjb = jnp.zeros((B * nj,), dtype=bi64.dtype)
+        rjb = rjb.at[gi].set(rj[gg]).reshape(B, nj)
+        dxi, dxj = apply(ri, rjb)
+        xi = xi + dxi
+        xj = xj + dxj
+    return xi, xj
+
+
+class DeviceSchurFactors:
+    """Fully device-resident mixed-precision blocked solver.
+
+    The f64 blocked system is uploaded once; the factorization runs in
+    `dtype` (float32 on the MXU) on device-resident casts, and every
+    refined solve is a single jitted dispatch — apply + on-device f64
+    residual rounds.  Host↔device traffic after construction is limited
+    to rhs vectors in and solutions out, which is what makes the solver
+    fast over PCIe and usable at all over a tunneled device."""
+
+    def __init__(self, bs: BlockSystem, dtype=np.float32):
+        self.bs = bs
+        self.nj_total = bs.nj_global + 1
+        self.Nii64 = jnp.asarray(bs.Nii.astype(np.float64))
+        self.Nij64 = jnp.asarray(bs.Nij.astype(np.float64))
+        self.Njj64 = jnp.asarray(bs.Njj.astype(np.float64))
+        self.jmap = jnp.asarray(bs.jmap)
+        self.jmask32 = jnp.asarray(bs.jmask.astype(dtype))
+        self.jmask64 = jnp.asarray(bs.jmask.astype(np.float64))
+        self.imask64 = jnp.asarray(bs.imask.astype(np.float64))
+        gi, gg = _owner_indices(bs.jmap, bs.jmask)
+        self.gi = jnp.asarray(gi)
+        self.gg = jnp.asarray(gg)
+        self.dtype = dtype
+        self.factors = _schur_factor_jit(
+            self.Nii64.astype(dtype), self.Nij64.astype(dtype),
+            self.Njj64.astype(dtype), self.jmap, self.jmask32,
+            self.nj_total)
+
+    def solve_device(self, bi64, bj64, refine: int = 2):
+        """Refined solve; rhs and results stay on device (f64)."""
+        return _device_solve_refined_jit(
+            *self.factors, self.Nii64, self.Nij64, self.Njj64,
+            jnp.asarray(bi64, dtype=jnp.float64),
+            jnp.asarray(bj64, dtype=jnp.float64),
+            self.jmap, self.jmask32, self.jmask64, self.imask64,
+            self.gi, self.gg, self.nj_total, refine)
+
+    def solve(self, bi, bj, refine: int = 2):
+        xi, xj = self.solve_device(bi, bj, refine)
+        return (np.asarray(xi, dtype=np.float64),
+                np.asarray(xj, dtype=np.float64)[:self.bs.nj_global])
+
+
+def schur_solve_device(bs: BlockSystem, refine: int = 2,
+                       dtype=np.float32, factors: DeviceSchurFactors = None):
+    """Device-resident mixed-precision solve with factor reuse (the
+    single-dispatch counterpart of schur_solve_factored)."""
+    if factors is None:
+        factors = DeviceSchurFactors(bs, dtype)
+    xi, xj = factors.solve(bs.bi, bs.bj, refine)
     return xi, xj, factors
 
 

@@ -109,6 +109,37 @@ def test_f32_refined_solve_reaches_f64(small_net):
     assert np.abs(xj32 - xj64).max() < 1e-10
 
 
+def test_device_resident_solve_reaches_f64(small_net):
+    """Single-dispatch device solver (f32 factors + on-device f64
+    refinement inside one jit) reproduces the f64 solution, and reusing
+    its factors across rhs changes is exact."""
+    from dynadjust_tpu.parallel.schur import schur_solve_device
+    xyz, x0, bn, fixed = small_net
+    bs = build_normals(bn, x0, 0.01)
+    xi64, xj64 = schur_solve(bs)
+    xi, xj, factors = schur_solve_device(bs, refine=2)
+    assert np.abs(xi - xi64).max() < 1e-10
+    assert np.abs(xj - xj64).max() < 1e-10
+    # factor reuse with a different rhs
+    bs2 = build_normals(bn, x0 + 1e-4, 0.01)
+    yi64, yj64 = schur_solve(bs2)
+    yi, yj, _ = schur_solve_device(bs2, refine=2, factors=factors)
+    assert np.abs(yi - yi64).max() < 1e-10
+    assert np.abs(yj - yj64).max() < 1e-10
+
+
+def test_device_adjustment_matches_host(small_net):
+    """The fully device-resident Gauss-Newton loop (one dispatch per
+    iteration) follows the host-assembled trajectory exactly."""
+    from dynadjust_tpu.parallel.device_adjust import adjust_blocked_device
+    xyz, x0, bn, fixed = small_net
+    x_host, it_h, _, _ = adjust_blocked(bn, x0)
+    x_dev, it_d, mc, _ = adjust_blocked_device(bn, x0)
+    assert it_d == it_h
+    assert mc <= 0.0005
+    assert np.abs(x_dev - x_host).max() < 1e-8
+
+
 def test_blocked_adjustment_f32_refinement(small_net):
     """f32+refined block solves follow the f64 Gauss-Newton trajectory
     to the convergence threshold."""
