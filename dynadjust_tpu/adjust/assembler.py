@@ -112,6 +112,12 @@ class Assembler:
         self.A = np.zeros((self.nrows, n))
         self.mmc = np.zeros(self.nrows)
         self._built = False
+        # current geographic coordinates, refreshed from the estimates at
+        # each fill (UpdateGeographicCoords, dnaadjust.cpp:8734) so
+        # local-frame reductions and partials track the estimates
+        self.cur_lat = net.lat.copy()
+        self.cur_lon = net.lon.copy()
+        self.cur_h = net.height.copy()
 
     def loc3(self, g: int) -> int:
         """Local parameter offset (3 * local index) of global station g."""
@@ -291,6 +297,15 @@ class Assembler:
         rebuild_design = self.has_non_gps or not self._built
         if rebuild_design:
             A[:] = 0.0
+        if self.has_non_gps and self._built:
+            from ..geodesy.conversions import cart_to_geo
+            idx = np.asarray(self.stations, dtype=np.int64)
+            l = 3 * np.arange(len(idx))
+            la, lo, h = cart_to_geo(est[l], est[l + 1], est[l + 2],
+                                    self.ell)
+            self.cur_lat[idx] = la
+            self.cur_lon[idx] = lo
+            self.cur_h[idx] = h
 
         for it in self.scalar_items:
             self._fill_scalar(it, est, apply_reductions)
@@ -339,7 +354,7 @@ class Assembler:
         s1 = it.s1
         l1 = self.loc3(s1)
         x1, y1, z1 = est[l1], est[l1 + 1], est[l1 + 2]
-        lat1, lon1 = net.lat[s1], net.lon[s1]
+        lat1, lon1 = self.cur_lat[s1], self.cur_lon[s1]
         A, row = self.A, it.row
         t = it.mtype
 
@@ -401,7 +416,7 @@ class Assembler:
         net = self.net
         s1, s2, s3 = it.s1, it.s2, it.s3
         l1, l2, l3 = self.loc3(s1), self.loc3(s2), self.loc3(s3)
-        lat1, lon1 = net.lat[s1], net.lon[s1]
+        lat1, lon1 = self.cur_lat[s1], self.cur_lon[s1]
         p1 = est[l1:l1 + 3]
         p2 = est[l2:l2 + 3]
         p3 = est[l3:l3 + 3]
@@ -411,10 +426,10 @@ class Assembler:
         if apply_reductions:
             if self._has_deflections(s1):
                 zen12 = gm.zenith_distance(*p1, *p2, lat1, lon1,
-                                           net.lat[s2], net.lon[s2],
+                                           self.cur_lat[s2], self.cur_lon[s2],
                                            it.inst_h, it.targ_h)[0]
                 zen13 = gm.zenith_distance(*p1, *p3, lat1, lon1,
-                                           net.lat[s3], net.lon[s3],
+                                           self.cur_lat[s3], self.cur_lon[s3],
                                            it.inst_h, it.targ_h)[0]
                 it.pre_adj_corr = gm.hz_angle_deflection_correction(
                     d12, zen12, d13, zen13,
@@ -447,7 +462,7 @@ class Assembler:
         net = self.net
         s1, s2 = it.s1, it.s2
         l1, l2 = self.loc3(s1), self.loc3(s2)
-        lat1, lon1 = net.lat[s1], net.lon[s1]
+        lat1, lon1 = self.cur_lat[s1], self.cur_lon[s1]
         p1 = est[l1:l1 + 3]
         p2 = est[l2:l2 + 3]
         comp, e12, n12 = gm.direction(*p1, *p2, lat1, lon1)
@@ -455,7 +470,7 @@ class Assembler:
         if apply_reductions:
             if it.mtype == "K" and self._has_deflections(s1):
                 zen = gm.zenith_distance(*p1, *p2, lat1, lon1,
-                                         net.lat[s2], net.lon[s2],
+                                         self.cur_lat[s2], self.cur_lon[s2],
                                          it.inst_h, it.targ_h)[0]
                 it.pre_adj_corr = gm.laplace_correction(
                     comp, zen, net.vertical_def[s1], net.meridian_def[s1],
@@ -479,7 +494,7 @@ class Assembler:
         l1, l2 = self.loc3(s1), self.loc3(s2)
         p1 = est[l1:l1 + 3]
         p2 = est[l2:l2 + 3]
-        lat1, lon1, lat2 = net.lat[s1], net.lon[s1], net.lat[s2]
+        lat1, lon1, lat2 = self.cur_lat[s1], self.cur_lon[s1], self.cur_lat[s2]
 
         # E and M reduce the (original) arc to a chord on EVERY fill
         # (dnaadjust.cpp:5257-5276, 5412-5423)
@@ -496,7 +511,7 @@ class Assembler:
             it.pre_adj_corr = 0.0
 
         comp, dx, dy, dz = gm.ellipsoid_chord_distance(
-            *p1, *p2, lat1, lat2, net.height[s1], net.height[s2], ell)
+            *p1, *p2, lat1, lat2, self.cur_h[s1], self.cur_h[s2], ell)
         self._mmc(it, comp)
         self._design2(it.row, s1, s2, -dx / comp, -dy / comp, -dz / comp)
 
@@ -504,7 +519,7 @@ class Assembler:
         net = self.net
         s1, s2 = it.s1, it.s2
         l1, l2 = self.loc3(s1), self.loc3(s2)
-        lat1, lon1 = net.lat[s1], net.lon[s1]
+        lat1, lon1 = self.cur_lat[s1], self.cur_lon[s1]
         p1 = est[l1:l1 + 3]
         p2 = est[l2:l2 + 3]
 
@@ -522,11 +537,11 @@ class Assembler:
 
         if it.mtype == "V":
             comp, e, n, up = gm.zenith_distance(
-                *p1, *p2, lat1, lon1, net.lat[s2], net.lon[s2],
+                *p1, *p2, lat1, lon1, self.cur_lat[s2], self.cur_lon[s2],
                 it.inst_h, it.targ_h)
         else:
             comp, e, n, up = gm.vertical_angle(
-                *p1, *p2, lat1, lon1, net.lat[s2], net.lon[s2],
+                *p1, *p2, lat1, lon1, self.cur_lat[s2], self.cur_lon[s2],
                 it.inst_h, it.targ_h)
         self._mmc(it, comp)
 
@@ -558,8 +573,8 @@ class Assembler:
         l1, l2 = self.loc3(s1), self.loc3(s2)
         p1 = est[l1:l1 + 3]
         p2 = est[l2:l2 + 3]
-        h1, nu1, zn1 = gm.ellipsoid_height(*p1, net.lat[s1], ell)
-        h2, nu2, zn2 = gm.ellipsoid_height(*p2, net.lat[s2], ell)
+        h1, nu1, zn1 = gm.ellipsoid_height(*p1, self.cur_lat[s1], ell)
+        h2, nu2, zn2 = gm.ellipsoid_height(*p2, self.cur_lat[s2], ell)
         comp = h2 - h1
 
         if apply_reductions:
@@ -592,7 +607,7 @@ class Assembler:
             else:
                 it.pre_adj_corr = 0.0
 
-        comp, nu1, zn1 = gm.ellipsoid_height(*p1, net.lat[s1], ell)
+        comp, nu1, zn1 = gm.ellipsoid_height(*p1, self.cur_lat[s1], ell)
         self._mmc(it, comp)
         A, row = self.A, it.row
         A[row, l1:l1 + 3] = (p1[0] / (nu1 + comp),
@@ -630,12 +645,12 @@ class Assembler:
         s1 = it.s1
         l1 = self.loc3(s1)
         p1 = est[l1:l1 + 3]
-        lon1 = net.lon[s1]
+        lon1 = self.cur_lon[s1]
 
         if apply_reductions:
             if it.mtype == "J" and \
                     abs(net.vertical_def[s1]) > E4_SEC_DEFLECTION:
-                it.pre_adj_corr = net.vertical_def[s1] / np.cos(net.lat[s1])
+                it.pre_adj_corr = net.vertical_def[s1] / np.cos(self.cur_lat[s1])
                 it.term1 -= it.pre_adj_corr
             else:
                 it.pre_adj_corr = 0.0

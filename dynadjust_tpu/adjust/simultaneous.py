@@ -363,12 +363,13 @@ def _readjust_scalar(asm: Assembler, net: NetworkData, item: ScalarItem,
         l1, l2 = asm.loc3(s1), asm.loc3(s2)
         p1 = est[l1:l1 + 3]
         p2 = est[l2:l2 + 3]
-        adj = gm.ellipsoid_chord_to_arc(adj, *p1, *p2, net.lat[s1],
-                                        net.lon[s1], net.lat[s2], ell)
+        adj = gm.ellipsoid_chord_to_arc(adj, *p1, *p2, asm.cur_lat[s1],
+                                        asm.cur_lon[s1], asm.cur_lat[s2],
+                                        ell)
     elif t == "M":
         s1, s2 = item.s1, item.s2
         adj = gm.ellipsoid_chord_to_msl_arc(
-            adj, net.lat[s1], net.lat[s2],
+            adj, asm.cur_lat[s1], asm.cur_lat[s2],
             net.geoid_sep[s1], net.geoid_sep[s2], ell)
     elif t in ("H", "L", "V"):
         adj -= item.pre_adj_corr

@@ -410,9 +410,11 @@ def _cmd_adjust(args) -> int:
               print_ignored=getattr(args, "output_ignored_msrs", False),
               stn_coord_types=getattr(args, "stn_coord_types", "PLHhXYZ"),
               angular_style=getattr(args, "angular_msr_format",
-                                    "separated"))
+                                    "separated"),
+              stn_corr=getattr(args, "stn_corrections", False))
     write_xyz(f"{base}.xyz", net, res,
-              stn_coord_types=getattr(args, "stn_coord_types", "PLHhXYZ"))
+              stn_coord_types=getattr(args, "stn_coord_types", "PLHhXYZ"),
+              stn_corr=getattr(args, "stn_corrections", False))
     if getattr(args, "output_json", False):
         from .output.json_writer import write_adj_jsonl
         from .geodesy.conversions import geo_to_cart as _g2c
@@ -613,6 +615,9 @@ def _add_adjust_args(p):
                    help="station constraints: name,CCC,name2,FFC,...")
     p.add_argument("--output-pos-uncertainty", action="store_true",
                    help="write positional uncertainty (.apu) file")
+    p.add_argument("--stn-corrections", action="store_true",
+                   help="append corrections to initial coordinates "
+                        "(e,n,up) to the adjusted station table")
     p.add_argument("--output-corrections-file", action="store_true",
                    help="write station corrections (.cor) file")
     p.add_argument("--export-snx", action="store_true",

@@ -24,7 +24,7 @@ from ..network.data import NetworkData
 # column widths (dnaconsts-iostream.hpp)
 STATION = 20
 CONSTRAINT = 6
-LAT_EAST = 14
+LAT_EAST = 13
 LON_NORTH = 15
 HEIGHT = 11
 XYZ_W = 15
@@ -100,40 +100,67 @@ def _coord_headers(coord_types):
 
 
 def _station_line(net: NetworkData, i: int, xyz, lat, lon, h, sd_enu,
-                  coord_types=_DEFAULT_COORD_TYPES) -> str:
+                  coord_types=_DEFAULT_COORD_TYPES, corr=None) -> str:
     line = (f"{net.names[i]:<{STATION}}"
             f"{net.constraints[i]:<{CONSTRAINT}}"
             + _coord_cols(net, i, xyz, lat, lon, h, coord_types) +
             f"{'':<{PAD2}}"
             f"{sd_enu[0]:>{STDDEV}.4f}"
             f"{sd_enu[1]:>{STDDEV}.4f}"
-            f"{sd_enu[2]:>{STDDEV}.4f}"
-            f"{'':<{PAD2}}"
-            f"{net.descriptions[i]}")
-    return line.rstrip() if not net.descriptions[i] else line
+            f"{sd_enu[2]:>{STDDEV}.4f}")
+    if corr is not None:
+        line += (f"{'':<{PAD2}}"
+                 f"{corr[0]:>{HEIGHT}.4f}"
+                 f"{corr[1]:>{HEIGHT}.4f}"
+                 f"{corr[2]:>{HEIGHT}.4f}")
+    line += f"{'':<{PAD2}}{net.descriptions[i]}"
+    return line
 
 
-def _station_header(coord_types=_DEFAULT_COORD_TYPES) -> list:
+def _station_header(coord_types=_DEFAULT_COORD_TYPES,
+                    stn_corr: bool = False) -> list:
     cols, width = _coord_headers(coord_types)
     hdr = (f"{'Station':<{STATION}}{'Const':<{CONSTRAINT}}"
            + cols +
            f"{'':<{PAD2}}{'SD(e)':>{STDDEV}}{'SD(n)':>{STDDEV}}"
-           f"{'SD(up)':>{STDDEV}}{'':{PAD2}}Description")
-    total = STATION + CONSTRAINT + width + PAD2 * 2 + STDDEV * 3 + 11
+           f"{'SD(up)':>{STDDEV}}")
+    total = STATION + CONSTRAINT + width + PAD2 * 2 + STDDEV * 3 + 56
+    if stn_corr:
+        hdr += (f"{'':{PAD2}}{'Corr(e)':>{HEIGHT}}{'Corr(n)':>{HEIGHT}}"
+                f"{'Corr(up)':>{HEIGHT}}")
+        total += PAD2 + 3 * HEIGHT
+    hdr += f"{'':{PAD2}}Description"
+    # the reference reserves 56 columns for the description in the rule
     return [hdr, "-" * max(total, 80)]
 
 
 def station_lines(net: NetworkData, res,
-                  coord_types=_DEFAULT_COORD_TYPES) -> list:
+                  coord_types=_DEFAULT_COORD_TYPES,
+                  stn_corr: bool = False) -> list:
     lines = []
+    corr = None
+    if stn_corr:
+        # corrections to initial coordinates, in the local frame at the
+        # adjusted position (PrintAdjStation, dnaadjust_printer.cpp:4043;
+        # original height = initial + N when supplied orthometric)
+        from ..geodesy.conversions import geo_to_cart
+        from ..network.data import ORTHOMETRIC
+        h0 = net.initial_height + np.where(
+            np.asarray(net.height_ref) == ORTHOMETRIC, net.geoid_sep, 0.0)
+        x0, y0, z0 = geo_to_cart(net.lat, net.lon, h0,
+                                 net.datum.ellipsoid)
+        xyz0 = np.stack([np.asarray(x0), np.asarray(y0),
+                         np.asarray(z0)], axis=-1)
     for i in range(net.nstations):
         V = res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
         R = rotation_cart_to_local(res.lat[i], res.lon[i])
         Vl = R @ V @ R.T
         sd = np.sqrt(np.diag(Vl))
+        if stn_corr:
+            corr = R @ (res.xyz[i] - xyz0[i])
         lines.append(_station_line(net, i, res.xyz[i], res.lat[i],
                                    res.lon[i], res.height[i], sd,
-                                   coord_types))
+                                   coord_types, corr))
     return lines
 
 
@@ -155,6 +182,8 @@ def _fmt_angular(rad: float, prec: int, width: int,
     rem = (dms - d) * 100.0
     m = int(rem + 1e-9)
     s = (rem - m) * 100.0
+    if s < 0.0:
+        s = 0.0
     # guard rollover
     if s > 59.999999:
         s = 0.0
@@ -170,11 +199,17 @@ def _fmt_angular(rad: float, prec: int, width: int,
     return f"{txt:>{width}}"
 
 
+def _fz(v: float, nd: int = 2) -> float:
+    """Avoid '-0.00': values that round to zero print unsigned (matches
+    the reference's iostream output of tiny statistics)."""
+    return 0.0 if round(v, nd) == 0 else v
+
+
 def _msr_stat_cols(r, tstat=False) -> str:
-    out = f"{r.nstat:>{STAT}.2f}"
+    out = f"{_fz(r.nstat):>{STAT}.2f}"
     if tstat:
-        out += f"{r.tstat:>{STAT}.2f}"
-    out += f"{r.pelzer:>{REL}.2f}"
+        out += f"{_fz(r.tstat):>{STAT}.2f}"
+    out += f"{_fz(r.pelzer):>{REL}.2f}"
     return out
 
 
@@ -267,6 +302,82 @@ def _gnss_alt_rows(net, rows3, units: str):
     return out
 
 
+def _y_llh_rows(net, res, rows3, rec, point_idx, sigma0):
+    """Convert a Y-cluster point's X/Y/Z stat rows to geographic P/L/H(h)
+    rows for printing: adjusted cartesian → geographic (ortho height for
+    LLH), a-priori variances from the as-entered geographic VCV, adjusted
+    precisions propagated Cartesian→Geographic
+    (PrintAdjMeasurements_YLLH, dnaadjust_printer.cpp:2488;
+    ReduceYLLHMeasurementsforPrinting, dnaadjust.cpp:9981)."""
+    import copy
+
+    import numpy as np
+
+    from ..geodesy.conversions import cart_to_geo
+    from ..geodesy.local_frame import geo_cart_jacobian
+
+    ell = net.datum.ellipsoid
+    ct = rec.coord_type.upper()
+    ob = rec.obs[point_idx]
+    meas = np.asarray(ob.vec, dtype=np.float64)      # lat, lon (rad), h
+    vcv_geo = np.asarray(ob.vcv, dtype=np.float64) * rec.vscale
+
+    s1 = rows3[0].s1
+    adj_xyz = np.array([r.adjusted for r in rows3])
+    lat, lon, h = (float(v) for v in cart_to_geo(*adj_xyz, ell))
+    sep = 0.0
+    if ct == "LLH" and abs(net.geoid_sep[s1]) > 1e-4:
+        sep = float(net.geoid_sep[s1])
+        h -= sep
+
+    # a-priori precisions: the reference re-loads the cartesian VCV at the
+    # adjusted station coordinates (ellipsoidal height) and propagates it
+    # back to geographic at the adjusted ORTHO-reduced position — the
+    # height mismatch is part of the printed numbers
+    # (PrintAdjMeasurements_YLLH step 3, dnaadjust_printer.cpp:2566)
+    J_cur = geo_cart_jacobian(res.lat[s1], res.lon[s1], res.height[s1],
+                              ell)
+    V_cart = J_cur @ vcv_geo @ J_cur.T
+    Jinv = np.linalg.inv(geo_cart_jacobian(lat, lon, h, ell))
+    var_geo = np.diag(Jinv @ V_cart @ Jinv.T)
+
+    # adjusted precisions: the reference propagates only the diagonal of
+    # the cartesian adjusted VCV (PrintAdjMeasurements_YLLH step 2 builds
+    # var_cart_adj from measAdjPrec alone)
+    adj_vcv3 = rows3[0].adj_vcv3
+    if adj_vcv3 is not None:
+        D = np.diag(np.diag(np.asarray(adj_vcv3)))
+        var_adj = np.diag(Jinv @ D @ Jinv.T)
+    else:
+        var_adj = np.zeros(3)
+
+    cards = ("P", "L", "H" if ct == "LLH" else "h")
+    vals_a = (lat, lon, h)
+    is_ang = (True, True, False)
+    out = []
+    for k in range(3):
+        r = copy.copy(rows3[k])
+        r.cardinal = cards[k]
+        r.pre_adj_meas = float(meas[k])
+        r.measured = float(meas[k])
+        r.adjusted = float(vals_a[k])
+        r.correction = r.adjusted - r.pre_adj_meas
+        r.meas_var = max(float(var_geo[k]), 0.0)
+        r.adj_prec = max(float(var_adj[k]), 0.0)
+        r.resid_prec = abs(r.meas_var - r.adj_prec)
+        r.pelzer = (math.sqrt(r.meas_var / r.resid_prec)
+                    if r.resid_prec > 0 else 999.99)
+        if r.pelzer < 0 or r.pelzer > 700.0:
+            r.pelzer = 999.99
+        r.nstat = (r.correction / math.sqrt(r.resid_prec)
+                   if r.resid_prec > 0 else 0.0)
+        r.tstat = r.nstat / math.sqrt(max(sigma0, 1e-20))
+        r.pre_adj_corr = sep if k == 2 else 0.0
+        r._force_angular = is_ang[k]
+        out.append(r)
+    return out
+
+
 def measurement_lines(net: NetworkData, res, msr_prec_m=4,
                       msr_prec_s=4, tstat=False, gnss_units=0,
                       database_ids=False, sort_by=0,
@@ -301,6 +412,30 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
     stats_rows = res.msr_stats
     if not include_ignored:
         stats_rows = [r for r in stats_rows if not r.ignore]
+
+    # Y point clusters entered in geographic terms print as P/L/H rows
+    # (PrintAdjMeasurements_YLLH, dnaadjust_printer.cpp:2488)
+    sigma0 = res.sigma_zero
+    y_llh = []
+    point_no = {}
+    i = 0
+    while i < len(stats_rows):
+        r = stats_rows[i]
+        rec = (net.measurements[r.rec_idx]
+               if r.rec_idx < len(net.measurements) else None)
+        if (r.mtype == "Y" and r.cardinal == "X" and i + 2 < len(stats_rows)
+                and rec is not None
+                and getattr(rec, "coord_type", "XYZ").upper()
+                .startswith("LL")):
+            p = point_no.get(r.rec_idx, 0)
+            point_no[r.rec_idx] = p + 1
+            y_llh.extend(_y_llh_rows(net, res, stats_rows[i:i + 3],
+                                     rec, p, sigma0))
+            i += 3
+        else:
+            y_llh.append(r)
+            i += 1
+    stats_rows = y_llh
     if sort_by:
         keyfns = {
             1: lambda r: (r.mtype, r.rec_idx),
@@ -350,12 +485,12 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
                                  angular_style) +
                     _fmt_angular(r.adjusted, msr_prec_s, MSR,
                                  angular_style) +
-                    f"{_sec(r.correction):>{CORR}.4f}" +
+                    f"{_nz(_sec(r.correction)):>{CORR}.4f}" +
                     f"{_sec(math.sqrt(r.meas_var)):>{PREC}.4f}" +
                     f"{_sec(math.sqrt(r.adj_prec)):>{PREC}.4f}" +
                     f"{_sec(math.sqrt(r.resid_prec)):>{PREC}.4f}" +
                     _msr_stat_cols(r, tstat) +
-                    f"{_sec(r.pre_adj_corr):>{PREC + 1}.4f}")
+                    f"{_nz(_sec(r.pre_adj_corr)):>{PREC + 1}.4f}")
         else:
             body = (f"{r.pre_adj_meas:>{MSR}.4f}"
                     f"{r.adjusted:>{MSR}.4f}"
@@ -364,7 +499,7 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
                     f"{math.sqrt(r.adj_prec):>{PREC}.4f}"
                     f"{math.sqrt(r.resid_prec):>{PREC}.4f}"
                     + _msr_stat_cols(r, tstat) +
-                    f"{r.pre_adj_corr:>{PREC + 1}.4f}")
+                    f"{_nz(r.pre_adj_corr):>{PREC + 1}.4f}")
         outlier = f"{'*':>{OUTLIER}}" if r.outlier else f"{'':{OUTLIER}}"
         line = head + body + outlier
         if database_ids:
@@ -396,7 +531,7 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
               database_ids: bool = False, sort_adj_msr: int = 0,
               print_ignored: bool = False,
               stn_coord_types: str = _DEFAULT_COORD_TYPES,
-              angular_style: str = "separated"):
+              angular_style: str = "separated", stn_corr: bool = False):
     now = datetime.datetime.now()
     L = []
     L.append(OUTPUTLINE)
@@ -423,6 +558,9 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
              f"{opts.max_iterations}")
     L.append(f"{'Test confidence interval:':<{PRINT_VAR_PAD}}"
              f"{opts.confidence_interval:.1f}%")
+    if stn_corr:
+        L.append(f"{'Station coordinate corrections:':<{PRINT_VAR_PAD}}"
+                 "Yes")
     L.append(OUTPUTLINE)
     L.append("")
 
@@ -466,11 +604,11 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
              f"{res.global_pelzer:.3f}   "
              f"(excludes non redundant measurements)")
     L.append("")
-    L.append(f"Chi-Square test ({opts.confidence_interval:.1f}%)"
-             f"{'':<{PRINT_VAR_PAD - 22}}"
+    chi_prefix = f"Chi-Square test ({opts.confidence_interval:.1f}%)"
+    L.append(f"{chi_prefix:<{PRINT_VAR_PAD}}"
              f"{res.chi_lower:.3f} < {res.sigma_zero:.3f} < "
              f"{res.chi_upper:.3f}"
-             f"          *** {res.pass_fail} ***")
+             f"{'*** ' + res.pass_fail + ' ***':>24}")
     L.append("")
     L.append("")
 
@@ -484,6 +622,8 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
                                    sort_by=sort_adj_msr,
                                    include_ignored=print_ignored,
                                    angular_style=angular_style))
+        L.append("")
+        L.append("")
     if msr_to_stn:
         L.extend(msr_to_stn_lines(net, sort=sort_msr_to_stn))
         L.append("")
@@ -491,8 +631,8 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
     L.append("Adjusted Coordinates")
     L.append("------------------------------------------")
     L.append("")
-    L.extend(_station_header(stn_coord_types))
-    L.extend(station_lines(net, res, stn_coord_types))
+    L.extend(_station_header(stn_coord_types, stn_corr))
+    L.extend(station_lines(net, res, stn_coord_types, stn_corr))
     L.append("")
 
     with open(path, "w") as f:
@@ -500,9 +640,11 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
 
 
 def write_xyz(path: str, net: NetworkData, res,
-              stn_coord_types: str = _DEFAULT_COORD_TYPES):
-    L = ["Adjusted Coordinates", "", *_station_header(stn_coord_types),
-         *station_lines(net, res, stn_coord_types), ""]
+              stn_coord_types: str = _DEFAULT_COORD_TYPES,
+              stn_corr: bool = False):
+    L = ["Adjusted Coordinates", "",
+         *_station_header(stn_coord_types, stn_corr),
+         *station_lines(net, res, stn_coord_types, stn_corr), ""]
     with open(path, "w") as f:
         f.write("\n".join(L) + "\n")
 

@@ -56,6 +56,25 @@ def _parse_expected_coords(path):
     return out
 
 
+def test_adj_report_byte_parity(gnss_result, sample_dir, tmp_path):
+    """The .adj report is byte-identical to the reference's golden file
+    below the volatile header (the reference's own regression bar,
+    run-gnss-network.sh: diff below line 53)."""
+    from dynadjust_tpu.output.adj_writer import write_adj
+    net, res = gnss_result
+    out = tmp_path / "gnss.simult.adj"
+    write_adj(str(out), net, res,
+              AdjustmentOptions(scale_normals_to_unity=True),
+              print_adj_msr=True)
+    ours = out.read_text().splitlines()
+    exp = open(f"{sample_dir}/gnss.simult.adj.expected").read().splitlines()
+    ia = next(i for i, l in enumerate(ours)
+              if "Number of unknown parameters" in l)
+    ib = next(i for i, l in enumerate(exp)
+              if "Number of unknown parameters" in l)
+    assert ours[ia:] == exp[ib:]
+
+
 def test_convergence_and_statistics(gnss_result):
     net, res = gnss_result
     # Golden: gnss.simult.adj.expected lines 34-62
