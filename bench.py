@@ -97,22 +97,15 @@ def main():
         # device-resident casts — no host↔device matrix traffic either way.
         import jax.numpy as jnp
         from dynadjust_tpu.parallel.schur import (
-            DeviceSchurFactors, schur_solve_device, _schur_factor_jit)
+            DeviceSchurFactors, schur_solve_device)
         t0 = time.time()
         factors = DeviceSchurFactors(bs)
         xi, xj, _ = schur_solve_device(bs, refine=2, factors=factors)
         log(f"warm-up (upload+compile) {time.time() - t0:.2f}s")
 
-        def refactor():
-            factors.factors = _schur_factor_jit(
-                factors.Nii64.astype(np.float32),
-                factors.Nij64.astype(np.float32),
-                factors.Njj64.astype(np.float32),
-                factors.jmap, factors.jmask32, factors.nj_total)
-
         t0 = time.time()
         for _ in range(ITERS):
-            refactor()
+            factors.refactor()
             xi, xj, _ = schur_solve_device(bs, refine=2, factors=factors)
         t_blocked = (time.time() - t0) / ITERS
         t0 = time.time()

@@ -20,20 +20,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .schur import (_schur_factor_jit, _device_solve_refined_jit,
-                    _owner_indices)
+from .schur import (_schur_factor_jit, _schur_factor_inv_jit,
+                    _device_solve_refined_jit, _owner_indices)
 from .assembly import AssemblyPlan, build_plan
 from .blocked_adjust import BlockedNetwork
 
 
-@partial(jax.jit, static_argnames=("nj_total", "refine", "B", "ni", "nj"))
+@partial(jax.jit, static_argnames=("nj_total", "refine", "B", "ni", "nj",
+                                   "method"))
 def _gn_step_jit(x, L, Y, Lj, di, dj, djg, Nij_s,
                  Nii64, Nij64, Njj64,
                  pi, pj, obs, weight,
                  bi1, bi2, bj1, bj2,
                  inner_stn, junc_stn,
                  jmap, jmask32, jmask64, imask64, gi, gg,
-                 nj_total, refine, B, ni, nj):
+                 nj_total, refine, B, ni, nj, method="inv"):
     """One Gauss-Newton iteration on device: assemble rhs, refined solve,
     update coordinates.  Returns (x_new, max_corr)."""
     S = x.shape[0]
@@ -53,7 +54,7 @@ def _gn_step_jit(x, L, Y, Lj, di, dj, djg, Nij_s,
     xi, xj = _device_solve_refined_jit(
         L, Y, Lj, di, dj, djg, Nij_s, Nii64, Nij64, Njj64,
         bi, bj, jmap, jmask32, jmask64, imask64, gi, gg,
-        nj_total, refine)
+        nj_total, refine, method)
 
     # scatter corrections back to station layout (scratch row S)
     dx = jnp.zeros((S + 1, 3), dtype=x.dtype)
@@ -75,7 +76,7 @@ class DeviceAdjustment:
     """
 
     def __init__(self, plan: AssemblyPlan, dtype=np.float32,
-                 refine: int = 2):
+                 refine: int = 2, method: str = "inv"):
         bn = plan.bn
         self.plan = plan
         self.refine = refine
@@ -118,7 +119,10 @@ class DeviceAdjustment:
         self.junc_stn = jnp.asarray(
             np.asarray(bn.junction_stations, dtype=np.int32))
 
-        self.factors = _schur_factor_jit(
+        self.method = method
+        factor = (_schur_factor_inv_jit if method == "inv"
+                  else _schur_factor_jit)
+        self.factors = factor(
             self.Nii64.astype(dtype), self.Nij64.astype(dtype),
             self.Njj64.astype(dtype), self.jmap, self.jmask32,
             self.nj_total)
@@ -131,7 +135,8 @@ class DeviceAdjustment:
             self.inner_stn, self.junc_stn,
             self.jmap, self.jmask32, self.jmask64, self.imask64,
             self.gi, self.gg,
-            self.nj_total, self.refine, self.B, self.ni, self.nj)
+            self.nj_total, self.refine, self.B, self.ni, self.nj,
+            self.method)
 
     def run(self, x0, max_iterations: int = 10, threshold: float = 0.0005):
         """Gauss-Newton to convergence.  Returns (x, iterations, max_corr,

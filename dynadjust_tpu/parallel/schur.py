@@ -407,6 +407,47 @@ _schur_apply_jit = partial(jax.jit, static_argnames=("nj_total",))(
     _schur_apply_core)
 
 
+@partial(jax.jit, static_argnames=("nj_total",))
+def _schur_factor_inv_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
+    """Explicit-inverse factorization (the reference's dpotrf+dpotri,
+    dnamatrix_contiguous.cpp:963-1006): returns (Ainv, Y, Sinv, di, dj,
+    djg, Nij_s).  Uses the blocked tiled factorization (ops/blocked_chol)
+    — measured 1.4x faster than XLA's monolithic cholesky+triangular
+    solves on TPU — and makes every apply a pure MXU matmul (triangular
+    solves are the slow op on TPU)."""
+    from ..ops.blocked_chol import block_reduce
+    zero_b = jnp.zeros_like(Nii[..., 0])
+    zero_j = jnp.zeros_like(Njj[..., 0])
+    Nii_s, Nij_s, Njj_s, _, _, di, dj, djg = _unity_scale(
+        Nii, Nij, Njj, zero_b, zero_j, jmap, jmask, nj_total, None)
+    Ainv, Y, S_b = block_reduce(Nii_s, Nij_s, Njj_s)
+    S_b = S_b * jmask[:, :, None] * jmask[:, None, :]
+    S = jnp.zeros((nj_total, nj_total), dtype=S_b.dtype)
+    idx_i = jnp.repeat(jmap[:, :, None], jmap.shape[1], axis=2).reshape(-1)
+    idx_j = jnp.repeat(jmap[:, None, :], jmap.shape[1], axis=1).reshape(-1)
+    S = S.at[idx_i, idx_j].add(S_b.reshape(-1))
+    diag = jnp.diag(S)
+    S = S + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
+    Lj = jnp.linalg.cholesky(S)
+    Sinv = _chunked_spd_inverse(Lj)
+    return Ainv, Y, Sinv, di, dj, djg, Nij_s
+
+
+def _schur_apply_inv_core(Ainv, Y, Sinv, di, dj, djg, Nij_s, bi, bj,
+                          jmap, jmask, nj_total):
+    """Solve with explicit inverses — matmuls only (MXU)."""
+    bi = bi * di
+    bj = bj * dj
+    w = jnp.einsum("bij,bj->bi", Ainv, bi, precision=_HI)
+    t_b = (bj - jnp.einsum("bki,bk->bi", Nij_s, w, precision=_HI)) * jmask
+    t = jnp.zeros((nj_total,), dtype=t_b.dtype)
+    t = t.at[jmap.reshape(-1)].add(t_b.reshape(-1))
+    xj = jnp.einsum("ij,j->i", Sinv, t, precision=_HI)
+    xj_b = xj[jmap] * jmask
+    xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b, precision=_HI)) * di
+    return xi, xj * djg
+
+
 class SchurFactors:
     """Device-resident factorization of a BlockSystem (dtype-cast once)."""
 
@@ -481,22 +522,28 @@ def _owner_indices(jmap, jmask):
     return gi, gg
 
 
-@partial(jax.jit, static_argnames=("nj_total", "refine"))
+@partial(jax.jit, static_argnames=("nj_total", "refine", "method"))
 def _device_solve_refined_jit(L, Y, Lj, di, dj, djg, Nij_s,
                               Nii64, Nij64, Njj64, bi64, bj64,
                               jmap, jmask32, jmask64, imask64,
-                              gi, gg, nj_total, refine):
+                              gi, gg, nj_total, refine, method="chol"):
     """Factored apply + `refine` rounds of float64 residual refinement, all
     inside one program.  The residual matvecs run in f64 on-device (VPU —
     they are tiny next to the factorization), so a refined solve costs one
-    dispatch and rhs/solution-sized transfers only."""
+    dispatch and rhs/solution-sized transfers only.
+
+    method: 'chol' — factors are (L, Y, Lj) triangular (cho_solve apply);
+    'inv' — factors are (Ainv, Y, Sinv) explicit inverses (matmul apply,
+    faster on TPU)."""
     f32 = L.dtype
     B, nj = jmap.shape
+    apply_core = (_schur_apply_inv_core if method == "inv"
+                  else _schur_apply_core)
 
     def apply(ri64, rjb64):
-        xi, xj = _schur_apply_core(L, Y, Lj, di, dj, djg, Nij_s,
-                                   ri64.astype(f32), rjb64.astype(f32),
-                                   jmap, jmask32, nj_total)
+        xi, xj = apply_core(L, Y, Lj, di, dj, djg, Nij_s,
+                            ri64.astype(f32), rjb64.astype(f32),
+                            jmap, jmask32, nj_total)
         return xi.astype(bi64.dtype), xj.astype(bi64.dtype)
 
     xi, xj = apply(bi64, bj64)
@@ -530,9 +577,11 @@ class DeviceSchurFactors:
     to rhs vectors in and solutions out, which is what makes the solver
     fast over PCIe and usable at all over a tunneled device."""
 
-    def __init__(self, bs: BlockSystem, dtype=np.float32):
+    def __init__(self, bs: BlockSystem, dtype=np.float32,
+                 method: str = "inv"):
         self.bs = bs
         self.nj_total = bs.nj_global + 1
+        self.method = method
         self.Nii64 = jnp.asarray(bs.Nii.astype(np.float64))
         self.Nij64 = jnp.asarray(bs.Nij.astype(np.float64))
         self.Njj64 = jnp.asarray(bs.Njj.astype(np.float64))
@@ -544,9 +593,15 @@ class DeviceSchurFactors:
         self.gi = jnp.asarray(gi)
         self.gg = jnp.asarray(gg)
         self.dtype = dtype
-        self.factors = _schur_factor_jit(
-            self.Nii64.astype(dtype), self.Nij64.astype(dtype),
-            self.Njj64.astype(dtype), self.jmap, self.jmask32,
+        self.refactor()
+
+    def refactor(self):
+        """(Re)factor from the device-resident f64 normals."""
+        factor = (_schur_factor_inv_jit if self.method == "inv"
+                  else _schur_factor_jit)
+        self.factors = factor(
+            self.Nii64.astype(self.dtype), self.Nij64.astype(self.dtype),
+            self.Njj64.astype(self.dtype), self.jmap, self.jmask32,
             self.nj_total)
 
     def solve_device(self, bi64, bj64, refine: int = 2):
@@ -556,7 +611,7 @@ class DeviceSchurFactors:
             jnp.asarray(bi64, dtype=jnp.float64),
             jnp.asarray(bj64, dtype=jnp.float64),
             self.jmap, self.jmask32, self.jmask64, self.imask64,
-            self.gi, self.gg, self.nj_total, refine)
+            self.gi, self.gg, self.nj_total, refine, self.method)
 
     def solve(self, bi, bj, refine: int = 2):
         xi, xj = self.solve_device(bi, bj, refine)
