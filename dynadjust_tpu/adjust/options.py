@@ -18,4 +18,7 @@ class AdjustmentOptions:
     stations_constrained: str = ""           # "name,CCC,name2,FFC,..."
     mode: str = "simultaneous"               # simultaneous | phased
     output_iter_stations: bool = False       # snapshot coords per iteration
+    output_iter_adj_stat: bool = False       # per-iteration statistics
+    output_iter_adj_msr: bool = False        # per-iteration adjusted msrs
+    output_iter_cmp_msr: bool = False        # per-iteration computed msrs
     checkpoint_file: str = ""                # save/resume iteration state

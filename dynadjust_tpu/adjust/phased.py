@@ -141,11 +141,17 @@ def _first_appearances(blocks, direction: str):
 def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                   seg_file: str | None = None,
                   seg: Segmentation | None = None,
-                  stage_dir: str | None = None) -> AdjustmentResult:
+                  stage_dir: str | None = None,
+                  block1: bool = False) -> AdjustmentResult:
     """stage_dir: when given, per-block normals/AtVinv are offloaded to
     memory-mapped .mtx files between uses instead of held resident —
     bounding peak memory to a couple of blocks (the reference's
-    --staged-adjustment)."""
+    --staged-adjustment).
+
+    block1: solve rigorous estimates for block 1 only, via a single
+    reverse sweep (AdjustPhasedBlock1, dnaadjust.cpp:2675 — "only the
+    reverse adjustment is needed to achieve rigorous estimates for
+    block 1"); one iteration, no forward pass or combination."""
     opts = options or AdjustmentOptions()
     t0 = time.time()
 
@@ -193,10 +199,10 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                 blk.N_base = N
                 blk.AtVinv = AtVinv
 
-        # ---- forward pass -------------------------------------------------
+        # ---- forward pass (skipped in block1 mode) -------------------------
         jsl_est_fwd = [None] * B        # junction estimates carried forward
         jsl_w_fwd = [None] * B          # junction weight matrices (Σ⁻¹)
-        for b, blk in enumerate(blocks):
+        for b, blk in enumerate(blocks if not block1 else ()):
             N = blk.base_normals().copy()
             _add_constraints(N, blk, first_fwd[b])
             rhs = blk.atvinv() @ blk.asm.mmc
@@ -241,7 +247,12 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                     jsl_est_rev[b] = est_r[jidx]
 
             # rigorous estimates for this block
-            if b == B - 1:
+            if block1:
+                # only block 1 is rigorous; other blocks keep the reverse
+                # sweep estimates (not rigorous, carried for the report)
+                blk.rigorous_est = est_r
+                blk.rigorous_cov = Ninv_r
+            elif b == B - 1:
                 blk.rigorous_est = blocks[b].est            # forward rigorous
                 blk.rigorous_cov = blocks[b].Ninv_fwd
             elif b == 0:
@@ -266,7 +277,7 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                 blk.rigorous_cov = Ninv_c
 
         # ---- convergence & relinearisation -------------------------------
-        for blk in blocks:
+        for blk in (blocks if not block1 else blocks[:1]):
             prev = xyz_all[blk.stations].reshape(-1)
             dx = blk.rigorous_est - prev
             i = int(np.argmax(np.abs(dx)))
@@ -286,11 +297,18 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
             blk.est = xyz_all[blk.stations].reshape(-1).copy()
             blk.est_rev = blk.est.copy()
             blk.asm.fill(blk.est)
+        if block1:
+            # single pass only (the reference flags threshold-exceeded
+            # rather than iterating, dnaadjust.cpp:2709)
+            status = "Estimates solved for Block 1 only"
+            if abs(max_corr) > opts.iteration_threshold:
+                status += " (threshold exceeded)"
+            break
         if converged:
             break
     else:
         status = "Failed to converge"
-    if abs(max_corr) > opts.iteration_threshold:
+    if not block1 and abs(max_corr) > opts.iteration_threshold:
         status = "Failed to converge"
 
     # ---- statistics ------------------------------------------------------
@@ -339,6 +357,12 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
             cov[3 * g:3 * g + 3, 3 * g:3 * g + 3] = \
                 blk.rigorous_cov[3 * l:3 * l + 3, 3 * l:3 * l + 3]
 
+    block_info = [(blk.index + 1,
+                   [net.names[g] for g in blk.stations
+                    if g not in set(blk.jsl)],
+                   [net.names[g] for g in blk.jsl],
+                   blk.asm.measurement_count()) for blk in blocks]
+
     return AdjustmentResult(
         status=status, iterations=iteration, max_corr=float(max_corr),
         chi_squared=float(chi_sq), sigma_zero=float(sigma0),
@@ -349,7 +373,7 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
         critical_value=float(crit), xyz=xyz_all.copy(),
         lat=net.lat.copy(), lon=net.lon.copy(), height=net.height.copy(),
         cov_xyz=cov, msr_stats=stats_rows, iteration_log=it_log,
-        elapsed=time.time() - t0)
+        block_info=block_info, elapsed=time.time() - t0)
 
 
 def _block_normals(blk: Block):

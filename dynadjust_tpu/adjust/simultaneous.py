@@ -80,6 +80,8 @@ class AdjustmentResult:
     cov_xyz: np.ndarray             # (3S, 3S) a-posteriori covariance
     msr_stats: list = field(default_factory=list)
     iteration_log: list = field(default_factory=list)
+    # phased mode: [(block_no, inner_names, junction_names, msr_count)]
+    block_info: list = None
     oscillation: list = field(default_factory=list)
     elapsed: float = 0.0
 
@@ -194,6 +196,28 @@ def adjust_simultaneous(net: NetworkData,
                  "station": net.names[imax // 3]}
         if opts.output_iter_stations:
             entry["est"] = est.copy()
+        if opts.output_iter_adj_stat:
+            # per-iteration chi-squared from the current residuals
+            # (--output-iter-adj-stat; the reference prints the statistics
+            # block each iteration)
+            v = asm.mmc - asm.A @ dx
+            chi_i = 0.0
+            for r0, W3 in asm.weight_blocks():
+                k = W3.shape[0]
+                chi_i += float(v[r0:r0 + k] @ W3 @ v[r0:r0 + k])
+            dof_i = max(m_count - unknown_count, 1)
+            entry["stat"] = {"chi_sq": chi_i, "dof": dof_i,
+                             "sigma0": chi_i / dof_i}
+        if ((opts.output_iter_adj_msr or opts.output_iter_cmp_msr)
+                and Ninv is not None):
+            _update_geographic(net, est)
+            asm.fill(est)
+            rows_i, _, _, _, _ = _measurement_stats(
+                asm, net, Ninv, est, _critical_value(
+                    opts.confidence_interval))
+            entry["msr_rows"] = rows_i
+            entry["cmp_only"] = (opts.output_iter_cmp_msr and
+                                 not opts.output_iter_adj_msr)
         it_log.append(entry)
         if opts.checkpoint_file:
             tmp = opts.checkpoint_file + ".tmp.npz"

@@ -189,9 +189,12 @@ def _cmd_import(args) -> int:
         for a, b, d in near[:20]:
             print(f"  nearby: {a} ~ {b} ({d:.1f} m)")
 
-    # mirror the reference: binary station records are name-sorted
+    # mirror the reference: binary station records are name-sorted, but
+    # the original file order is kept for --sort-stn-orig-order
+    orig_order = {s.name: k for k, s in enumerate(stations)}
     stations.sort(key=lambda s: s.name)
     net = build_network(stations, measurements, frame, epoch)
+    net.station_file_order = [orig_order[n] for n in net.names]
     if getattr(args, "simulate", False):
         from .network.simulate import simulate_measurements
         from .io_formats.dna_writer import write_dna_msr
@@ -347,6 +350,9 @@ def _cmd_adjust(args) -> int:
         free_std_dev=args.free_stn_sd,
         fixed_std_dev=args.fixed_stn_sd,
         output_iter_stations=getattr(args, "output_iter_adj_stn", False),
+        output_iter_adj_stat=getattr(args, "output_iter_adj_stat", False),
+        output_iter_adj_msr=getattr(args, "output_iter_adj_msr", False),
+        output_iter_cmp_msr=getattr(args, "output_iter_cmp_msr", False),
         checkpoint_file=getattr(args, "checkpoint_file", ""),
         scale_normals_to_unity=args.scale_normals_to_unity,
         mode="phased" if args.phased else "simultaneous",
@@ -375,17 +381,25 @@ def _cmd_adjust(args) -> int:
             return 1
         with open(res_file, "rb") as f:
             res = pickle.load(f)
-    elif args.phased:
+    elif args.phased or args.block1_phased:
         from .adjust.phased import adjust_phased
         seg_file = os.path.join(args.output_folder,
                                 f"{args.network_name}.seg.pkl")
         res = adjust_phased(net, opts, seg_file if os.path.exists(seg_file)
                             else None,
-                            stage_dir=(args.output_folder
-                                       if args.staged_adjustment else None))
+                            stage_dir=(getattr(args, "stage_path", "")
+                                       or args.output_folder
+                                       if args.staged_adjustment else None),
+                            block1=args.block1_phased)
     else:
         res = adjust_simultaneous(net, opts)
     elapsed = time.time() - t0
+
+    if getattr(args, "purge_stage_files", False):
+        import shutil
+        stage_base = (getattr(args, "stage_path", "") or args.output_folder)
+        shutil.rmtree(os.path.join(stage_base, "blocks.mtx"),
+                      ignore_errors=True)
 
     if not args.report_mode:
         with open(res_file, "wb") as f:
@@ -398,7 +412,9 @@ def _cmd_adjust(args) -> int:
 
     mode = "phased" if args.phased else "simultaneous"
     base = os.path.join(args.output_folder, args.network_name)
-    adj_path = f"{base}.{'phased' if args.phased else 'simult'}.adj"
+    suffix = ("phased-block1" if args.block1_phased
+              else "phased" if args.phased else "simult")
+    adj_path = f"{base}.{suffix}.adj"
     write_adj(adj_path, net, res, opts, cmdline=" ".join(sys.argv),
               print_adj_msr=args.output_adj_msr,
               tstat=getattr(args, "output_adj_msr_tstat", False),
@@ -411,10 +427,24 @@ def _cmd_adjust(args) -> int:
               stn_coord_types=getattr(args, "stn_coord_types", "PLHhXYZ"),
               angular_style=getattr(args, "angular_msr_format",
                                     "separated"),
-              stn_corr=getattr(args, "stn_corrections", False))
+              stn_corr=getattr(args, "stn_corrections", False),
+              msr_prec_m=getattr(args, "precision_msr_linear", 4),
+              msr_prec_s=getattr(args, "precision_msr_angular", 4),
+              stn_prec_m=getattr(args, "precision_stn_linear", 4),
+              stn_prec_s=getattr(args, "precision_stn_angular", 5),
+              stn_angular=("ddeg" if getattr(args, "angular_stn_type", 0)
+                           else "dms"),
+              stn_file_order=getattr(args, "sort_stn_orig_order", False),
+              output_stn_blocks=getattr(args, "output_stn_blocks", False),
+              output_msr_blocks=getattr(args, "output_msr_blocks", False))
     write_xyz(f"{base}.xyz", net, res,
               stn_coord_types=getattr(args, "stn_coord_types", "PLHhXYZ"),
-              stn_corr=getattr(args, "stn_corrections", False))
+              stn_corr=getattr(args, "stn_corrections", False),
+              stn_prec_m=getattr(args, "precision_stn_linear", 4),
+              stn_prec_s=getattr(args, "precision_stn_angular", 5),
+              stn_angular=("ddeg" if getattr(args, "angular_stn_type", 0)
+                           else "dms"),
+              stn_file_order=getattr(args, "sort_stn_orig_order", False))
     if getattr(args, "output_json", False):
         from .output.json_writer import write_adj_jsonl
         from .geodesy.conversions import geo_to_cart as _g2c
@@ -425,7 +455,9 @@ def _cmd_adjust(args) -> int:
         print(f"+ Wrote {base}.adj.jsonl ({n} records)")
     if args.output_pos_uncertainty:
         from .output.uncertainty import write_apu
-        write_apu(f"{base}.apu", net, res,
+        units = {0: "XYZ", 1: "ENU", 2: "LLH"}.get(
+            getattr(args, "output_apu_vcv_units", 1), "ENU")
+        write_apu(f"{base}.apu", net, res, vcv_units=units,
                   confidence=opts.confidence_interval,
                   all_covariances=getattr(args, "output_all_covariances",
                                           False))
@@ -436,14 +468,29 @@ def _cmd_adjust(args) -> int:
         ox, oy, oz = geo_to_cart(net.lat, net.lon, net.height,
                                  net.datum.ellipsoid)
         write_cor(f"{base}.cor", net, res,
-                  _np.stack([ox, oy, oz], axis=-1))
-    if args.export_snx:
+                  _np.stack([ox, oy, oz], axis=-1),
+                  hz_threshold=getattr(args, "hz_corr_threshold", 0.0),
+                  vt_threshold=getattr(args, "vt_corr_threshold", 0.0))
+    if args.export_snx or getattr(args, "export_sinex_file", False):
         from .io_formats.sinex import write_sinex
         write_sinex(f"{base}.snx", net, res)
-    if args.export_xml:
+    export_xml_stn = (args.export_xml or
+                      getattr(args, "export_xml_stn_file", False))
+    export_xml_msr = (args.export_xml or
+                      getattr(args, "export_xml_msr_file", False))
+    if export_xml_stn or export_xml_msr:
         from .io_formats.dynaml import write_dynaml_stn, write_dynaml_msr
-        write_dynaml_stn(f"{base}.adjusted.stn.xml", net)
-        write_dynaml_msr(f"{base}.adjusted.msr.xml", net)
+        if export_xml_stn:
+            write_dynaml_stn(f"{base}.adjusted.stn.xml", net)
+        if export_xml_msr:
+            write_dynaml_msr(f"{base}.adjusted.msr.xml", net)
+    if (getattr(args, "export_dna_stn_file", False) or
+            getattr(args, "export_dna_msr_file", False)):
+        from .io_formats.dna_writer import write_dna_stn, write_dna_msr
+        if getattr(args, "export_dna_stn_file", False):
+            write_dna_stn(f"{base}.adjusted.stn", net)
+        if getattr(args, "export_dna_msr_file", False):
+            write_dna_msr(f"{base}.adjusted.msr", net)
     project.save_network(net, args.output_folder, args.network_name)
     project.update_project(args.output_folder, args.network_name, "adjust",
                            {"mode": mode, "status": res.status,
@@ -569,6 +616,20 @@ def _add_adjust_args(p):
     p.add_argument("--angular-msr-format", default="separated",
                    choices=("separated", "symbols", "hp", "ddeg"),
                    help="angular measurement display format")
+    p.add_argument("--precision-stn-linear", type=int, default=4,
+                   help="decimal places for linear station values")
+    p.add_argument("--precision-stn-angular", type=int, default=5,
+                   help="seconds decimals for angular station coords")
+    p.add_argument("--precision-msr-linear", type=int, default=4,
+                   help="decimal places for linear measurement values")
+    p.add_argument("--precision-msr-angular", type=int, default=4,
+                   help="seconds decimals for angular measurement values")
+    p.add_argument("--angular-stn-type", type=int, default=0,
+                   help="station coordinate format: 0 DMS, 1 decimal "
+                        "degrees")
+    p.add_argument("--sort-stn-orig-order", action="store_true",
+                   help="print stations in input-file order instead of "
+                        "name order")
     p.add_argument("--stn-coord-types", default="PLHhXYZ",
                    help="station table coordinate columns: P lat, L lon, "
                         "H ortho, h ellipsoidal, X Y Z cartesian, "
@@ -585,21 +646,39 @@ def _add_adjust_args(p):
                    help="write a JSONL sibling of the adjustment report "
                         "(DnaAdjustmentReport/DnaStation/DnaMeasurement "
                         "records)")
+    p.add_argument("--output-iter-adj-stat", action="store_true",
+                   help="print adjustment statistics at each iteration")
+    p.add_argument("--output-iter-adj-msr", action="store_true",
+                   help="print adjusted measurements at each iteration")
+    p.add_argument("--output-iter-cmp-msr", action="store_true",
+                   help="print computed measurements at each iteration")
     p.add_argument("--output-iter-adj-stn", action="store_true",
                    help="print adjusted station coordinates at each "
                         "iteration")
+    p.add_argument("--output-apu-vcv-units", type=int, default=1,
+                   help="VCV units in the .apu file: 0 XYZ (cartesian), "
+                        "1 ENU (local, default), 2 LLH (polar)")
     p.add_argument("--output-all-covariances", action="store_true",
                    help="print inter-station covariance blocks in the "
                         ".apu file")
     p.add_argument("--output-database-ids", action="store_true",
                    help="append measurement/cluster id columns to the "
                         "adjusted measurements table")
+    p.add_argument("--output-stn-blocks", action="store_true",
+                   help="list each segmentation block's stations in the "
+                        ".adj (phased)")
+    p.add_argument("--output-msr-blocks", action="store_true",
+                   help="list per-block measurement counts in the .adj "
+                        "(phased)")
     p.add_argument("--output-msr-to-stn", action="store_true",
                    help="print the measurement-to-station connectivity "
                         "summary")
     p.add_argument("--sort-msr-to-stn", default="name",
                    choices=("name", "count", "count_desc", "file_order"),
                    help="sort order of the msr-to-stn summary")
+    p.add_argument("--block1-phased", action="store_true",
+                   help="rigorous estimates for block 1 only (single "
+                        "reverse sweep; AdjustPhasedBlock1)")
     p.add_argument("--phased", action="store_true",
                    help="phased (block-segmented) adjustment")
     p.add_argument("--multi-thread", action="store_true",
@@ -618,12 +697,28 @@ def _add_adjust_args(p):
     p.add_argument("--stn-corrections", action="store_true",
                    help="append corrections to initial coordinates "
                         "(e,n,up) to the adjusted station table")
+    p.add_argument("--hz-corr-threshold", type=float, default=0.0,
+                   help="only print corrections whose horizontal component "
+                        "exceeds this (m)")
+    p.add_argument("--vt-corr-threshold", type=float, default=0.0,
+                   help="only print corrections whose vertical component "
+                        "exceeds this (m)")
     p.add_argument("--output-corrections-file", action="store_true",
                    help="write station corrections (.cor) file")
-    p.add_argument("--export-snx", action="store_true",
+    p.add_argument("--export-snx", "--export-sinex-file",
+                   dest="export_snx", action="store_true",
                    help="export adjusted coordinates + covariance as SINEX")
-    p.add_argument("--export-xml", action="store_true",
+    p.add_argument("--export-xml", "--export-xml-files",
+                   dest="export_xml", action="store_true",
+                   help="export adjusted stations+measurements as DynaML")
+    p.add_argument("--export-xml-stn-file", action="store_true",
                    help="export adjusted stations as DynaML")
+    p.add_argument("--export-xml-msr-file", action="store_true",
+                   help="export measurements as DynaML")
+    p.add_argument("--export-dna-stn-file", action="store_true",
+                   help="export adjusted stations as DNA .stn")
+    p.add_argument("--export-dna-msr-file", action="store_true",
+                   help="export measurements as DNA .msr")
     p.add_argument("--type-b-file", default="",
                    help="Type B uncertainty file")
     p.add_argument("--type-b-global", default="",
@@ -631,6 +726,15 @@ def _add_adjust_args(p):
     p.add_argument("--report-mode", action="store_true",
                    help="regenerate reports from saved results without "
                         "re-adjusting")
+    p.add_argument("--stage-path", default="",
+                   help="directory for staged .mtx files (default: output "
+                        "folder)")
+    p.add_argument("--create-stage-files", action="store_true",
+                   help="force re-creation of stage .mtx files (accepted "
+                        "for reference CLI parity; stage files are always "
+                        "rebuilt per run)")
+    p.add_argument("--purge-stage-files", action="store_true",
+                   help="delete stage .mtx files after the adjustment")
     p.add_argument("--staged-adjustment", action="store_true",
                    help="offload per-block matrices to memory-mapped "
                         ".mtx files (bounded memory)")

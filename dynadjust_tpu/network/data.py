@@ -54,6 +54,9 @@ class NetworkData:
     # separately (reference: per-station epsgCode/epoch in station_t)
     station_frames: list = None
     station_epochs: list = None
+    # original input-file position of each station (fileOrder analogue;
+    # used by --sort-stn-orig-order)
+    station_file_order: list = None
 
     @property
     def nstations(self) -> int:

@@ -52,7 +52,8 @@ def format_dms(rad: float, dec_places: int = 5, add4: bool = True) -> str:
 _DEFAULT_COORD_TYPES = "PLHhXYZ"
 
 
-def _coord_cols(net, i, xyz, lat, lon, h, coord_types):
+def _coord_cols(net, i, xyz, lat, lon, h, coord_types,
+                prec_m=4, prec_s=5, stn_angular="dms"):
     """Per-station coordinate columns for a stn-coord-types string:
     P=lat, L=lon, H=ortho, h=ellipsoidal, X/Y/Z=cartesian, E/N=UTM
     easting/northing, z=zone (PrintAdjStations coord type handling)."""
@@ -60,15 +61,21 @@ def _coord_cols(net, i, xyz, lat, lon, h, coord_types):
     en = None
     for c in coord_types:
         if c == "P":
-            out.append(f"{format_dms(lat, 5):>{LAT_EAST}}")
+            if stn_angular == "ddeg":
+                out.append(f"{math.degrees(lat):>{LAT_EAST}.{prec_s + 4}f}")
+            else:
+                out.append(f"{format_dms(lat, prec_s):>{LAT_EAST}}")
         elif c == "L":
-            out.append(f"{format_dms(lon, 5):>{LON_NORTH}}")
+            if stn_angular == "ddeg":
+                out.append(f"{math.degrees(lon):>{LON_NORTH}.{prec_s + 4}f}")
+            else:
+                out.append(f"{format_dms(lon, prec_s):>{LON_NORTH}}")
         elif c == "H":
-            out.append(f"{h - net.geoid_sep[i]:>{HEIGHT}.4f}")
+            out.append(f"{h - net.geoid_sep[i]:>{HEIGHT}.{prec_m}f}")
         elif c == "h":
-            out.append(f"{h:>{HEIGHT}.4f}")
+            out.append(f"{h:>{HEIGHT}.{prec_m}f}")
         elif c in "XYZ":
-            out.append(f"{xyz['XYZ'.index(c)]:>{XYZ_W}.4f}")
+            out.append(f"{xyz['XYZ'.index(c)]:>{XYZ_W}.{prec_m}f}")
         elif c in ("E", "N", "z"):
             if en is None:
                 from ..geodesy.projections import geo_to_grid
@@ -100,19 +107,21 @@ def _coord_headers(coord_types):
 
 
 def _station_line(net: NetworkData, i: int, xyz, lat, lon, h, sd_enu,
-                  coord_types=_DEFAULT_COORD_TYPES, corr=None) -> str:
+                  coord_types=_DEFAULT_COORD_TYPES, corr=None,
+                  prec_m=4, prec_s=5, stn_angular="dms") -> str:
     line = (f"{net.names[i]:<{STATION}}"
             f"{net.constraints[i]:<{CONSTRAINT}}"
-            + _coord_cols(net, i, xyz, lat, lon, h, coord_types) +
+            + _coord_cols(net, i, xyz, lat, lon, h, coord_types,
+                          prec_m, prec_s, stn_angular) +
             f"{'':<{PAD2}}"
-            f"{sd_enu[0]:>{STDDEV}.4f}"
-            f"{sd_enu[1]:>{STDDEV}.4f}"
-            f"{sd_enu[2]:>{STDDEV}.4f}")
+            f"{sd_enu[0]:>{STDDEV}.{prec_m}f}"
+            f"{sd_enu[1]:>{STDDEV}.{prec_m}f}"
+            f"{sd_enu[2]:>{STDDEV}.{prec_m}f}")
     if corr is not None:
         line += (f"{'':<{PAD2}}"
-                 f"{corr[0]:>{HEIGHT}.4f}"
-                 f"{corr[1]:>{HEIGHT}.4f}"
-                 f"{corr[2]:>{HEIGHT}.4f}")
+                 f"{corr[0]:>{HEIGHT}.{prec_m}f}"
+                 f"{corr[1]:>{HEIGHT}.{prec_m}f}"
+                 f"{corr[2]:>{HEIGHT}.{prec_m}f}")
     line += f"{'':<{PAD2}}{net.descriptions[i]}"
     return line
 
@@ -136,7 +145,8 @@ def _station_header(coord_types=_DEFAULT_COORD_TYPES,
 
 def station_lines(net: NetworkData, res,
                   coord_types=_DEFAULT_COORD_TYPES,
-                  stn_corr: bool = False) -> list:
+                  stn_corr: bool = False, prec_m=4, prec_s=5,
+                  stn_angular="dms", file_order=False) -> list:
     lines = []
     corr = None
     if stn_corr:
@@ -151,7 +161,10 @@ def station_lines(net: NetworkData, res,
                                  net.datum.ellipsoid)
         xyz0 = np.stack([np.asarray(x0), np.asarray(y0),
                          np.asarray(z0)], axis=-1)
-    for i in range(net.nstations):
+    order = range(net.nstations)
+    if file_order and getattr(net, "station_file_order", None):
+        order = sorted(order, key=lambda i: net.station_file_order[i])
+    for i in order:
         V = res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
         R = rotation_cart_to_local(res.lat[i], res.lon[i])
         Vl = R @ V @ R.T
@@ -160,7 +173,8 @@ def station_lines(net: NetworkData, res,
             corr = R @ (res.xyz[i] - xyz0[i])
         lines.append(_station_line(net, i, res.xyz[i], res.lat[i],
                                    res.lon[i], res.height[i], sd,
-                                   coord_types, corr))
+                                   coord_types, corr, prec_m, prec_s,
+                                   stn_angular))
     return lines
 
 
@@ -481,25 +495,26 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
         row_angular = (r.mtype in angular or
                        getattr(r, "_force_angular", False))
         if row_angular:
-            body = (_fmt_angular(r.pre_adj_meas, msr_prec_s, MSR,
+            ps = msr_prec_s
+            body = (_fmt_angular(r.pre_adj_meas, ps, MSR,
                                  angular_style) +
-                    _fmt_angular(r.adjusted, msr_prec_s, MSR,
+                    _fmt_angular(r.adjusted, ps, MSR,
                                  angular_style) +
-                    f"{_nz(_sec(r.correction)):>{CORR}.4f}" +
-                    f"{_sec(math.sqrt(r.meas_var)):>{PREC}.4f}" +
-                    f"{_sec(math.sqrt(r.adj_prec)):>{PREC}.4f}" +
-                    f"{_sec(math.sqrt(r.resid_prec)):>{PREC}.4f}" +
+                    f"{_nz(_sec(r.correction), ps):>{CORR}.{ps}f}" +
+                    f"{_sec(math.sqrt(r.meas_var)):>{PREC}.{ps}f}" +
+                    f"{_sec(math.sqrt(r.adj_prec)):>{PREC}.{ps}f}" +
+                    f"{_sec(math.sqrt(r.resid_prec)):>{PREC}.{ps}f}" +
                     _msr_stat_cols(r, tstat) +
-                    f"{_nz(_sec(r.pre_adj_corr)):>{PREC + 1}.4f}")
+                    f"{_nz(_sec(r.pre_adj_corr), ps):>{PREC + 1}.{ps}f}")
         else:
-            body = (f"{r.pre_adj_meas:>{MSR}.4f}"
-                    f"{r.adjusted:>{MSR}.4f}"
-                    f"{_nz(r.correction):>{CORR}.4f}"
-                    f"{math.sqrt(r.meas_var):>{PREC}.4f}"
-                    f"{math.sqrt(r.adj_prec):>{PREC}.4f}"
-                    f"{math.sqrt(r.resid_prec):>{PREC}.4f}"
+            body = (f"{r.pre_adj_meas:>{MSR}.{msr_prec_m}f}"
+                    f"{r.adjusted:>{MSR}.{msr_prec_m}f}"
+                    f"{_nz(r.correction, msr_prec_m):>{CORR}.{msr_prec_m}f}"
+                    f"{math.sqrt(r.meas_var):>{PREC}.{msr_prec_m}f}"
+                    f"{math.sqrt(r.adj_prec):>{PREC}.{msr_prec_m}f}"
+                    f"{math.sqrt(r.resid_prec):>{PREC}.{msr_prec_m}f}"
                     + _msr_stat_cols(r, tstat) +
-                    f"{_nz(r.pre_adj_corr):>{PREC + 1}.4f}")
+                    f"{_nz(r.pre_adj_corr, msr_prec_m):>{PREC + 1}.{msr_prec_m}f}")
         outlier = f"{'*':>{OUTLIER}}" if r.outlier else f"{'':{OUTLIER}}"
         line = head + body + outlier
         if database_ids:
@@ -531,7 +546,12 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
               database_ids: bool = False, sort_adj_msr: int = 0,
               print_ignored: bool = False,
               stn_coord_types: str = _DEFAULT_COORD_TYPES,
-              angular_style: str = "separated", stn_corr: bool = False):
+              angular_style: str = "separated", stn_corr: bool = False,
+              msr_prec_m: int = 4, msr_prec_s: int = 4,
+              stn_prec_m: int = 4, stn_prec_s: int = 5,
+              stn_angular: str = "dms", stn_file_order: bool = False,
+              output_stn_blocks: bool = False,
+              output_msr_blocks: bool = False):
     now = datetime.datetime.now()
     L = []
     L.append(OUTPUTLINE)
@@ -580,6 +600,28 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
                          f"{est[i, 0]:>{MSR}.4f}{est[i, 1]:>{MSR}.4f}"
                          f"{est[i, 2]:>{MSR}.4f}")
             L.append("")
+        if "stat" in entry:
+            st = entry["stat"]
+            L.append(f"{'Chi squared':<{PRINT_VAR_PAD}}"
+                     f"{st['chi_sq']:.2f}")
+            L.append(f"{'Sigma zero':<{PRINT_VAR_PAD}}"
+                     f"{st['sigma0']:.3f}")
+            L.append(f"{'Degrees of freedom':<{PRINT_VAR_PAD}}"
+                     f"{st['dof']}")
+            L.append("")
+        if "msr_rows" in entry:
+            import types
+            fake = types.SimpleNamespace(msr_stats=entry["msr_rows"],
+                                         sigma_zero=1.0)
+            if entry.get("cmp_only"):
+                L.append("Comparison of Measurements")
+            else:
+                L.append("Adjusted Measurements")
+            L.append("------------------------------------------")
+            L.append("")
+            L.extend(measurement_lines(net, fake,
+                                       angular_style=angular_style))
+            L.append("")
         L.append(f"{'Maximum station correction':<{PRINT_VAR_PAD}}"
                  f"Station {entry['station']}")
         L.append(f"{'':{PRINT_VAR_PAD}}{entry['max_corr']:.6g} (max)")
@@ -616,7 +658,8 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
         L.append("Adjusted Measurements")
         L.append("------------------------------------------")
         L.append("")
-        L.extend(measurement_lines(net, res, tstat=tstat,
+        L.extend(measurement_lines(net, res, msr_prec_m=msr_prec_m,
+                                   msr_prec_s=msr_prec_s, tstat=tstat,
                                    gnss_units=gnss_units,
                                    database_ids=database_ids,
                                    sort_by=sort_adj_msr,
@@ -628,11 +671,38 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
         L.extend(msr_to_stn_lines(net, sort=sort_msr_to_stn))
         L.append("")
 
+    if ((output_stn_blocks or output_msr_blocks) and
+            getattr(res, "block_info", None)):
+        # segmentation block membership (--output-stn-blocks /
+        # --output-msr-blocks; phased mode only)
+        L.append("Network Segmentation")
+        L.append("------------------------------------------")
+        L.append("")
+        for bno, inner, junc, mcount in res.block_info:
+            L.append(f"{'Block':<{PRINT_VAR_PAD}}{bno}")
+            L.append(f"{'Measurements':<{PRINT_VAR_PAD}}{mcount}")
+            if output_stn_blocks:
+                L.append(f"{'Inner stations':<{PRINT_VAR_PAD}}"
+                         f"{len(inner)}")
+                for k in range(0, len(inner), 6):
+                    L.append(f"{'':{PAD2}}" + "  ".join(
+                        f"{n:<{STATION}}" for n in inner[k:k + 6]).rstrip())
+                L.append(f"{'Junction stations':<{PRINT_VAR_PAD}}"
+                         f"{len(junc)}")
+                for k in range(0, len(junc), 6):
+                    L.append(f"{'':{PAD2}}" + "  ".join(
+                        f"{n:<{STATION}}" for n in junc[k:k + 6]).rstrip())
+            L.append("")
+        L.append("")
+
     L.append("Adjusted Coordinates")
     L.append("------------------------------------------")
     L.append("")
     L.extend(_station_header(stn_coord_types, stn_corr))
-    L.extend(station_lines(net, res, stn_coord_types, stn_corr))
+    L.extend(station_lines(net, res, stn_coord_types, stn_corr,
+                           prec_m=stn_prec_m, prec_s=stn_prec_s,
+                           stn_angular=stn_angular,
+                           file_order=stn_file_order))
     L.append("")
 
     with open(path, "w") as f:
@@ -641,10 +711,15 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
 
 def write_xyz(path: str, net: NetworkData, res,
               stn_coord_types: str = _DEFAULT_COORD_TYPES,
-              stn_corr: bool = False):
+              stn_corr: bool = False, stn_prec_m: int = 4,
+              stn_prec_s: int = 5, stn_angular: str = "dms",
+              stn_file_order: bool = False):
     L = ["Adjusted Coordinates", "",
          *_station_header(stn_coord_types, stn_corr),
-         *station_lines(net, res, stn_coord_types, stn_corr), ""]
+         *station_lines(net, res, stn_coord_types, stn_corr,
+                        prec_m=stn_prec_m, prec_s=stn_prec_s,
+                        stn_angular=stn_angular,
+                        file_order=stn_file_order), ""]
     with open(path, "w") as f:
         f.write("\n".join(L) + "\n")
 

@@ -69,9 +69,10 @@ def write_apu(path: str, net: NetworkData, res, vcv_units: str = "ENU",
     L.append("Positional Uncertainty")
     L.append("------------------------------------------")
     L.append("")
-    v1, v2, v3 = (("Variance(e)", "Variance(n)", "Variance(up)")
-                  if vcv_units == "ENU" else
-                  ("Variance(X)", "Variance(Y)", "Variance(Z)"))
+    v1, v2, v3 = {"ENU": ("Variance(e)", "Variance(n)", "Variance(up)"),
+                  "LLH": ("Variance(P)", "Variance(L)", "Variance(H)")
+                  }.get(vcv_units,
+                        ("Variance(X)", "Variance(Y)", "Variance(Z)"))
     hdr = (f"{'Station':<{STATION}}{'':{PAD2}}"
            f"{'Latitude':>{LAT_EAST}}{'Longitude':>{LON_NORTH}}"
            f"{'Hz PosU':>{STAT}}{'Vt PosU':>{STAT}}"
@@ -89,7 +90,17 @@ def write_apu(path: str, net: NetworkData, res, vcv_units: str = "ENU",
         Vl = R @ Vc @ R.T
         a, b, az = error_ellipse(Vl)
         hz, vt = positional_uncertainty(a, b, np.sqrt(Vl[2, 2]))
-        V = Vl if vcv_units == "ENU" else Vc
+        if vcv_units == "ENU":
+            V = Vl
+        elif vcv_units == "LLH":
+            # polar units: propagate cartesian -> geographic (rad^2, m^2)
+            from ..geodesy.local_frame import geo_cart_jacobian
+            Jinv = np.linalg.inv(geo_cart_jacobian(
+                res.lat[i], res.lon[i], res.height[i],
+                net.datum.ellipsoid))
+            V = Jinv @ Vc @ Jinv.T
+        else:
+            V = Vc
         row = (f"{net.names[i]:<{STATION}}{'':{PAD2}}"
                f"{format_dms(res.lat[i], 5):>{LAT_EAST}}"
                f"{format_dms(res.lon[i], 5):>{LON_NORTH}}"
@@ -119,9 +130,14 @@ def write_apu(path: str, net: NetworkData, res, vcv_units: str = "ENU",
         f.write("\n".join(L) + "\n")
 
 
-def write_cor(path: str, net: NetworkData, res, original_xyz: np.ndarray):
+def write_cor(path: str, net: NetworkData, res, original_xyz: np.ndarray,
+              hz_threshold: float = 0.0, vt_threshold: float = 0.0):
     """Corrections to initial station coordinates (azimuth, vertical angle,
-    slope/horizontal distance, and local e/n/up components)."""
+    slope/horizontal distance, and local e/n/up components).
+
+    hz_threshold / vt_threshold: only print stations whose horizontal /
+    vertical correction exceeds the threshold (--hz-corr-threshold /
+    --vt-corr-threshold; both zero = print everything)."""
     L = [OUTPUTLINE, "DYNADJUST-TPU CORRECTIONS OUTPUT FILE", OUTPUTLINE, ""]
     hdr = (f"{'Station':<{STATION}}{'':{PAD2}}"
            f"{'Azimuth':>{MSR}}{'V. Angle':>{MSR}}"
@@ -135,6 +151,9 @@ def write_cor(path: str, net: NetworkData, res, original_xyz: np.ndarray):
         e, n, up = R @ d
         s_dist = float(np.linalg.norm(d))
         h_dist = float(np.hypot(e, n))
+        if ((hz_threshold > 0.0 or vt_threshold > 0.0) and
+                h_dist < hz_threshold and abs(up) < vt_threshold):
+            continue
         az = float(gm.direction_from_local(e, n)) if h_dist > 1e-12 else 0.0
         va = float(np.arctan2(up, h_dist)) if s_dist > 1e-12 else 0.0
         L.append(

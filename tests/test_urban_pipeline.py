@@ -52,6 +52,23 @@ def phased_result(sample_dir):
     return net, seg, res
 
 
+def test_block1_phased_matches_full(phased_result, sample_dir):
+    """--block1-phased (single reverse sweep) reproduces the full phased
+    solution for block 1's stations (AdjustPhasedBlock1 semantics: the
+    reverse pass alone is rigorous for block 1)."""
+    net_full, seg, res_full = phased_result
+    net = _build(sample_dir)
+    res1 = adjust_phased(net, AdjustmentOptions(), seg=seg, block1=True)
+    assert res1.iterations == 1
+    assert res1.status.startswith("Estimates solved for Block 1 only")
+    b1 = seg.parameter_stations(0)
+    d = np.abs(res1.xyz[b1] - res_full.xyz[b1]).max()
+    assert d < 5e-4          # one sweep vs fully iterated
+
+    assert res_full.block_info is not None
+    assert len(res_full.block_info) == seg.block_count
+
+
 def test_phased_statistics(phased_result):
     net, seg, res = phased_result
     assert seg.block_count >= 2
