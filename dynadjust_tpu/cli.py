@@ -135,7 +135,8 @@ def _cmd_import(args) -> int:
         vals = [float(t) for t in args.bounding_box.split(",")]
         stations, measurements = filter_bounding_box(
             stations, measurements, *vals,
-            split_clusters=getattr(args, "split_clusters", False))
+            split_clusters=getattr(args, "split_clusters", False),
+            transcend=getattr(args, "get_msrs_transcending_box", False))
         print(f"+ Bounding box retained {len(stations)} stations, "
               f"{len(measurements)} measurement records")
     if getattr(args, "include_stns", "") or getattr(args, "exclude_stns", ""):
@@ -147,6 +148,50 @@ def _cmd_import(args) -> int:
             split_clusters=getattr(args, "split_clusters", False))
         print(f"+ Station filter retained {len(stations)} stations, "
               f"{len(measurements)} measurement records")
+    if (getattr(args, "include_stns_assoc_msrs", "") or
+            getattr(args, "exclude_stns_assoc_msrs", "")):
+        from .network.screening import filter_stations_assoc_msrs
+        inc = [t for t in args.include_stns_assoc_msrs.split(",") if t]
+        exc = [t for t in args.exclude_stns_assoc_msrs.split(",") if t]
+        stations, measurements = filter_stations_assoc_msrs(
+            stations, measurements, inc or None, exc or None,
+            split_clusters=getattr(args, "split_clusters", False))
+        print(f"+ Associated-measurement filter retained "
+              f"{len(stations)} stations, {len(measurements)} "
+              f"measurement records")
+    if (getattr(args, "import_block_stn_msr", 0) or
+            getattr(args, "import_contiguous_stn_msr", 0)):
+        # extract one segmentation block / contiguous sub-network
+        # (ImportStnsMsrsFromBlock / FromNetwork,
+        # dnaimportwrapper.cpp:799/831)
+        from .network.screening import filter_stations
+        from .segment.segmenter import Segmentation
+        from . import project as _project
+        seg_path = (getattr(args, "seg_file", "") or
+                    os.path.join(args.output_folder,
+                                 f"{args.network_name}.seg.pkl"))
+        seg = Segmentation.load(seg_path)
+        # the seg file indexes the source network's stations: derive the
+        # source name from the seg filename (<name>.seg.pkl)
+        src_name = os.path.basename(seg_path).split(".seg")[0]
+        src = _project.load_network(os.path.dirname(seg_path) or
+                                    args.output_folder, src_name)
+        bno = getattr(args, "import_block_stn_msr", 0)
+        if bno:
+            idxs = seg.parameter_stations(bno - 1)
+            what = f"block {bno}"
+        else:
+            nno = getattr(args, "import_contiguous_stn_msr", 0)
+            idxs = sorted({g for b in range(seg.block_count)
+                           if seg.networks[b] == nno - 1
+                           for g in seg.parameter_stations(b)})
+            what = f"contiguous network {nno}"
+        keep = sorted(src.names[i] for i in idxs)
+        stations, measurements = filter_stations(
+            stations, measurements, include=keep,
+            split_clusters=getattr(args, "split_clusters", False))
+        print(f"+ Imported {len(stations)} stations, "
+              f"{len(measurements)} measurement records from {what}")
     if getattr(args, "ignore_insufficient_msrs", False):
         from .network.screening import ignore_insufficient_measurements
         poorly = ignore_insufficient_measurements(stations, measurements)
@@ -185,7 +230,8 @@ def _cmd_import(args) -> int:
               f"measurements")
     if getattr(args, "search_nearby_stn", False):
         from .network.screening import find_nearby_stations
-        near = find_nearby_stations(stations)
+        near = find_nearby_stations(
+            stations, tolerance_m=getattr(args, "nearby_stn_buffer", 30.0))
         for a, b, d in near[:20]:
             print(f"  nearby: {a} ~ {b} ({d:.1f} m)")
 
@@ -223,6 +269,23 @@ def _cmd_import(args) -> int:
         write_dna_stn(f"{base}.export.stn", net)
         write_dna_msr(f"{base}.export.msr", net)
         print(f"+ Exported DNA files: {base}.export.stn/.msr")
+    if getattr(args, "export_xml_files", False) or \
+            getattr(args, "single_xml_file", False):
+        from .io_formats.dynaml import (write_dynaml_stn, write_dynaml_msr,
+                                        write_dynaml_combined)
+        base = os.path.join(args.output_folder, args.network_name)
+        if getattr(args, "single_xml_file", False):
+            write_dynaml_combined(f"{base}.xml", net)
+            print(f"+ Exported combined DynaML: {base}.xml")
+        else:
+            write_dynaml_stn(f"{base}stn.xml", net)
+            write_dynaml_msr(f"{base}msr.xml", net)
+            print(f"+ Exported DynaML files: {base}stn.xml / {base}msr.xml")
+    if getattr(args, "export_discont_file", "") and disconts:
+        from .io_formats.discontinuities import export_discontinuities
+        base = os.path.join(args.output_folder, args.network_name)
+        export_discontinuities(f"{base}.discont.txt", disconts)
+        print(f"+ Exported discontinuity info: {base}.discont.txt")
     project.save_network(net, args.output_folder, args.network_name)
     project.update_project(args.output_folder, args.network_name, "import",
                            {"files": args.files, "frame": frame,
@@ -790,6 +853,34 @@ def main(argv=None) -> int:
                         "from the station coordinates (zero-residual "
                         "network) and write a simulated .msr file")
     p.add_argument("--baseline-scalar-file", default="")
+    p.add_argument("--get-msrs-transcending-box", action="store_true",
+                   help="keep measurements crossing the bounding box and "
+                        "their outside stations")
+    p.add_argument("--include-stns-assoc-msrs", default="",
+                   help="keep these stations and every associated "
+                        "measurement (comma-separated names)")
+    p.add_argument("--exclude-stns-assoc-msrs", default="",
+                   help="drop these stations and every associated "
+                        "measurement (comma-separated names)")
+    p.add_argument("--import-block-stn-msr", type=int, default=0,
+                   help="extract stations/measurements of this "
+                        "segmentation block (1-based)")
+    p.add_argument("--import-contiguous-stn-msr", type=int, default=0,
+                   help="extract stations/measurements of this contiguous "
+                        "sub-network (1-based)")
+    p.add_argument("--seg-file", default="",
+                   help="segmentation file for block extraction (default: "
+                        "<network>.seg.pkl)")
+    p.add_argument("--nearby-stn-buffer", type=float, default=30.0,
+                   help="distance (m) for the nearby-station search")
+    p.add_argument("--export-discont-file", action="store_true",
+                   help="export parsed discontinuity info as text")
+    p.add_argument("--export-xml-files", action="store_true",
+                   help="export the network as DynaML station+measurement "
+                        "files")
+    p.add_argument("--single-xml-file", action="store_true",
+                   help="export one combined DynaML file instead of "
+                        "separate stn/msr files")
     p.add_argument("--bounding-box", default="",
                    help="lat_min,lon_min,lat_max,lon_max (degrees)")
     p.add_argument("--include-stns", default="")

@@ -159,3 +159,19 @@ def apply_discontinuities(stations: list, measurements: list,
                                 .strip()))
         by_name.add(new)
     return sorted((old, new) for new, old in renames.items())
+
+
+def export_discontinuities(path: str, disconts: dict):
+    """Raw-text dump of parsed discontinuity windows
+    (--export-discont-file)."""
+    L = ["# Discontinuity information",
+         f"{'Site':<10}{'Solution':>9}  {'From':<12}{'To':<12}"
+         f"{'Discontinuity?':>15}"]
+    for site in sorted(disconts):
+        for w in disconts[site]:
+            L.append(f"{site:<10}{w.solution_id:>9}  "
+                     f"{w.start.isoformat() if w.start else '':<12}"
+                     f"{w.end.isoformat() if w.end else '':<12}"
+                     f"{'yes' if w.exists else 'no':>15}")
+    with open(path, "w") as f:
+        f.write("\n".join(L) + "\n")

@@ -173,6 +173,27 @@ def write_dynaml_stn(path: str, net, comment: str = ""):
         f.write("\n".join(lines) + "\n")
 
 
+def write_dynaml_combined(path: str, net, comment: str = ""):
+    """Single DynaML file holding stations then measurements
+    (--single-xml-file; dynaml_header "Combined File",
+    dnainterop.cpp:4640)."""
+    import io as _io
+    import os
+    import tempfile
+    stn_buf = path + ".stn.tmp"
+    msr_buf = path + ".msr.tmp"
+    write_dynaml_stn(stn_buf, net, comment)
+    write_dynaml_msr(msr_buf, net, comment)
+    stn = open(stn_buf).read().splitlines()
+    msr = open(msr_buf).read().splitlines()
+    os.remove(stn_buf)
+    os.remove(msr_buf)
+    head = stn[1].replace('type="Station File"', 'type="Combined File"')
+    body = stn[2:-1] + msr[2:-1]
+    with open(path, "w") as f:
+        f.write("\n".join([stn[0], head, *body, "</DnaXmlFormat>"]) + "\n")
+
+
 def write_dynaml_msr(path: str, net, comment: str = ""):
     """DynaML measurement export covering all record types (round-trips
     through read_dynaml; reference: --export-xml-files measurement file,

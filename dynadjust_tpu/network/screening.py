@@ -51,10 +51,15 @@ def filter_bounding_box(stations: list, measurements: list,
                         lat_min_deg: float, lon_min_deg: float,
                         lat_max_deg: float, lon_max_deg: float,
                         keep_connected: bool = True,
-                        split_clusters: bool = False):
+                        split_clusters: bool = False,
+                        transcend: bool = False):
     """Keep stations inside the box (and measurements wholly between kept
     stations).  Station lat/lon interpreted from packed-DMS/XYZ as built by
-    build_network — pass parsed Station records pre-import."""
+    build_network — pass parsed Station records pre-import.
+
+    transcend: also keep measurements with at least one station in the
+    box, pulling their outside stations back in
+    (--get-msrs-transcending-box)."""
     from ..geodesy.conversions import dms_to_deg, cart_to_geo
     keep = set()
     for s in stations:
@@ -71,6 +76,35 @@ def filter_bounding_box(stations: list, measurements: list,
         if lat_min_deg <= lat <= lat_max_deg and \
                 lon_min_deg <= lon <= lon_max_deg:
             keep.add(s.name)
+    if transcend:
+        for rec in measurements:
+            names = stations_of_record(rec)
+            if any(n in keep for n in names):
+                keep.update(names)
+    return _apply_station_filter(stations, measurements, keep,
+                                 split_clusters)
+
+
+def filter_stations_assoc_msrs(stations: list, measurements: list,
+                               include: list = None, exclude: list = None,
+                               split_clusters: bool = False):
+    """--include-stns-assoc-msrs / --exclude-stns-assoc-msrs: keep (or
+    drop) the named stations AND every measurement associated with them;
+    include mode pulls in all stations connected through those
+    measurements."""
+    names = {s.name for s in stations}
+    if include:
+        seed = set(include) & names
+        keep = set(seed)
+        for rec in measurements:
+            rn = stations_of_record(rec)
+            if any(n in seed for n in rn):
+                keep.update(rn)
+    else:
+        drop = set(exclude or [])
+        keep = names - drop
+        # measurements touching a dropped station are removed by the
+        # station filter below
     return _apply_station_filter(stations, measurements, keep,
                                  split_clusters)
 

@@ -63,6 +63,53 @@ def test_screening(sample_dir):
         assert all(n in keep for n in stations_of_record(rec))
 
 
+def test_screening_assoc_and_transcend(sample_dir):
+    from dynadjust_tpu.network.screening import (
+        filter_stations_assoc_msrs, filter_bounding_box,
+        stations_of_record)
+    stns, _, _ = read_dna_stn(f"{sample_dir}/gnss-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/gnss-network.msr")
+
+    # include-assoc: seed station pulls in all connected stations
+    seed = stns[0].name
+    s2, m2 = filter_stations_assoc_msrs(stns, recs, include=[seed])
+    assert len(s2) > 1
+    assert any(seed in stations_of_record(r) for r in m2)
+
+    # exclude-assoc: dropped station has no measurements left
+    s3, m3 = filter_stations_assoc_msrs(stns, recs, exclude=[seed])
+    assert all(seed not in stations_of_record(r) for r in m3)
+    assert len(s3) == len(stns) - 1
+
+    # transcending box keeps at least as much as the plain box
+    import numpy as np
+    from dynadjust_tpu.geodesy.conversions import dms_to_deg
+    lats = [float(dms_to_deg(s.p1)) for s in stns]
+    lons = [float(dms_to_deg(s.p2)) for s in stns]
+    box = (min(lats), min(lons),
+           min(lats) + 0.5 * (max(lats) - min(lats)),
+           min(lons) + 0.5 * (max(lons) - min(lons)))
+    sa, ma = filter_bounding_box(stns, recs, *box)
+    sb, mb = filter_bounding_box(stns, recs, *box, transcend=True)
+    assert len(sb) >= len(sa)
+    assert len(mb) >= len(ma)
+
+
+def test_combined_dynaml_roundtrip(sample_dir, tmp_path):
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.io_formats.dynaml import (write_dynaml_combined,
+                                                 read_dynaml)
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/gnss-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/gnss-network.msr")
+    net = build_network(stns, recs, frame, epoch)
+    p = tmp_path / "combined.xml"
+    write_dynaml_combined(str(p), net)
+    s2, r2, f2, _ = read_dynaml(str(p))
+    assert len(s2) == net.nstations
+    assert len(r2) == len(net.measurements)
+    assert f2 == frame
+
+
 def test_diff_tool(tmp_path, sample_dir):
     a = tmp_path / "a.txt"
     b = tmp_path / "b.txt"
