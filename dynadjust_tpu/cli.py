@@ -316,15 +316,60 @@ def _cmd_geoid(args) -> int:
 
     if getattr(args, "create_ntv2", ""):
         from .geoid.gridtools import create_ntv2_from_dat, write_gsb
-        grid = create_ntv2_from_dat(args.create_ntv2)
+        grid = create_ntv2_from_dat(
+            args.create_ntv2,
+            uncertainty_path=getattr(args, "dat_uncertainty_file", ""),
+            gs_type=getattr(args, "grid_shift_type", "SECONDS"),
+            version=getattr(args, "grid_version", "1.0.0.0"),
+            system_from=getattr(args, "system_from", "GDA94"),
+            system_to=getattr(args, "system_to", "AHD_1971"),
+            sub_grid_name=getattr(args, "sub_grid_name", "AUSGEOID"),
+            created=getattr(args, "creation_date", ""),
+            updated=getattr(args, "update_date", ""))
         write_gsb(grid, args.grid)
         print(f"+ Created NTv2 grid {args.grid} from {args.create_ntv2}")
+        return 0
+    if getattr(args, "summary", False):
+        from .geoid.gridtools import grid_summary
+        grid = NTv2Grid.read(args.grid)
+        for line in grid_summary(grid, args.grid):
+            print(line)
+        return 0
+    if getattr(args, "interactive", False):
+        from .geodesy.conversions import dms_to_rad
+        import numpy as _np
+        grid = NTv2Grid.read(args.grid)
+        if not args.latitude or not args.longitude:
+            print("error: --latitude and --longitude required for "
+                  "interactive interpolation", file=sys.stderr)
+            return 1
+        if getattr(args, "decimal_degrees", False):
+            lat = _np.radians(float(args.latitude))
+            lon = _np.radians(float(args.longitude))
+        else:
+            lat = float(dms_to_rad(float(args.latitude)))
+            lon = float(dms_to_rad(float(args.longitude)))
+        vals = grid.interpolate(lat, lon, args.interpolation_method)
+        if vals is None:
+            print("- Error: point is outside the grid", file=sys.stderr)
+            return 1
+        print(f"{'Latitude:':<28}{_np.degrees(lat):.9f}")
+        print(f"{'Longitude:':<28}{_np.degrees(lon):.9f}")
+        print(f"{'N value:':<28}{vals[0]:.3f} m")
+        print(f"{'Deflection (meridian):':<28}{vals[1]:.3f} sec")
+        print(f"{'Deflection (prime vert):':<28}{vals[2]:.3f} sec")
         return 0
     if getattr(args, "export_ascii_grid", ""):
         from .geoid.gridtools import export_ascii
         grid = NTv2Grid.read(args.grid)
         export_ascii(grid, args.export_ascii_grid)
         print(f"+ Exported {args.grid} to {args.export_ascii_grid}")
+        return 0
+    if getattr(args, "export_ntv2_gsb_file", ""):
+        from .geoid.gridtools import write_gsb
+        grid = NTv2Grid.read(args.grid)
+        write_gsb(grid, args.export_ntv2_gsb_file)
+        print(f"+ Exported {args.grid} to {args.export_ntv2_gsb_file}")
         return 0
     if getattr(args, "point_file", ""):
         from .geoid.gridtools import interpolate_point_file
@@ -348,6 +393,11 @@ def _cmd_geoid(args) -> int:
                             "convert_heights": args.convert_stn_hts})
     print(f"+ Interpolated geoid components for {n} of "
           f"{net.nstations} stations")
+    if getattr(args, "export_dna_geo_file", False):
+        from .geoid.gridtools import export_dna_geo
+        base = os.path.join(args.output_folder, args.network_name)
+        export_dna_geo(f"{base}.geo", net)
+        print(f"+ Exported DNA geoid file: {base}.geo")
     return 0
 
 
@@ -900,6 +950,35 @@ def main(argv=None) -> int:
     p.add_argument("--convert-stn-hts", action="store_true")
     p.add_argument("--interpolation-method", default="bicubic",
                    choices=["bilinear", "bicubic"])
+    p.add_argument("--export-dna-geo-file", "--export-dna-geo",
+                   dest="export_dna_geo_file", action="store_true",
+                   help="write a DNA .geo file of interpolated N values "
+                        "and deflections")
+    p.add_argument("--export-ntv2-gsb-file", default="",
+                   help="re-export the grid as NTv2 binary (.gsb)")
+    p.add_argument("--summary", "-u", action="store_true",
+                   help="print a summary of the grid file")
+    p.add_argument("--interactive", "-e", action="store_true",
+                   help="interpolate at --latitude/--longitude and print")
+    p.add_argument("--latitude", default="",
+                   help="interpolant latitude (dd.mmssss, or decimal "
+                        "degrees with --decimal-degrees)")
+    p.add_argument("--longitude", default="",
+                   help="interpolant longitude")
+    p.add_argument("--decimal-degrees", action="store_true",
+                   help="interactive coordinates are decimal degrees")
+    p.add_argument("--dat-uncertainty-file", default="",
+                   help="WINTER DAT uncertainty file for grid creation")
+    p.add_argument("--grid-shift-type", default="SECONDS",
+                   help="NTv2 units: seconds or radians")
+    p.add_argument("--grid-version", default="1.0.0.0")
+    p.add_argument("--system-from", default="GDA94")
+    p.add_argument("--system-to", default="AHD_1971")
+    p.add_argument("--sub-grid-name", default="AUSGEOID")
+    p.add_argument("--creation-date", default="",
+                   help="grid creation date (dd.mm.yyyy)")
+    p.add_argument("--update-date", default="",
+                   help="grid update date (dd.mm.yyyy)")
     p.add_argument("--create-ntv2", default="",
                    help="create an NTv2 .gsb from an AUSGeoid DAT file "
                         "(grid argument becomes the output path)")

@@ -41,8 +41,17 @@ def read_ausgeoid_dat(path: str):
     return out
 
 
-def create_ntv2_from_dat(dat_path: str) -> NTv2Grid:
-    """Build an in-memory NTv2 grid from an AUSGeoid DAT file."""
+def create_ntv2_from_dat(dat_path: str, uncertainty_path: str = "",
+                         gs_type: str = "SECONDS", version: str = "1.0.0.0",
+                         system_from: str = "GDA94",
+                         system_to: str = "AHD_1971",
+                         sub_grid_name: str = "AUSGEOID",
+                         created: str = "", updated: str = "") -> NTv2Grid:
+    """Build an in-memory NTv2 grid from an AUSGeoid DAT file.
+
+    uncertainty_path: optional WINTER DAT uncertainty file whose N-value
+    column fills the 4th grid component (CreateNTv2File,
+    dnageoid.cpp:1036)."""
     recs = read_ausgeoid_dat(dat_path)
     if not recs:
         raise ValueError(f"no GEO records in {dat_path}")
@@ -55,18 +64,27 @@ def create_ntv2_from_dat(dat_path: str) -> NTv2Grid:
     # NTv2 longitudes are positive west: east limit = -max(lon)
     e_long, w_long = -lons[-1], -lons[0]
 
-    sg = SubGrid(name="AUSGEOID", parent="NONE", s_lat=s_lat, n_lat=n_lat,
-                 e_long=e_long, w_long=w_long, lat_inc=lat_inc,
+    sg = SubGrid(name=sub_grid_name[:8], parent="NONE", s_lat=s_lat,
+                 n_lat=n_lat, e_long=e_long, w_long=w_long, lat_inc=lat_inc,
                  long_inc=lon_inc)
+    sg.created = created
+    sg.updated = updated
     vals = np.zeros((sg.nrows, sg.ncols, 4), dtype=np.float32)
     for (lat, lon, n, dpm, dpv) in recs:
         r = int(round((lat - s_lat) / lat_inc))
         c = int(round((-lon - e_long) / lon_inc))
         if 0 <= r < sg.nrows and 0 <= c < sg.ncols:
             vals[r, c] = (n, dpm, dpv, 0.0)
+    if uncertainty_path:
+        for (lat, lon, unc, _, _) in read_ausgeoid_dat(uncertainty_path):
+            r = int(round((lat - s_lat) / lat_inc))
+            c = int(round((-lon - e_long) / lon_inc))
+            if 0 <= r < sg.nrows and 0 <= c < sg.ncols:
+                vals[r, c, 3] = unc
     sg.values = vals
-    return NTv2Grid(gs_type="SECONDS ", version="1.0", system_from="GDA94",
-                    system_to="AHD", ellipsoid_from=(6378137.0, 6356752.314),
+    return NTv2Grid(gs_type=gs_type.upper().ljust(8), version=version,
+                    system_from=system_from, system_to=system_to,
+                    ellipsoid_from=(6378137.0, 6356752.314),
                     ellipsoid_to=(6378137.0, 6356752.314), subgrids=[sg])
 
 
@@ -96,8 +114,8 @@ def write_gsb(grid: NTv2Grid, path: str):
     for sg in grid.subgrids:
         blob += rec_str("SUB_NAME", sg.name.strip())
         blob += rec_str("PARENT  ", sg.parent.strip())
-        blob += rec_str("CREATED ", "")
-        blob += rec_str("UPDATED ", "")
+        blob += rec_str("CREATED ", getattr(sg, "created", "") or "")
+        blob += rec_str("UPDATED ", getattr(sg, "updated", "") or "")
         blob += rec_dbl("S_LAT   ", sg.s_lat)
         blob += rec_dbl("N_LAT   ", sg.n_lat)
         blob += rec_dbl("E_LONG  ", sg.e_long)
@@ -196,3 +214,42 @@ def interpolate_point_file(grid: NTv2Grid, in_path: str, out_path: str,
     with open(out_path, "w") as f:
         f.write("\n".join(out_lines) + "\n")
     return done, skipped
+
+
+def grid_summary(grid: NTv2Grid, path: str = "") -> list:
+    """Textual summary of an NTv2 grid file (--summary;
+    PrintGridFileSummary semantics)."""
+    L = []
+    if path:
+        L.append(f"{'Grid file:':<28}{path}")
+    L.append(f"{'GS type:':<28}{grid.gs_type.strip()}")
+    L.append(f"{'Version:':<28}{grid.version.strip()}")
+    L.append(f"{'From system:':<28}{grid.system_from.strip()}")
+    L.append(f"{'To system:':<28}{grid.system_to.strip()}")
+    L.append(f"{'Sub-grids:':<28}{len(grid.subgrids)}")
+    for sg in grid.subgrids:
+        L.append(f"  {'Sub-grid:':<26}{sg.name.strip()} "
+                 f"(parent {sg.parent.strip() or 'NONE'})")
+        L.append(f"  {'Extent (lat):':<26}{sg.s_lat / 3600.0:.6f} to "
+                 f"{sg.n_lat / 3600.0:.6f} deg")
+        L.append(f"  {'Extent (lon):':<26}{-sg.w_long / 3600.0:.6f} to "
+                 f"{-sg.e_long / 3600.0:.6f} deg")
+        L.append(f"  {'Interval:':<26}{sg.lat_inc:.1f} x "
+                 f"{sg.long_inc:.1f} sec")
+        L.append(f"  {'Nodes:':<26}{sg.nrows} x {sg.ncols} = "
+                 f"{sg.nrows * sg.ncols}")
+    return L
+
+
+def export_dna_geo(path: str, net):
+    """DNA geoid file: per-station N value and deflections in seconds
+    (--export-dna-geo-file; format as sampleData/urban-network.geo)."""
+    import math
+    L = ["# DNA geoid file."]
+    for i in range(net.nstations):
+        pm = math.degrees(net.meridian_def[i]) * 3600.0
+        pv = math.degrees(net.vertical_def[i]) * 3600.0
+        L.append(f"{net.names[i]:<20}{net.geoid_sep[i]:>30.3f}"
+                 f"{pm:>19.3f}{pv:>10.3f}")
+    with open(path, "w") as f:
+        f.write("\n".join(L) + "\n")

@@ -63,6 +63,37 @@ def test_screening(sample_dir):
         assert all(n in keep for n in stations_of_record(rec))
 
 
+def test_geoid_summary_and_geo_export(sample_dir, tmp_path):
+    """Grid summary and the DNA .geo export against the reference's own
+    urban-network.geo fixture."""
+    from dynadjust_tpu.io_formats import NTv2Grid
+    from dynadjust_tpu.geoid import apply_geoid
+    from dynadjust_tpu.geoid.gridtools import grid_summary, export_dna_geo
+    from dynadjust_tpu.network import build_network
+
+    grid = NTv2Grid.read(f"{sample_dir}/urban-network-geoid.gsb")
+    lines = grid_summary(grid)
+    assert any("Sub-grids:" in l for l in lines)
+
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/urban-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/urban-network.msr")
+    stns.sort(key=lambda s: s.name)
+    net = build_network(stns, recs, frame, epoch)
+    apply_geoid(net, grid, convert_heights=True)
+    p = tmp_path / "urban.geo"
+    export_dna_geo(str(p), net)
+    ours = p.read_text().splitlines()
+    exp = open(f"{sample_dir}/urban-network.geo").read().splitlines()
+    assert len(ours) == len(exp)
+    # byte-identical bar last-digit interpolation rounding (<=0.001")
+    diffs = [(a, b) for a, b in zip(ours, exp) if a != b]
+    assert len(diffs) <= 4
+    for a, b in diffs:
+        va = [float(t) for t in a.split()[1:]]
+        vb = [float(t) for t in b.split()[1:]]
+        assert max(abs(x - y) for x, y in zip(va, vb)) <= 0.0011
+
+
 def test_screening_assoc_and_transcend(sample_dir):
     from dynadjust_tpu.network.screening import (
         filter_stations_assoc_msrs, filter_bounding_box,
