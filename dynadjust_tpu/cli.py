@@ -406,6 +406,11 @@ def _cmd_reftran(args) -> int:
     from . import project
 
     plate_model = None
+    if getattr(args, "plate_model_option", 0) == 1 and not \
+            getattr(args, "plate_boundary_file", ""):
+        print("- Error: --plate-model-option 1 requires a plate boundary "
+              "file (-b) and pole file (-m)", file=sys.stderr)
+        return 1
     if getattr(args, "plate_boundary_file", "") and \
             getattr(args, "plate_pole_file", ""):
         from .reftran.plates import load_plate_model
@@ -415,6 +420,14 @@ def _cmd_reftran(args) -> int:
               f"({len(plate_model.polygons)} plates)")
 
     net = project.load_network(args.output_folder, args.network_name)
+    if getattr(args, "override_input_ref_frame", False) and \
+            args.reference_frame:
+        # --override-input-ref-frame: relabel without transformation
+        # (replace the frame recorded from the input files)
+        net.frame = args.reference_frame.upper()
+        if net.station_frames:
+            net.station_frames = [""] * net.nstations
+        print(f"+ Input reference frame overridden to {net.frame}")
     stats = transform_network(net, args.reference_frame or None,
                               args.epoch or "", plate_model=plate_model)
     project.save_network(net, args.output_folder, args.network_name)
@@ -432,12 +445,37 @@ def _cmd_segment(args) -> int:
     from . import project
 
     net = project.load_network(args.output_folder, args.network_name)
-    seg = segment_network(net, min_inner_stns=args.min_inner_stns,
-                          max_block_stns=args.max_block_stns,
-                          starting_stns=args.starting_stns)
+    starting = args.starting_stns
+    if getattr(args, "net_file", False):
+        net_path = os.path.join(args.output_folder,
+                                f"{args.network_name}.net")
+        if os.path.exists(net_path):
+            extra = [t.strip() for t in open(net_path)
+                     if t.strip() and not t.startswith("#")]
+            starting = ",".join([starting] * bool(starting) + extra)
+            print(f"+ First-block stations from {net_path}: {len(extra)}")
+    seg = segment_network(
+        net, min_inner_stns=args.min_inner_stns,
+        max_block_stns=args.max_block_stns, starting_stns=starting,
+        force_contiguous=bool(getattr(args, "contiguous_blocks", 0)),
+        search_level=getattr(args, "search_level", 0))
     project.save_network(net, args.output_folder, args.network_name)
     seg.save(os.path.join(args.output_folder,
                           f"{args.network_name}.seg.pkl"))
+    from .segment.segmenter import write_seg_file, \
+        verify_station_connections
+    write_seg_file(os.path.join(args.output_folder,
+                                f"{args.network_name}.seg"),
+                   net, seg, args.min_inner_stns, args.max_block_stns,
+                   starting, " ".join(sys.argv))
+    if getattr(args, "test_integrity", False):
+        probs = verify_station_connections(net, seg)
+        if probs:
+            print(f"- Integrity check: {len(probs)} problems")
+            for pr in probs[:10]:
+                print(f"    {pr}")
+        else:
+            print("+ Segmentation integrity verified")
     project.update_project(args.output_folder, args.network_name, "segment",
                            {"blocks": seg.block_count,
                             "min_inner_stns": args.min_inner_stns,
@@ -997,6 +1035,13 @@ def main(argv=None) -> int:
     p.add_argument("-b", "--plate-boundary-file", default="",
                    help="tectonic plate boundaries (.dig) for the plate "
                         "motion model")
+    p.add_argument("--plate-model-option", type=int, default=0,
+                   help="0: single (Australian) plate (default); "
+                        "1: interpolate from global plate boundaries "
+                        "(-b/-m files)")
+    p.add_argument("--override-input-ref-frame", action="store_true",
+                   help="replace the input files' reference frame label "
+                        "with -r without transforming")
     p.add_argument("-m", "--plate-pole-file", default="",
                    help="Euler pole parameters (.dat) for the plate "
                         "motion model")
@@ -1008,6 +1053,17 @@ def main(argv=None) -> int:
     p.add_argument("--min-inner-stns", type=int, default=150)
     p.add_argument("--max-block-stns", type=int, default=150)
     p.add_argument("--starting-stns", default="")
+    p.add_argument("--net-file", action="store_true",
+                   help="seed the first block with stations from "
+                        "<network>.net")
+    p.add_argument("--contiguous-blocks", type=int, default=0,
+                   help="0: isolated networks as individual blocks "
+                        "(default); 1: force contiguous blocks")
+    p.add_argument("--search-level", type=int, default=0,
+                   help="station search depth (accepted for parity; "
+                        "selection is always global-lowest here)")
+    p.add_argument("--test-integrity", action="store_true",
+                   help="verify station-measurement connections per block")
     _add_common(p)
     p.set_defaults(func=_cmd_segment)
 
@@ -1034,6 +1090,17 @@ def main(argv=None) -> int:
     p.add_argument("--min-inner-stns", type=int, default=150)
     p.add_argument("--max-block-stns", type=int, default=150)
     p.add_argument("--starting-stns", default="")
+    p.add_argument("--net-file", action="store_true",
+                   help="seed the first block with stations from "
+                        "<network>.net")
+    p.add_argument("--contiguous-blocks", type=int, default=0,
+                   help="0: isolated networks as individual blocks "
+                        "(default); 1: force contiguous blocks")
+    p.add_argument("--search-level", type=int, default=0,
+                   help="station search depth (accepted for parity; "
+                        "selection is always global-lowest here)")
+    p.add_argument("--test-integrity", action="store_true",
+                   help="verify station-measurement connections per block")
     _add_adjust_args(p)
     _add_common(p)
     p.set_defaults(func=_cmd_dynadjust)
@@ -1041,10 +1108,56 @@ def main(argv=None) -> int:
     p = sub.add_parser("plot", help="plot network map / segmentation graph")
     p.add_argument("network_name")
     p.add_argument("-o", "--output", default="")
-    p.add_argument("--segmentation-graph", action="store_true")
+    p.add_argument("--segmentation-graph", "--graph-stn-blocks",
+                   "--graph-msr-blocks", dest="segmentation_graph",
+                   action="store_true",
+                   help="per-block station/measurement graph")
+    p.add_argument("--phased", action="store_true",
+                   help="accepted for parity (block colouring is automatic "
+                        "when a segmentation exists)")
+    p.add_argument("--error-ellipses", action="store_true",
+                   help="draw station error ellipses (requires a prior "
+                        "adjustment)")
+    p.add_argument("--positional-uncertainty", action="store_true",
+                   help="draw 95%% positional uncertainty circles")
+    p.add_argument("--correction-arrows", action="store_true",
+                   help="draw correction arrows (initial -> adjusted)")
+    p.add_argument("--compute-corrections", action="store_true",
+                   help="accepted for parity; corrections are always "
+                        "computed from the saved adjustment")
+    p.add_argument("--scale-arrows", type=float, default=1.0,
+                   help="correction arrow magnification")
+    p.add_argument("--scale-ellipse-circles", type=float, default=1.0,
+                   help="error ellipse / PU circle magnification")
+    p.add_argument("--plot-msr-types", default="",
+                   help="only plot these measurement type codes, e.g. GXY")
+    p.add_argument("--omit-measurements", action="store_true")
+    p.add_argument("--plot-ignored-msrs", action="store_true")
+    p.add_argument("--msr-line-width", type=float, default=0.4)
+    p.add_argument("--label-stations", action="store_true")
+    p.add_argument("--label-constraints", action="store_true")
+    p.add_argument("--label-corrections", action="store_true")
+    p.add_argument("--label-font-size", type=float, default=6.0)
+    p.add_argument("--block-number", type=int, default=0,
+                   help="plot only this segmentation block (1-based)")
+    p.add_argument("--omit-title-block", action="store_true")
+    p.add_argument("--title", default="")
+    p.add_argument("--export-png", action="store_true",
+                   help="write PNG instead of PDF")
+    p.add_argument("--supress-pdf-creation", action="store_true",
+                   help="skip the map output (graph data only)")
     _add_common(p)
 
+    def _copy_net_with_adjusted(net, res):
+        import copy
+        out = copy.copy(net)
+        out.lat = res.lat.copy()
+        out.lon = res.lon.copy()
+        out.height = res.height.copy()
+        return out
+
     def _cmd_plot(a):
+        import pickle
         from . import project
         net = project.load_network(a.output_folder, a.network_name)
         base = os.path.join(a.output_folder, a.network_name)
@@ -1054,15 +1167,90 @@ def main(argv=None) -> int:
             from .segment import Segmentation
             seg = Segmentation.load(seg_file)
         from .output.plot import plot_network, plot_segmentation_graph
+        ext = "png" if a.export_png else "pdf"
         if a.segmentation_graph and seg is not None:
-            out = a.output or f"{base}.seg.pdf"
+            out = a.output or f"{base}.seg.{ext}"
             plot_segmentation_graph(out, seg)
-        else:
-            out = a.output or f"{base}.pdf"
-            plot_network(out, net, seg=seg)
+            print(f"+ Wrote {out}")
+            return 0
+        if a.supress_pdf_creation:
+            print("+ Map output suppressed (--supress-pdf-creation)")
+            return 0
+        res = None
+        initial = None
+        res_file = f"{base}.results.pkl"
+        if os.path.exists(res_file):
+            with open(res_file, "rb") as f:
+                res = pickle.load(f)
+            if a.correction_arrows or a.label_corrections:
+                initial = (net.lat, net.lon)
+                net = _copy_net_with_adjusted(net, res)
+        out = a.output or f"{base}.{ext}"
+        plot_network(
+            out, net, res=res, seg=seg,
+            show_ellipses=a.error_ellipses and res is not None,
+            show_pu=a.positional_uncertainty and res is not None,
+            show_corrections=a.correction_arrows and initial is not None,
+            initial_coords=initial,
+            msr_types=a.plot_msr_types,
+            omit_measurements=a.omit_measurements,
+            plot_ignored=a.plot_ignored_msrs,
+            msr_line_width=a.msr_line_width,
+            label_stations=a.label_stations,
+            label_constraints=a.label_constraints,
+            label_corrections=a.label_corrections,
+            label_font_size=a.label_font_size,
+            block_number=a.block_number,
+            omit_title_block=a.omit_title_block,
+            title=a.title or None,
+            ellipse_magnify=a.scale_ellipse_circles,
+            arrow_magnify=a.scale_arrows)
         print(f"+ Wrote {out}")
         return 0
     p.set_defaults(func=_cmd_plot)
+
+    p = sub.add_parser("metadata",
+                       help="dump network store metadata (binary-file "
+                            "metadata utility analogue)")
+    p.add_argument("network_name")
+    p.add_argument("--output-folder", default=".")
+
+    def _cmd_metadata(a):
+        from . import project
+        from collections import Counter
+        from .io_formats.dna import GpsCluster, DirectionSet
+        net = project.load_network(a.output_folder, a.network_name)
+        PAD = 35
+        print(f"{'Network name:':<{PAD}}{a.network_name}")
+        print(f"{'Reference frame:':<{PAD}}{net.frame}")
+        print(f"{'Epoch:':<{PAD}}{net.epoch}")
+        print(f"{'Stations:':<{PAD}}{net.nstations}")
+        print(f"{'Measurement records:':<{PAD}}{len(net.measurements)}")
+        tally = Counter()
+        rows = 0
+        for rec in net.measurements:
+            t = getattr(rec, "mtype", "?")
+            if isinstance(rec, GpsCluster):
+                tally[t] += len(rec.obs)
+                rows += 3 * len(rec.obs)
+            elif isinstance(rec, DirectionSet):
+                tally["D"] += len(rec.directions) + 1
+                rows += max(len(rec.directions), 0)
+            else:
+                tally[t] += 1
+                rows += 1
+        print(f"{'Measurement rows:':<{PAD}}{rows}")
+        print(f"{'Tally:':<{PAD}}" + "  ".join(
+            f"{t}:{n}" for t, n in sorted(tally.items())))
+        print(f"{'Geoid applied:':<{PAD}}"
+              f"{'Yes' if net.geoid_applied else 'No'}")
+        print(f"{'Reftran applied:':<{PAD}}"
+              f"{'Yes' if net.reftran_applied else 'No'}")
+        consts = Counter(net.constraints)
+        print(f"{'Constraints:':<{PAD}}" + "  ".join(
+            f"{c}:{n}" for c, n in sorted(consts.items())))
+        return 0
+    p.set_defaults(func=_cmd_metadata)
 
     p = sub.add_parser("diff", help="tolerance-aware numeric file diff")
     p.add_argument("file1")

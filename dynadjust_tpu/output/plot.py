@@ -15,12 +15,23 @@ import numpy as np
 
 def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
                  ellipse_scale=None, title=None, show_corrections=False,
-                 correction_scale=None, show_pu=False, initial_coords=None):
+                 correction_scale=None, show_pu=False, initial_coords=None,
+                 msr_types: str = "", omit_measurements: bool = False,
+                 plot_ignored: bool = False, msr_line_width: float = 0.4,
+                 label_stations: bool = False,
+                 label_constraints: bool = False,
+                 label_corrections: bool = False,
+                 label_font_size: float = 6.0,
+                 block_number: int = 0, omit_title_block: bool = False,
+                 ellipse_magnify: float = 1.0, arrow_magnify: float = 1.0):
     """Write a network map (PDF/PNG by extension).
 
     show_corrections: arrows from initial to adjusted positions (the
     reference's correction arrows; requires initial_coords (lat, lon)
-    radian arrays).  show_pu: positional uncertainty circles (95%)."""
+    radian arrays).  show_pu: positional uncertainty circles (95%).
+    msr_types: plot only these measurement type codes (--plot-msr-types).
+    block_number: restrict to one segmentation block (1-based; needs seg).
+    label_*: station name / constraint / correction annotations."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -30,17 +41,27 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
     lon = np.degrees(net.lon)
     fig, ax = plt.subplots(figsize=(11, 8.5))
 
+    in_block = None
+    if block_number and seg is not None:
+        b = block_number - 1
+        in_block = set(seg.inner_stations[b]) | \
+            set(seg.junction_stations[b])
+
     # measurements as grey lines
     from ..network.screening import stations_of_record
-    for rec in net.measurements:
-        if getattr(rec, "ignore", False):
+    for rec in (() if omit_measurements else net.measurements):
+        if getattr(rec, "ignore", False) and not plot_ignored:
+            continue
+        if msr_types and getattr(rec, "mtype", "?") not in msr_types:
             continue
         stns = stations_of_record(rec)
         idx = [net.name_to_idx[s] for s in stns if s in net.name_to_idx]
+        if in_block is not None and not all(i in in_block for i in idx):
+            continue
         for a in range(len(idx) - 1):
             ax.plot([lon[idx[a]], lon[idx[a + 1]]],
                     [lat[idx[a]], lat[idx[a + 1]]],
-                    color="0.8", lw=0.4, zorder=1)
+                    color="0.8", lw=msr_line_width, zorder=1)
 
     # block colouring from segmentation
     if seg is not None:
@@ -76,7 +97,7 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
             sds.append(a)
         if ellipse_scale is None:
             ref = np.median([a for a, _, _ in ell]) or 1.0
-            ellipse_scale = 0.02 * spans / ref
+            ellipse_scale = 0.02 * spans / ref * ellipse_magnify
         for i, (a, b, az) in enumerate(ell):
             if a <= 0:
                 continue
@@ -96,7 +117,8 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
         spans = max(lat.max() - lat.min(), lon.max() - lon.min(), 1e-6)
         if correction_scale is None:
             ref = np.median(mag[mag > 0]) if (mag > 0).any() else 1.0
-            correction_scale = 0.03 * spans / max(ref, 1e-12)
+            correction_scale = (0.03 * spans / max(ref, 1e-12) *
+                                arrow_magnify)
         for i in range(net.nstations):
             if mag[i] <= 0:
                 continue
@@ -121,8 +143,8 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
             hp, _vp = positional_uncertainty(a, b, np.sqrt(max(Vl[2, 2],
                                                                0.0)))
             pus.append(hp)
-        scale = 0.02 * spans / (np.median([p for p in pus if p > 0])
-                                or 1.0)
+        scale = (0.02 * spans * ellipse_magnify /
+                 (np.median([p for p in pus if p > 0]) or 1.0))
         for i, pu in enumerate(pus):
             if pu <= 0:
                 continue
@@ -130,10 +152,35 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
                                 color="tab:purple", lw=0.5, ls=":",
                                 zorder=6))
 
+    # station / constraint labels
+    if label_stations or label_constraints:
+        for i in range(net.nstations):
+            if in_block is not None and i not in in_block:
+                continue
+            txt = net.names[i] if label_stations else ""
+            if label_constraints and "C" in net.constraints[i]:
+                txt = (txt + " " if txt else "") + net.constraints[i]
+            if txt:
+                ax.annotate(txt, (lon[i], lat[i]),
+                            fontsize=label_font_size,
+                            xytext=(2, 2), textcoords="offset points",
+                            zorder=8)
+    if label_corrections and initial_coords is not None:
+        lat0, lon0 = initial_coords
+        for i in range(net.nstations):
+            d = np.hypot(lat[i] - np.degrees(lat0[i]),
+                         lon[i] - np.degrees(lon0[i])) * 111320.0
+            if d > 1e-6:
+                ax.annotate(f"{d:.3f}", (lon[i], lat[i]),
+                            fontsize=label_font_size, color="tab:green",
+                            xytext=(2, -8), textcoords="offset points",
+                            zorder=8)
+
     ax.set_xlabel("Longitude (°)")
     ax.set_ylabel("Latitude (°)")
-    ax.set_title(title or f"Network {getattr(net, 'frame', '')} "
-                 f"({net.nstations} stations)")
+    if not omit_title_block:
+        ax.set_title(title or f"Network {getattr(net, 'frame', '')} "
+                     f"({net.nstations} stations)")
     ax.set_aspect(1.0 / np.cos(np.radians(lat.mean())))
     fig.tight_layout()
     fig.savefig(path, dpi=150)

@@ -82,7 +82,15 @@ class Segmentation:
 
 def segment_network(net: NetworkData, min_inner_stns: int = 150,
                     max_block_stns: int = 150,
-                    starting_stns: str = "") -> Segmentation:
+                    starting_stns: str = "",
+                    force_contiguous: bool = False,
+                    search_level: int = 0) -> Segmentation:
+    """force_contiguous: connect isolated sub-networks into one block
+    chain by seeding each gap with the geographically nearest free
+    station (--contiguous-blocks 1; SEG_FORCE_CONTIGUOUS).
+    search_level: accepted for reference CLI parity — station selection
+    here always searches globally for the lowest measurement count, which
+    is the reference's deepest search level."""
     n = net.nstations
     # station -> list of record indices
     assoc = [[] for _ in range(n)]
@@ -158,6 +166,9 @@ def segment_network(net: NetworkData, min_inner_stns: int = 150,
         seg.networks.append(current_network)
 
     # ----- first block -----------------------------------------------------
+    # seed stations + their measurements only — the reference's
+    # BuildFirstBlock (dnasegment.cpp:376) does not grow the first block
+    # to the size thresholds
     inner, junction, cml = [], [], []
     seeds = [s.strip() for s in starting_stns.split(",") if s.strip()]
     if seeds:
@@ -177,10 +188,24 @@ def segment_network(net: NetworkData, min_inner_stns: int = 150,
         inner, cml = [], []
 
         if not junction:
-            # non-contiguous network: new sub-network from the free list
-            current_network += 1
-            free.sort(key=lambda s: (avail_count[s], s))
-            s = free[0]
+            if force_contiguous and seg.inner_stations:
+                # bridge the gap: nearest free station to the previous
+                # block keeps the chain contiguous (same network id)
+                import numpy as _np
+                prev = seg.inner_stations[-1] + seg.junction_stations[-1]
+                pl = _np.array([[net.lat[g], net.lon[g]] for g in prev])
+                best, bestd = None, None
+                for t in free:
+                    d = float(_np.min((pl[:, 0] - net.lat[t]) ** 2 +
+                                      (pl[:, 1] - net.lon[t]) ** 2))
+                    if bestd is None or d < bestd:
+                        best, bestd = t, d
+                s = best
+            else:
+                # non-contiguous network: new sub-network from free list
+                current_network += 1
+                free.sort(key=lambda s: (avail_count[s], s))
+                s = free[0]
             take_station(s, junction)
 
         while True:
@@ -203,3 +228,65 @@ def segment_network(net: NetworkData, min_inner_stns: int = 150,
             break
 
     return seg
+
+
+def write_seg_file(path: str, net: NetworkData, seg: Segmentation,
+                   min_inner_stns: int, max_block_stns: int,
+                   starting_stns: str = "", cmdline: str = ""):
+    """Text .seg report (WriteSegFile, include/io/seg_file.cpp:590):
+    header, per-block summary table, and the ISL/JSL/CML name lists."""
+    PAD = 35
+    L = ["-" * 80, "DYNADJUST-TPU SEGMENTATION OUTPUT FILE", "-" * 80, ""]
+    L.append(f"{'File name:':<{PAD}}{path}")
+    L.append("")
+    L.append(f"{'Command line arguments:':<{PAD}}{cmdline}")
+    L.append("")
+    L.append(f"{'Minimum inner stations':<{PAD}}{min_inner_stns}")
+    L.append(f"{'Block size threshold':<{PAD}}{max_block_stns}")
+    if starting_stns:
+        L.append(f"{'Starting station(s)':<{PAD}}{starting_stns}")
+    L.append("-" * 80)
+    L.append("")
+    L.append("SEGMENTATION SUMMARY")
+    L.append("")
+    L.append(f"{'No. blocks produced':<{PAD}}{seg.block_count}")
+    hdr = (f"{'  Block':<10}{'Network ID':<12}{'Junction stns':<15}"
+           f"{'Inner stns':<12}{'Measurements':<14}{'Total stns':<12}")
+    L.append("-" * len(hdr))
+    L.append(hdr)
+    for b in range(seg.block_count):
+        ni = len(seg.inner_stations[b])
+        nj = len(seg.junction_stations[b])
+        L.append(f"  {b + 1:<8}{seg.networks[b]:<12}{nj:<15}{ni:<12}"
+                 f"{len(seg.measurements[b]):<14}{ni + nj:<12}")
+    L.append("")
+    for b in range(seg.block_count):
+        L.append(f"Block {b + 1}")
+        L.append("-" * 80)
+        L.append(f"{'Junction stations':<{PAD}}"
+                 f"{len(seg.junction_stations[b])}")
+        for g in seg.junction_stations[b]:
+            L.append(f"  {net.names[g]}")
+        L.append(f"{'Inner stations':<{PAD}}{len(seg.inner_stations[b])}")
+        for g in seg.inner_stations[b]:
+            L.append(f"  {net.names[g]}")
+        L.append(f"{'Measurements':<{PAD}}{len(seg.measurements[b])}")
+        L.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(L) + "\n")
+
+
+def verify_station_connections(net: NetworkData, seg: Segmentation) -> list:
+    """Every parameter station of every block must be connected to at
+    least one of the block's measurements (VerifyStationConnections,
+    dnasegment.cpp:1426).  Returns problem strings."""
+    problems = []
+    for b in range(seg.block_count):
+        touched = set()
+        for ri in seg.measurements[b]:
+            touched.update(record_stations(net.measurements[ri], net))
+        for g in seg.inner_stations[b]:
+            if g not in touched:
+                problems.append(f"block {b + 1}: inner station "
+                                f"{net.names[g]} has no measurements")
+    return problems
