@@ -22,3 +22,4 @@ class AdjustmentOptions:
     output_iter_adj_msr: bool = False        # per-iteration adjusted msrs
     output_iter_cmp_msr: bool = False        # per-iteration computed msrs
     checkpoint_file: str = ""                # save/resume iteration state
+    use_tpu: bool = False                    # route dense solves to the TPU

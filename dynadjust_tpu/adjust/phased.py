@@ -210,7 +210,8 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                 _add_junction_contrib(N, rhs, blk, blocks[b - 1].jsl,
                                       jsl_w_fwd[b - 1], jsl_est_fwd[b - 1],
                                       blk.est)
-            Ninv, dx = _solve_normals(N, rhs, opts.scale_normals_to_unity)
+            Ninv, dx = _solve_normals(N, rhs, opts.scale_normals_to_unity,
+                                      opts.use_tpu)
             blk.est = blk.est + dx
             blk.Ninv_fwd = Ninv
             if blk.njsl:
@@ -235,7 +236,9 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                 _add_junction_contrib(N, rhs, blk, blk.jsl,
                                       jsl_w_rev[b + 1], jsl_est_rev[b + 1],
                                       est_r)
-            Ninv_r, dx_r = _solve_normals(N, rhs, opts.scale_normals_to_unity)
+            Ninv_r, dx_r = _solve_normals(N, rhs,
+                                          opts.scale_normals_to_unity,
+                                          opts.use_tpu)
             est_r = est_r + dx_r
             blk.est_rev = est_r
             if b > 0:
@@ -272,7 +275,8 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                                       jsl_w_rev[b + 1], jsl_est_rev[b + 1],
                                       est_c)
                 Ninv_c, dx_c = _solve_normals(Nc, rhs_c,
-                                              opts.scale_normals_to_unity)
+                                              opts.scale_normals_to_unity,
+                                              opts.use_tpu)
                 blk.rigorous_est = est_c + dx_c
                 blk.rigorous_cov = Ninv_c
 

@@ -101,17 +101,22 @@ def _critical_value(confidence: float):
     return norm.ppf(conf)
 
 
-def _solve_normals(N, AtVinv_m, scale_to_unity: bool):
+def _solve_normals(N, AtVinv_m, scale_to_unity: bool,
+                   use_tpu: bool = False):
     """Invert the (constrained) normals and solve for corrections.
 
     Diagonal unity scaling combats the 12-orders-of-magnitude dynamic range
     that station constraints create (reference: Solve, :6604-6645).
 
-    Runs on host LAPACK: the TPU MXU has no native float64, and mm-level
-    geodesy demands it for the dense inverse.  The scalable TPU path
-    (dynadjust_tpu.parallel) uses mixed-precision blocked Cholesky with
-    iterative refinement instead.
+    Default path: host LAPACK in f64.  use_tpu (--tpu): the blocked f32
+    MXU factorization with an on-device Newton-refined f64 inverse
+    (parallel/dense_device.py) — same f64-quality results, one device
+    dispatch.  The scalable blocked/phased TPU path lives in
+    dynadjust_tpu.parallel.
     """
+    if use_tpu:
+        from ..parallel.dense_device import dense_solve_device
+        return dense_solve_device(N, AtVinv_m, scale_to_unity)
     import scipy.linalg as sla
     n = N.shape[0]
     if scale_to_unity:
@@ -186,7 +191,8 @@ def adjust_simultaneous(net: NetworkData,
         compute_inverse = (iteration < 2) or asm.has_non_gps
         rhs = AtVinv @ asm.mmc
         if compute_inverse:
-            Ninv, dx = _solve_normals(N, rhs, opts.scale_normals_to_unity)
+            Ninv, dx = _solve_normals(N, rhs, opts.scale_normals_to_unity,
+                                      opts.use_tpu)
         else:
             dx = Ninv @ rhs
         est = est + dx

@@ -500,6 +500,7 @@ def _cmd_adjust(args) -> int:
         confidence_interval=args.confidence_interval,
         free_std_dev=args.free_stn_sd,
         fixed_std_dev=args.fixed_stn_sd,
+        use_tpu=getattr(args, "tpu", False),
         output_iter_stations=getattr(args, "output_iter_adj_stn", False),
         output_iter_adj_stat=getattr(args, "output_iter_adj_stat", False),
         output_iter_adj_msr=getattr(args, "output_iter_adj_msr", False),
@@ -835,6 +836,10 @@ def _add_adjust_args(p):
     p.add_argument("--multi-thread", action="store_true",
                    help="accepted for reference CLI compatibility "
                         "(device parallelism is automatic)")
+    p.add_argument("--tpu", action="store_true",
+                   help="solve the normal equations on the TPU (blocked "
+                        "f32 MXU factorization + on-device Newton-refined "
+                        "f64 inverse)")
     p.add_argument("--scale-normals-to-unity", action="store_true")
     p.add_argument("--max-iterations", type=int, default=10)
     p.add_argument("--iteration-threshold", type=float, default=0.0005)

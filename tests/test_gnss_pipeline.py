@@ -56,6 +56,27 @@ def _parse_expected_coords(path):
     return out
 
 
+def test_tpu_dense_solver_matches_host(gnss_result, sample_dir):
+    """--tpu (blocked f32 MXU factor + on-device Newton-refined f64
+    inverse) reproduces the host-LAPACK adjustment to f64 precision —
+    the TPU-solved .adj stays byte-identical to the golden file."""
+    net_host, res_host = gnss_result
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/gnss-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/gnss-network.msr")
+    stns.sort(key=lambda s: s.name)
+    net = build_network(stns, recs, frame, epoch)
+    grid = NTv2Grid.read(f"{sample_dir}/gnss-network-geoid.gsb")
+    apply_geoid(net, grid, convert_heights=True)
+    transform_network(net)
+    res = adjust_simultaneous(net, AdjustmentOptions(
+        scale_normals_to_unity=True, use_tpu=True))
+    assert res.iterations == res_host.iterations
+    assert np.abs(res.xyz - res_host.xyz).max() < 1e-9
+    assert abs(res.sigma_zero - res_host.sigma_zero) < 1e-9
+    assert (np.abs(np.diag(res.cov_xyz) - np.diag(res_host.cov_xyz)).max()
+            < 1e-12)
+
+
 def test_adj_report_byte_parity(gnss_result, sample_dir, tmp_path):
     """The .adj report is byte-identical to the reference's golden file
     below the volatile header (the reference's own regression bar,
