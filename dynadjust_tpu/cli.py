@@ -605,6 +605,16 @@ def _cmd_adjust(args) -> int:
         n = write_adj_jsonl(f"{base}.adj.jsonl", net, res,
                             _np.stack([ox, oy, oz], axis=-1))
         print(f"+ Wrote {base}.adj.jsonl ({n} records)")
+        from .output.json_writer import write_xyz_jsonl
+        write_xyz_jsonl(f"{base}.xyz.jsonl", net, res)
+        if args.output_pos_uncertainty:
+            from .output.json_writer import write_apu_jsonl
+            write_apu_jsonl(f"{base}.apu.jsonl", net, res,
+                            opts.confidence_interval)
+        if args.output_corrections_file:
+            from .output.json_writer import write_cor_jsonl
+            write_cor_jsonl(f"{base}.cor.jsonl", net, res,
+                            _np.stack([ox, oy, oz], axis=-1))
     if args.output_pos_uncertainty:
         from .output.uncertainty import write_apu
         units = {0: "XYZ", 1: "ENU", 2: "LLH"}.get(

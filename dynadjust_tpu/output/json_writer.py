@@ -128,3 +128,68 @@ def write_adj_jsonl(path: str, net, res, original_xyz=None,
             "PotentialOutliers": int(res.potential_outliers),
         }}) + "\n")
     return n + 2
+
+
+def write_xyz_jsonl(path: str, net, res) -> int:
+    """Station coordinates report as JSONL (--output-json .xyz mirror)."""
+    n = 0
+    with open(path, "w") as f:
+        f.write(json.dumps(_header(net, "xyz")) + "\n")
+        for i in range(net.nstations):
+            f.write(json.dumps(_station_record(net, res, i)) + "\n")
+            n += 1
+    return n + 1
+
+
+def write_apu_jsonl(path: str, net, res, confidence: float = 95.0) -> int:
+    """Positional uncertainty report as JSONL (--output-json .apu mirror;
+    OnPositionalUncertainty, dnaadjust_json_printer.hpp:84)."""
+    import numpy as np
+
+    from ..geodesy.local_frame import rotation_cart_to_local
+    from .uncertainty import error_ellipse, positional_uncertainty
+    n = 0
+    with open(path, "w") as f:
+        f.write(json.dumps(_header(net, "apu")) + "\n")
+        for i in range(net.nstations):
+            Vc = res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
+            R = rotation_cart_to_local(res.lat[i], res.lon[i])
+            Vl = R @ Vc @ R.T
+            a, b, az = error_ellipse(Vl)
+            hz, vt = positional_uncertainty(a, b,
+                                            float(np.sqrt(max(Vl[2, 2],
+                                                              0.0))))
+            f.write(json.dumps({"DnaPositionalUncertainty": {
+                "Station": net.names[i],
+                "Latitude": float(np.degrees(res.lat[i])),
+                "Longitude": float(np.degrees(res.lon[i])),
+                "HzPosU": float(hz), "VtPosU": float(vt),
+                "SemiMajor": float(a), "SemiMinor": float(b),
+                "Orientation": float(np.degrees(az)),
+                "VarianceENU": [[float(Vl[r][c]) for c in range(3)]
+                                for r in range(3)],
+            }}) + "\n")
+            n += 1
+    return n + 1
+
+
+def write_cor_jsonl(path: str, net, res, original_xyz) -> int:
+    """Corrections report as JSONL (--output-json .cor mirror)."""
+    import numpy as np
+
+    from ..geodesy.local_frame import rotation_cart_to_local
+    n = 0
+    with open(path, "w") as f:
+        f.write(json.dumps(_header(net, "cor")) + "\n")
+        for i in range(net.nstations):
+            d = res.xyz[i] - original_xyz[i]
+            R = rotation_cart_to_local(res.lat[i], res.lon[i])
+            e, nn, up = (float(v) for v in (R @ d))
+            f.write(json.dumps({"DnaCorrection": {
+                "Station": net.names[i],
+                "East": e, "North": nn, "Up": up,
+                "SDistance": float(np.linalg.norm(d)),
+                "HDistance": float(np.hypot(e, nn)),
+            }}) + "\n")
+            n += 1
+    return n + 1
