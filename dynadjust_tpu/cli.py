@@ -588,7 +588,8 @@ def _cmd_adjust(args) -> int:
                            else "dms"),
               stn_file_order=getattr(args, "sort_stn_orig_order", False),
               output_stn_blocks=getattr(args, "output_stn_blocks", False),
-              output_msr_blocks=getattr(args, "output_msr_blocks", False))
+              output_msr_blocks=getattr(args, "output_msr_blocks", False),
+              comments=getattr(args, "comments", ""))
     write_xyz(f"{base}.xyz", net, res,
               stn_coord_types=getattr(args, "stn_coord_types", "PLHhXYZ"),
               stn_corr=getattr(args, "stn_corrections", False),
@@ -739,21 +740,54 @@ def _cmd_dynadjust(args) -> int:
         }
         write_dnaproj(args.export_project, sections)
         print(f"+ Wrote project file {args.export_project}")
-    rc = _cmd_import(args)
-    if rc:
+    # pipeline log (dynadjust.log; dynadjust.cpp:254-286 — failed stage
+    # short-circuits, each stage's status recorded)
+    import datetime as _dt
+    log_path = getattr(args, "dynadjust_log_file", "") or \
+        os.path.join(args.output_folder, "dynadjust.log")
+    log = open(log_path, "a")
+
+    def _stage(name, fn, enabled=True):
+        if not enabled:
+            return 0
+        t0 = time.time()
+        log.write(f"{_dt.datetime.now():%Y-%m-%d %H:%M:%S}  {name:<10}"
+                  f"started\n")
+        log.flush()
+        try:
+            rc = fn(args)
+        except Exception as e:
+            log.write(f"{_dt.datetime.now():%Y-%m-%d %H:%M:%S}  "
+                      f"{name:<10}EXCEPTION: {e}\n")
+            log.close()
+            raise
+        status = "done" if rc == 0 else f"FAILED (exit {rc})"
+        log.write(f"{_dt.datetime.now():%Y-%m-%d %H:%M:%S}  {name:<10}"
+                  f"{status} ({time.time() - t0:.2f} s)\n")
+        log.flush()
         return rc
-    if args.grid:
-        rc = _cmd_geoid(args)
-        if rc:
-            return rc
-    rc = _cmd_reftran(args)
+
+    log.write(f"{_dt.datetime.now():%Y-%m-%d %H:%M:%S}  dynadjust "
+              f"pipeline: network {args.network_name}\n")
+    rc = _stage("import", _cmd_import)
     if rc:
+        log.close()
         return rc
-    if args.phased:
-        rc = _cmd_segment(args)
-        if rc:
-            return rc
-    return _cmd_adjust(args)
+    rc = _stage("geoid", _cmd_geoid, bool(args.grid))
+    if rc:
+        log.close()
+        return rc
+    rc = _stage("reftran", _cmd_reftran)
+    if rc:
+        log.close()
+        return rc
+    rc = _stage("segment", _cmd_segment, args.phased)
+    if rc:
+        log.close()
+        return rc
+    rc = _stage("adjust", _cmd_adjust)
+    log.close()
+    return rc
 
 
 def _add_common(p):
@@ -796,7 +830,13 @@ def _add_adjust_args(p):
                    help="station table coordinate columns: P lat, L lon, "
                         "H ortho, h ellipsoidal, X Y Z cartesian, "
                         "E N UTM, z zone")
-    p.add_argument("--sort-adj-msr", type=int, default=0,
+    p.add_argument("--comments", default="",
+                   help="user comments printed in the output file header")
+    p.add_argument("--max-threads", type=int, default=0,
+                   help="host BLAS/solver thread cap (reference parity; "
+                        "0 = library default)")
+    p.add_argument("--sort-adj-msr", "--sort-adj-msr-field",
+                   dest="sort_adj_msr", type=int, default=0,
                    choices=range(8),
                    help="adjusted measurement sort: 0 file order, 1 type,"
                         " 2 instrument, 3 target, 4 value, 5 correction, "
@@ -1094,6 +1134,9 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--project-file", default="",
                    help=".dnaproj project file supplying all settings "
                         "(CDnaProjectFile layout)")
+    p.add_argument("--dynadjust-log-file", default="",
+                   help="pipeline log path (default: "
+                        "<output-folder>/dynadjust.log)")
     p.add_argument("--export-project", default="",
                    help="write the effective settings to a .dnaproj file")
     p.add_argument("-r", "--reference-frame", default="")

@@ -551,7 +551,7 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
               stn_prec_m: int = 4, stn_prec_s: int = 5,
               stn_angular: str = "dms", stn_file_order: bool = False,
               output_stn_blocks: bool = False,
-              output_msr_blocks: bool = False):
+              output_msr_blocks: bool = False, comments: str = ""):
     now = datetime.datetime.now()
     L = []
     L.append(OUTPUTLINE)
@@ -581,6 +581,18 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
     if stn_corr:
         L.append(f"{'Station coordinate corrections:':<{PRINT_VAR_PAD}}"
                  "Yes")
+    if comments:
+        # wrap at the value column like the reference (PRINT_VAL_PAD)
+        words = comments.split()
+        line, var = "", "Comments: "
+        for w in words:
+            if line and len(line) + 1 + len(w) > 45:
+                L.append(f"{var:<{PRINT_VAR_PAD}}{line}")
+                line, var = w, " "
+            else:
+                line = f"{line} {w}".strip()
+        if line:
+            L.append(f"{var:<{PRINT_VAR_PAD}}{line}")
     L.append(OUTPUTLINE)
     L.append("")
 
