@@ -35,6 +35,33 @@ def _cmd_import(args) -> int:
         nsites = sum(1 for ws in disconts.values() if ws[0].exists)
         print(f"+ Loaded discontinuity file: {nsites} discontinuity sites")
 
+    if getattr(args, "export_from_binary", False):
+        # exports from the saved network store, no re-parse
+        # (EXPORT_FROM_BINARY; the reference's binary files are our store)
+        net = project.load_network(args.output_folder, args.network_name)
+        base = os.path.join(args.output_folder, args.network_name)
+        if getattr(args, "export_dna", False):
+            from .io_formats.dna_writer import write_dna_stn, write_dna_msr
+            write_dna_stn(f"{base}.export.stn", net)
+            write_dna_msr(f"{base}.export.msr", net)
+            print(f"+ Exported DNA files: {base}.export.stn/.msr")
+        if getattr(args, "export_xml_files", False) or \
+                getattr(args, "single_xml_file", False):
+            from .io_formats.dynaml import (write_dynaml_stn,
+                                            write_dynaml_msr,
+                                            write_dynaml_combined)
+            if getattr(args, "single_xml_file", False):
+                write_dynaml_combined(f"{base}.xml", net)
+                print(f"+ Exported combined DynaML: {base}.xml")
+            else:
+                write_dynaml_stn(f"{base}stn.xml", net)
+                write_dynaml_msr(f"{base}msr.xml", net)
+                print(f"+ Exported DynaML: {base}stn.xml / {base}msr.xml")
+        return 0
+    if not args.files:
+        print("error: no input files", file=sys.stderr)
+        return 1
+
     stations, frame, epoch = [], "", ""
     measurements = []
     for path in args.files:
@@ -462,12 +489,14 @@ def _cmd_segment(args) -> int:
     project.save_network(net, args.output_folder, args.network_name)
     seg.save(os.path.join(args.output_folder,
                           f"{args.network_name}.seg.pkl"))
-    from .segment.segmenter import write_seg_file, \
+    from .segment.segmenter import write_seg_file, write_sap_file, \
         verify_station_connections
     write_seg_file(os.path.join(args.output_folder,
                                 f"{args.network_name}.seg"),
                    net, seg, args.min_inner_stns, args.max_block_stns,
                    starting, " ".join(sys.argv))
+    write_sap_file(os.path.join(args.output_folder,
+                                f"{args.network_name}.sap"), net, seg)
     if getattr(args, "test_integrity", False):
         probs = verify_station_connections(net, seg)
         if probs:
@@ -954,7 +983,10 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("import", help="import station/measurement files")
     p.add_argument("-n", "--network-name", required=True)
-    p.add_argument("files", nargs="+")
+    p.add_argument("files", nargs="*")
+    p.add_argument("--export-from-binary", action="store_true",
+                   help="run exports from the saved network store instead "
+                        "of re-parsing input files")
     p.add_argument("-r", "--reference-frame", default="")
     p.add_argument("--stn-renaming-file", default="")
     p.add_argument("-d", "--discontinuity-file", default="",

@@ -290,3 +290,25 @@ def verify_station_connections(net: NetworkData, seg: Segmentation) -> list:
                 problems.append(f"block {b + 1}: inner station "
                                 f"{net.names[g]} has no measurements")
     return problems
+
+
+def write_sap_file(path: str, net: NetworkData, seg: Segmentation):
+    """Station appearance list: per station, the first block (forward
+    order) and last block (reverse order) in which it appears — the
+    text analogue of the reference's .sap (CreateStnAppearanceList /
+    WriteStnAppearance, include/io/seg_file.hpp:66/85)."""
+    first_fwd = {}
+    first_rev = {}
+    for b in range(seg.block_count):
+        for g in (list(seg.inner_stations[b]) +
+                  list(seg.junction_stations[b])):
+            first_fwd.setdefault(g, b)
+            first_rev[g] = b
+    L = [f"{'Station':<20}{'First appearance (fwd)':>24}"
+         f"{'First appearance (rev)':>24}"]
+    L.append("-" * 68)
+    for g in sorted(first_fwd, key=lambda i: net.names[i]):
+        L.append(f"{net.names[g]:<20}{first_fwd[g] + 1:>24}"
+                 f"{first_rev[g] + 1:>24}")
+    with open(path, "w") as f:
+        f.write("\n".join(L) + "\n")
