@@ -23,3 +23,6 @@ class AdjustmentOptions:
     output_iter_cmp_msr: bool = False        # per-iteration computed msrs
     checkpoint_file: str = ""                # save/resume iteration state
     use_tpu: bool = False                    # route dense solves to the TPU
+    profile: bool = False                    # hot-spot ns counters
+    verbose_level: int = 0                   # >=3: dump matrices to .dbg
+    debug_file: str = ""                     # .dbg path for verbose dumps

@@ -180,6 +180,8 @@ def adjust_simultaneous(net: NetworkData,
 
     from .diagnostics import OscillationTracker
     osc = OscillationTracker()
+    prof = {"update_normals_ns": 0, "solve_ns": 0}
+    import time as _time
     Ninv = None
     max_corr = np.inf
     status = "Converged"
@@ -190,11 +192,23 @@ def adjust_simultaneous(net: NetworkData,
         iteration += 1
         compute_inverse = (iteration < 2) or asm.has_non_gps
         rhs = AtVinv @ asm.mmc
+        _t0 = _time.perf_counter_ns()
         if compute_inverse:
             Ninv, dx = _solve_normals(N, rhs, opts.scale_normals_to_unity,
                                       opts.use_tpu)
         else:
             dx = Ninv @ rhs
+        prof["solve_ns"] += _time.perf_counter_ns() - _t0
+        if opts.verbose_level >= 3 and opts.debug_file:
+            # matrix dumps (Solve, dnaadjust.cpp:6649-6716)
+            with open(opts.debug_file, "a") as _dbg:
+                _dbg.write(f"ITERATION {iteration}\n")
+                _dbg.write(f"N ({N.shape[0]}x{N.shape[1]})\n")
+                np.savetxt(_dbg, N, fmt="%.6e")
+                _dbg.write("rhs\n")
+                np.savetxt(_dbg, rhs[None], fmt="%.6e")
+                _dbg.write("dx\n")
+                np.savetxt(_dbg, dx[None], fmt="%.6e")
         est = est + dx
         imax = int(np.argmax(np.abs(dx)))
         max_corr = dx[imax]
@@ -237,6 +251,7 @@ def adjust_simultaneous(net: NetworkData,
             break
 
         # re-linearise for the next iteration
+        _t0 = _time.perf_counter_ns()
         if asm.has_non_gps:
             _update_geographic(net, est)
             asm.fill(est)
@@ -244,11 +259,19 @@ def adjust_simultaneous(net: NetworkData,
                                       asm.nrows)
         else:
             asm.fill(est)
+        prof["update_normals_ns"] += _time.perf_counter_ns() - _t0
     else:
         status = "Failed to converge"
 
     if abs(max_corr) > opts.iteration_threshold:
         status = "Failed to converge"
+
+    if opts.profile:
+        # PrintPerformanceProfile parity (dnaadjust.cpp:2562-2577)
+        import sys as _sys
+        print("dynadjust_tpu profile timings: "
+              f"update_normals={prof['update_normals_ns'] / 1e6:.3f}ms "
+              f"solve={prof['solve_ns'] / 1e6:.3f}ms", file=_sys.stderr)
 
     # Final state refresh (UpdateAdjustment(false)): update geographic
     # coordinates, recompute design + meas-minus-comp, keep inverted normals

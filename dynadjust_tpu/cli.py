@@ -530,6 +530,11 @@ def _cmd_adjust(args) -> int:
         free_std_dev=args.free_stn_sd,
         fixed_std_dev=args.fixed_stn_sd,
         use_tpu=getattr(args, "tpu", False),
+        profile=getattr(args, "profile", False),
+        verbose_level=getattr(args, "verbose_level", 0),
+        debug_file=(os.path.join(args.output_folder,
+                                 f"{args.network_name}.dbg")
+                    if getattr(args, "verbose_level", 0) >= 3 else ""),
         output_iter_stations=getattr(args, "output_iter_adj_stn", False),
         output_iter_adj_stat=getattr(args, "output_iter_adj_stat", False),
         output_iter_adj_msr=getattr(args, "output_iter_adj_msr", False),
@@ -915,6 +920,10 @@ def _add_adjust_args(p):
     p.add_argument("--multi-thread", action="store_true",
                    help="accepted for reference CLI compatibility "
                         "(device parallelism is automatic)")
+    p.add_argument("--profile", action="store_true",
+                   help="print hot-spot timing counters to stderr")
+    p.add_argument("--verbose-level", type=int, default=0,
+                   help=">=3 dumps normals/rhs/corrections to a .dbg file")
     p.add_argument("--tpu", action="store_true",
                    help="solve the normal equations on the TPU (blocked "
                         "f32 MXU factorization + on-device Newton-refined "
