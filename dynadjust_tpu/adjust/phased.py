@@ -172,6 +172,7 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
     # initial estimates per block from current geographic coordinates
     x, y, z = geo_to_cart(net.lat, net.lon, net.height, net.datum.ellipsoid)
     xyz_all = np.stack([x, y, z], axis=-1)
+    initial_xyz = xyz_all.copy()
     for blk in blocks:
         blk.est = xyz_all[blk.stations].reshape(-1).copy()
         blk.asm.fill(blk.est, apply_reductions=True)
@@ -377,7 +378,7 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
         critical_value=float(crit), xyz=xyz_all.copy(),
         lat=net.lat.copy(), lon=net.lon.copy(), height=net.height.copy(),
         cov_xyz=cov, msr_stats=stats_rows, iteration_log=it_log,
-        block_info=block_info, elapsed=time.time() - t0)
+        block_info=block_info, initial_xyz=initial_xyz, elapsed=time.time() - t0)
 
 
 def _block_normals(blk: Block):

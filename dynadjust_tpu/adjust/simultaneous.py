@@ -82,6 +82,9 @@ class AdjustmentResult:
     iteration_log: list = field(default_factory=list)
     # phased mode: [(block_no, inner_names, junction_names, msr_count)]
     block_info: list = None
+    # a-priori cartesian coordinates captured before the adjustment
+    # (corrections = adjusted - initial; initialLatitude parity)
+    initial_xyz: np.ndarray = None
     oscillation: list = field(default_factory=list)
     elapsed: float = 0.0
 
@@ -171,6 +174,7 @@ def adjust_simultaneous(net: NetworkData,
             resume_iteration = int(ck["iteration"])
 
     # initial fill with one-time reductions
+    initial_xyz = est.reshape(-1, 3).copy()
     asm.fill(est, apply_reductions=True)
     Wc = asm.constraint_weights()
     N, AtVinv = _form_normals(asm.A, asm.weight_blocks(), Wc, asm.nrows)
@@ -308,6 +312,7 @@ def adjust_simultaneous(net: NetworkData,
         potential_outliers=potential_outliers, critical_value=float(crit),
         xyz=est.reshape(-1, 3), lat=net.lat.copy(), lon=net.lon.copy(),
         height=net.height.copy(), cov_xyz=Ninv, msr_stats=stats_rows,
+        initial_xyz=initial_xyz,
         iteration_log=it_log, oscillation=osc.summary(net.names),
         elapsed=time.time() - t0)
 

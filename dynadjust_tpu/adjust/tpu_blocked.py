@@ -1,0 +1,235 @@
+"""TPU blocked-Schur adjustment of real (all-measurement-type) networks.
+
+This is the TPU-native replacement for the reference's phased adjustment
+(`adjust --phased --tpu`): instead of the strictly sequential
+forward/reverse/combine sweeps with junction pseudo-measurement carries
+(AdjustPhased, dnaadjust.cpp:2579), the segmented blocks are eliminated
+simultaneously by the batched two-level Schur solver (parallel/schur.py):
+
+  * every block's inner stations eliminated in one batched MXU
+    factorization;
+  * the global junction system assembled by scatter (a psum across a
+    device mesh) and solved once;
+  * per-block covariances recovered from the explicit factors
+    (N^-1_ii = Aii^-1 + Y S^-1 Y^T etc.), giving the same rigorous
+    per-block variances the reference's combine pass produces.
+
+The result is algebraically the simultaneous solution — which is exactly
+what the reference's phased mode converges to and cross-checks against
+(its own CI bar: phased == simultaneous within tolerance).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..network.data import NetworkData
+from ..segment import Segmentation, segment_network
+from ..geodesy.conversions import geo_to_cart, cart_to_geo
+from .options import AdjustmentOptions
+from .simultaneous import (AdjustmentResult, _measurement_stats,
+                           _critical_value, _chi2_limits, UNRELIABLE)
+from .phased import Block, _first_appearances, _block_normals, \
+    _add_constraints
+
+
+def _block_cov_from_factors(factors, b, ki, kj, inner_idx, junc_idx,
+                            jmap_b, jmask_b):
+    """Full (3k, 3k) covariance of block b's parameters from the explicit
+    Schur factors (f32, unity-scaled): N^-1_ii = Ainv + Y Ssel Y^T,
+    N^-1_ij = -Y Ssel, N^-1_jj = Ssel; unscaled by di/djg."""
+    Ainv, Y, Sinv, di, dj, djg, _ = factors
+    Ainv_b = np.asarray(Ainv[b], dtype=np.float64)[:ki, :ki]
+    Y_b = np.asarray(Y[b], dtype=np.float64)[:ki, :kj]
+    jm = np.asarray(jmap_b)[:kj]
+    Ssel = np.asarray(Sinv, dtype=np.float64)[np.ix_(jm, jm)]
+    di_b = np.asarray(di[b], dtype=np.float64)[:ki]
+    djg_b = np.asarray(djg, dtype=np.float64)[jm]
+
+    YS = Y_b @ Ssel
+    cov_ii = (Ainv_b + YS @ Y_b.T) * np.outer(di_b, di_b)
+    cov_ij = -YS * np.outer(di_b, djg_b)
+    cov_jj = Ssel * np.outer(djg_b, djg_b)
+
+    k = ki + kj
+    cov = np.zeros((k, k))
+    cov[np.ix_(range(ki), range(ki))] = cov_ii
+    cov[np.ix_(range(ki), range(ki, k))] = cov_ij
+    cov[np.ix_(range(ki, k), range(ki))] = cov_ij.T
+    cov[np.ix_(range(ki, k), range(ki, k))] = cov_jj
+
+    # permute back to the block's parameter layout
+    perm = np.concatenate([inner_idx, junc_idx])
+    out = np.zeros_like(cov)
+    out[np.ix_(perm, perm)] = cov
+    return out
+
+
+def adjust_tpu_blocked(net: NetworkData,
+                       options: AdjustmentOptions | None = None,
+                       seg_file: str | None = None,
+                       seg: Segmentation | None = None) -> AdjustmentResult:
+    from ..parallel.schur import (build_block_system, DeviceSchurFactors,
+                                  _owner_indices)
+
+    opts = options or AdjustmentOptions()
+    t0 = time.time()
+    if seg is None:
+        seg = (Segmentation.load(seg_file) if seg_file
+               else segment_network(net))
+    B = seg.block_count
+    blocks = [Block(net, opts, seg, b) for b in range(B)]
+    first_fwd = _first_appearances(blocks, "fwd")
+
+    # global junction stations: any station appearing in >1 block
+    count = {}
+    for blk in blocks:
+        for g in blk.stations:
+            count[g] = count.get(g, 0) + 1
+    junction_global = sorted(g for g, c in count.items() if c > 1)
+    jpi = {g: k for k, g in enumerate(junction_global)}
+
+    # per-block parameter partition (param indices within block layout)
+    part = []
+    for blk in blocks:
+        inner_p, junc_p, junc_g = [], [], []
+        for g in blk.stations:
+            l = 3 * blk.asm.local[g]
+            if g in jpi:
+                junc_p.extend(range(l, l + 3))
+                junc_g.extend(range(3 * jpi[g], 3 * jpi[g] + 3))
+            else:
+                inner_p.extend(range(l, l + 3))
+        part.append((np.array(inner_p, dtype=np.int64),
+                     np.array(junc_p, dtype=np.int64),
+                     np.array(junc_g, dtype=np.int64)))
+
+    x, y, z = geo_to_cart(net.lat, net.lon, net.height, net.datum.ellipsoid)
+    xyz_all = np.stack([x, y, z], axis=-1)
+    initial_xyz = xyz_all.copy()
+    for blk in blocks:
+        blk.est = xyz_all[blk.stations].reshape(-1).copy()
+        blk.asm.fill(blk.est, apply_reductions=True)
+        blk.Wc = blk.asm.constraint_weights()
+
+    status = "Converged"
+    it_log = []
+    iteration = 0
+    max_corr = np.inf
+    factors = None
+    bs = None
+
+    for _ in range(opts.max_iterations):
+        iteration += 1
+        block_N, block_rhs = [], []
+        for b, blk in enumerate(blocks):
+            N, AtVinv = _block_normals(blk)
+            _add_constraints(N, blk, first_fwd[b])
+            block_N.append(N)
+            block_rhs.append(AtVinv @ blk.asm.mmc)
+        bs = build_block_system(block_N, block_rhs,
+                                [p[0] for p in part],
+                                [p[1] for p in part],
+                                [p[2] for p in part])
+        # re-factor when geometry changed (non-GPS present) or first pass
+        if factors is None or any(blk.asm.has_non_gps for blk in blocks):
+            # f64 factorization: real networks (angular weights +
+            # constraints) exceed what f32+refinement recovers
+            factors = DeviceSchurFactors(bs, method="inv64")
+        else:
+            factors.bs = bs
+        xi, xj = factors.solve(bs.bi, bs.bj, refine=2)
+
+        max_corr = 0.0
+        max_stn = 0
+        for b, blk in enumerate(blocks):
+            inner_p, junc_p, junc_g = part[b]
+            dx = np.zeros(3 * len(blk.stations))
+            dx[inner_p] = xi[b][:len(inner_p)]
+            dx[junc_p] = xj[junc_g]
+            blk.est = blk.est + dx
+            i = int(np.argmax(np.abs(dx))) if len(dx) else 0
+            if len(dx) and abs(dx[i]) > abs(max_corr):
+                max_corr = dx[i]
+                max_stn = blk.stations[i // 3]
+            xyz_all[blk.stations] = blk.est.reshape(-1, 3)
+        it_log.append({"iteration": iteration, "max_corr": float(max_corr),
+                       "station": net.names[max_stn]})
+
+        converged = abs(max_corr) <= opts.iteration_threshold
+        la, lo, h = cart_to_geo(xyz_all[:, 0], xyz_all[:, 1],
+                                xyz_all[:, 2], net.datum.ellipsoid)
+        net.lat, net.lon, net.height = la, lo, h
+        for blk in blocks:
+            blk.est = xyz_all[blk.stations].reshape(-1).copy()
+            blk.asm.fill(blk.est)
+        if converged:
+            break
+    else:
+        status = "Failed to converge"
+    if abs(max_corr) > opts.iteration_threshold:
+        status = "Failed to converge"
+
+    # ---- statistics from the factored covariances -------------------------
+    crit = _critical_value(opts.confidence_interval)
+    m_count = sum(blk.asm.measurement_count() for blk in blocks)
+    all_stations = sorted({g for blk in blocks for g in blk.stations})
+    unknown_count = 3 * len(all_stations)
+    for g in all_stations:
+        for c in (net.constraints[g] + "FFF")[:3]:
+            if c == "C":
+                unknown_count -= 1
+
+    chi_sq = 0.0
+    outliers = 0
+    pelzer_sum, pelzer_n = 0.0, 0
+    stats_rows = []
+    S = net.nstations
+    cov = np.zeros((3 * S, 3 * S))
+    for b, blk in enumerate(blocks):
+        inner_p, junc_p, junc_g = part[b]
+        cov_b = _block_cov_from_factors(
+            factors.factors, b, len(inner_p), len(junc_p),
+            inner_p, junc_p, bs.jmap[b], bs.jmask[b])
+        rows, c2, outl, ps, pn = _measurement_stats(
+            blk.asm, net, cov_b, blk.est, crit)
+        stats_rows.extend(rows)
+        chi_sq += c2
+        outliers += outl
+        pelzer_sum += ps
+        pelzer_n += pn
+        for g in blk.stations:
+            l = blk.asm.local[g]
+            cov[3 * g:3 * g + 3, 3 * g:3 * g + 3] = \
+                cov_b[3 * l:3 * l + 3, 3 * l:3 * l + 3]
+
+    stats_rows.sort(key=lambda r: r.rec_idx)
+    dof = m_count - unknown_count
+    sigma0 = chi_sq / dof if dof else 0.0
+    for r in stats_rows:
+        r.tstat = r.nstat / np.sqrt(sigma0) if sigma0 > 1e-20 else 0.0
+    chi_lower, chi_upper = (_chi2_limits(dof, opts.confidence_interval)
+                            if dof > 0 else (0.0, 0.0))
+    pass_fail = ("WARNING" if sigma0 < chi_lower else
+                 "FAILED" if sigma0 > chi_upper else "PASSED")
+    global_pelzer = (np.sqrt(pelzer_sum / pelzer_n) if pelzer_n
+                     else UNRELIABLE)
+
+    block_info = [(blk.index + 1,
+                   [net.names[g] for g in blk.stations if g not in jpi],
+                   [net.names[g] for g in blk.stations if g in jpi],
+                   blk.asm.measurement_count()) for blk in blocks]
+
+    return AdjustmentResult(
+        status=status, iterations=iteration, max_corr=float(max_corr),
+        chi_squared=float(chi_sq), sigma_zero=float(sigma0),
+        degrees_of_freedom=dof, measurement_count=m_count,
+        unknown_count=unknown_count, chi_upper=chi_upper,
+        chi_lower=chi_lower, pass_fail=pass_fail,
+        global_pelzer=float(global_pelzer), potential_outliers=outliers,
+        critical_value=float(crit), xyz=xyz_all.copy(),
+        lat=net.lat.copy(), lon=net.lon.copy(), height=net.height.copy(),
+        cov_xyz=cov, msr_stats=stats_rows, iteration_log=it_log,
+        block_info=block_info, initial_xyz=initial_xyz, elapsed=time.time() - t0)

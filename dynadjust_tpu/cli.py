@@ -568,15 +568,24 @@ def _cmd_adjust(args) -> int:
         with open(res_file, "rb") as f:
             res = pickle.load(f)
     elif args.phased or args.block1_phased:
-        from .adjust.phased import adjust_phased
         seg_file = os.path.join(args.output_folder,
                                 f"{args.network_name}.seg.pkl")
-        res = adjust_phased(net, opts, seg_file if os.path.exists(seg_file)
-                            else None,
-                            stage_dir=(getattr(args, "stage_path", "")
-                                       or args.output_folder
-                                       if args.staged_adjustment else None),
-                            block1=args.block1_phased)
+        if getattr(args, "tpu", False) and not args.block1_phased:
+            # TPU-native phased: parallel two-level blocked Schur instead
+            # of the sequential forward/reverse/combine sweeps
+            from .adjust.tpu_blocked import adjust_tpu_blocked
+            res = adjust_tpu_blocked(
+                net, opts,
+                seg_file if os.path.exists(seg_file) else None)
+        else:
+            from .adjust.phased import adjust_phased
+            res = adjust_phased(
+                net, opts,
+                seg_file if os.path.exists(seg_file) else None,
+                stage_dir=(getattr(args, "stage_path", "")
+                           or args.output_folder
+                           if args.staged_adjustment else None),
+                block1=args.block1_phased)
     else:
         res = adjust_simultaneous(net, opts)
     elapsed = time.time() - t0
@@ -636,9 +645,13 @@ def _cmd_adjust(args) -> int:
         from .output.json_writer import write_adj_jsonl
         from .geodesy.conversions import geo_to_cart as _g2c
         import numpy as _np
-        ox, oy, oz = _g2c(net.lat, net.lon, net.height, net.datum.ellipsoid)
-        n = write_adj_jsonl(f"{base}.adj.jsonl", net, res,
-                            _np.stack([ox, oy, oz], axis=-1))
+        if getattr(res, "initial_xyz", None) is not None:
+            _oxyz = res.initial_xyz
+        else:
+            ox, oy, oz = _g2c(net.lat, net.lon, net.height,
+                              net.datum.ellipsoid)
+            _oxyz = _np.stack([ox, oy, oz], axis=-1)
+        n = write_adj_jsonl(f"{base}.adj.jsonl", net, res, _oxyz)
         print(f"+ Wrote {base}.adj.jsonl ({n} records)")
         from .output.json_writer import write_xyz_jsonl
         write_xyz_jsonl(f"{base}.xyz.jsonl", net, res)
@@ -648,8 +661,7 @@ def _cmd_adjust(args) -> int:
                             opts.confidence_interval)
         if args.output_corrections_file:
             from .output.json_writer import write_cor_jsonl
-            write_cor_jsonl(f"{base}.cor.jsonl", net, res,
-                            _np.stack([ox, oy, oz], axis=-1))
+            write_cor_jsonl(f"{base}.cor.jsonl", net, res, _oxyz)
     if args.output_pos_uncertainty:
         from .output.uncertainty import write_apu
         units = {0: "XYZ", 1: "ENU", 2: "LLH"}.get(
@@ -662,10 +674,13 @@ def _cmd_adjust(args) -> int:
         from .output.uncertainty import write_cor
         from .geodesy.conversions import geo_to_cart
         import numpy as _np
-        ox, oy, oz = geo_to_cart(net.lat, net.lon, net.height,
-                                 net.datum.ellipsoid)
-        write_cor(f"{base}.cor", net, res,
-                  _np.stack([ox, oy, oz], axis=-1),
+        if getattr(res, "initial_xyz", None) is not None:
+            _oxyz2 = res.initial_xyz
+        else:
+            ox, oy, oz = geo_to_cart(net.lat, net.lon, net.height,
+                                     net.datum.ellipsoid)
+            _oxyz2 = _np.stack([ox, oy, oz], axis=-1)
+        write_cor(f"{base}.cor", net, res, _oxyz2,
                   hz_threshold=getattr(args, "hz_corr_threshold", 0.0),
                   vt_threshold=getattr(args, "vt_corr_threshold", 0.0))
     if args.export_snx or getattr(args, "export_sinex_file", False):
@@ -1282,7 +1297,15 @@ def main(argv=None) -> int:
             with open(res_file, "rb") as f:
                 res = pickle.load(f)
             if a.correction_arrows or a.label_corrections:
-                initial = (net.lat, net.lon)
+                if getattr(res, "initial_xyz", None) is not None:
+                    from .geodesy.conversions import cart_to_geo as _c2g
+                    la0, lo0, _h0 = _c2g(res.initial_xyz[:, 0],
+                                         res.initial_xyz[:, 1],
+                                         res.initial_xyz[:, 2],
+                                         net.datum.ellipsoid)
+                    initial = (la0, lo0)
+                else:
+                    initial = (net.lat, net.lon)
                 net = _copy_net_with_adjusted(net, res)
         out = a.output or f"{base}.{ext}"
         plot_network(

@@ -151,16 +151,20 @@ def station_lines(net: NetworkData, res,
     corr = None
     if stn_corr:
         # corrections to initial coordinates, in the local frame at the
-        # adjusted position (PrintAdjStation, dnaadjust_printer.cpp:4043;
-        # original height = initial + N when supplied orthometric)
-        from ..geodesy.conversions import geo_to_cart
-        from ..network.data import ORTHOMETRIC
-        h0 = net.initial_height + np.where(
-            np.asarray(net.height_ref) == ORTHOMETRIC, net.geoid_sep, 0.0)
-        x0, y0, z0 = geo_to_cart(net.lat, net.lon, h0,
-                                 net.datum.ellipsoid)
-        xyz0 = np.stack([np.asarray(x0), np.asarray(y0),
-                         np.asarray(z0)], axis=-1)
+        # adjusted position (PrintAdjStation, dnaadjust_printer.cpp:4043)
+        xyz0 = getattr(res, "initial_xyz", None)
+        if xyz0 is None:
+            # fallback: rebuild from supplied heights (original height =
+            # initial + N when supplied orthometric)
+            from ..geodesy.conversions import geo_to_cart
+            from ..network.data import ORTHOMETRIC
+            h0 = net.initial_height + np.where(
+                np.asarray(net.height_ref) == ORTHOMETRIC,
+                net.geoid_sep, 0.0)
+            x0, y0, z0 = geo_to_cart(net.lat, net.lon, h0,
+                                     net.datum.ellipsoid)
+            xyz0 = np.stack([np.asarray(x0), np.asarray(y0),
+                             np.asarray(z0)], axis=-1)
     order = range(net.nstations)
     if file_order and getattr(net, "station_file_order", None):
         order = sorted(order, key=lambda i: net.station_file_order[i])

@@ -433,6 +433,35 @@ def _schur_factor_inv_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
     return Ainv, Y, Sinv, di, dj, djg, Nij_s
 
 
+@partial(jax.jit, static_argnames=("nj_total",))
+def _schur_factor_inv64_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
+    """Full-f64 explicit-inverse factorization on device (emulated f64 —
+    slower than f32+MXU but exact).  Needed for ill-conditioned real
+    networks (angular weights + constraints push the scaled condition
+    number past what f32 factorization + refinement can recover:
+    contraction ~ kappa_s * eps32 stalls near 1)."""
+    zero_b = jnp.zeros_like(Nii[..., 0])
+    zero_j = jnp.zeros_like(Njj[..., 0])
+    Nii_s, Nij_s, Njj_s, _, _, di, dj, djg = _unity_scale(
+        Nii, Nij, Njj, zero_b, zero_j, jmap, jmask, nj_total, None)
+    L = jnp.linalg.cholesky(Nii_s)
+    eye = jnp.eye(Nii_s.shape[1], dtype=Nii_s.dtype)
+    Ainv = jax.scipy.linalg.cho_solve(
+        (L, True), jnp.broadcast_to(eye, Nii_s.shape))
+    Y = jnp.einsum("bij,bjk->bik", Ainv, Nij_s)
+    S_b = Njj_s - jnp.einsum("bki,bkj->bij", Nij_s, Y)
+    S_b = S_b * jmask[:, :, None] * jmask[:, None, :]
+    S = jnp.zeros((nj_total, nj_total), dtype=S_b.dtype)
+    idx_i = jnp.repeat(jmap[:, :, None], jmap.shape[1], axis=2).reshape(-1)
+    idx_j = jnp.repeat(jmap[:, None, :], jmap.shape[1], axis=1).reshape(-1)
+    S = S.at[idx_i, idx_j].add(S_b.reshape(-1))
+    diag = jnp.diag(S)
+    S = S + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
+    Lj = jnp.linalg.cholesky(S)
+    Sinv = _chunked_spd_inverse(Lj)
+    return Ainv, Y, Sinv, di, dj, djg, Nij_s
+
+
 def _schur_apply_inv_core(Ainv, Y, Sinv, di, dj, djg, Nij_s, bi, bj,
                           jmap, jmask, nj_total):
     """Solve with explicit inverses — matmuls only (MXU)."""
@@ -596,7 +625,17 @@ class DeviceSchurFactors:
         self.refactor()
 
     def refactor(self):
-        """(Re)factor from the device-resident f64 normals."""
+        """(Re)factor from the device-resident f64 normals.
+
+        method 'inv64': exact f64 factorization on device (emulated f64;
+        for ill-conditioned real networks).  'inv'/'chol': f32 MXU
+        factorizations, recovered by f64 refinement in solve_device."""
+        if self.method == "inv64":
+            self.factors = _schur_factor_inv64_jit(
+                self.Nii64, self.Nij64, self.Njj64, self.jmap,
+                jnp.asarray(self.bs.jmask.astype(np.float64)),
+                self.nj_total)
+            return
         factor = (_schur_factor_inv_jit if self.method == "inv"
                   else _schur_factor_jit)
         self.factors = factor(
@@ -606,12 +645,17 @@ class DeviceSchurFactors:
 
     def solve_device(self, bi64, bj64, refine: int = 2):
         """Refined solve; rhs and results stay on device (f64)."""
+        method = "inv" if self.method == "inv64" else self.method
+        if self.method == "inv64":
+            refine = 0              # factors are already f64-exact
         return _device_solve_refined_jit(
             *self.factors, self.Nii64, self.Nij64, self.Njj64,
             jnp.asarray(bi64, dtype=jnp.float64),
             jnp.asarray(bj64, dtype=jnp.float64),
-            self.jmap, self.jmask32, self.jmask64, self.imask64,
-            self.gi, self.gg, self.nj_total, refine, self.method)
+            self.jmap,
+            (self.jmask64 if self.method == "inv64" else self.jmask32),
+            self.jmask64, self.imask64,
+            self.gi, self.gg, self.nj_total, refine, method)
 
     def solve(self, bi, bj, refine: int = 2):
         xi, xj = self.solve_device(bi, bj, refine)

@@ -52,6 +52,28 @@ def phased_result(sample_dir):
     return net, seg, res
 
 
+def test_tpu_blocked_matches_phased(phased_result, sample_dir):
+    """The TPU blocked-Schur adjustment (--phased --tpu: batched inner
+    elimination + one junction solve, replacing the sequential sweeps)
+    reproduces the phased/simultaneous solution and statistics on a real
+    all-measurement-type network."""
+    from dynadjust_tpu.adjust.tpu_blocked import adjust_tpu_blocked
+    net_full, seg, res_full = phased_result
+    net = _build(sample_dir)
+    res = adjust_tpu_blocked(net, AdjustmentOptions(), seg=seg)
+    assert res.iterations == res_full.iterations
+    assert np.abs(res.xyz - res_full.xyz).max() < 1e-6
+    assert abs(res.sigma_zero - res_full.sigma_zero) < 1e-6
+    # station SDs from the factored covariances match at print precision
+    d = np.abs(np.sqrt(np.diag(res.cov_xyz)) -
+               np.sqrt(np.diag(res_full.cov_xyz))).max()
+    assert d < 5e-6
+    # per-measurement stats agree
+    for a, b in zip(res.msr_stats, res_full.msr_stats):
+        assert abs(a.correction - b.correction) < 1e-6
+        assert abs(a.nstat - b.nstat) < 1e-3
+
+
 def test_block1_phased_matches_full(phased_result, sample_dir):
     """--block1-phased (single reverse sweep) reproduces the full phased
     solution for block 1's stations (AdjustPhasedBlock1 semantics: the
