@@ -21,7 +21,9 @@ _RAD_TO_SEC = 180.0 / np.pi * 3600.0
 
 @dataclass
 class PlateModel:
-    polygons: dict          # plate id -> (n, 2) lon/lat degrees
+    # list of (plate id, (n, 2) lon/lat polygon) — one id may own several
+    # polygons (MORVEL56's dig reuses 'NB' for North Bismarck and Nubia)
+    polygons: list
     rotations: dict         # plate id -> (rx, ry, rz) mas/yr
 
     def identify(self, lat_rad: float, lon_rad: float) -> str | None:
@@ -30,7 +32,7 @@ class PlateModel:
         lat = np.degrees(lat_rad)
         best = None
         best_span = np.inf
-        for name, poly in self.polygons.items():
+        for name, poly in self.polygons:
             # test every longitude-congruent copy of the point that lands
             # inside the polygon's unwrapped longitude window (polygons
             # that ring the globe span a full 360° after unwrapping, so a
@@ -65,9 +67,11 @@ def _point_in_polygon(x, y, poly: np.ndarray) -> bool:
     return crossings % 2 == 1
 
 
-def read_plate_boundaries(path: str) -> dict:
-    """.dig file → {plate id: (n, 2) lon/lat array}."""
-    polys = {}
+def read_plate_boundaries(path: str) -> list:
+    """.dig file → [(plate id, (n, 2) lon/lat array)].  A list, not a
+    dict: ids repeat (IdentifyStationPlate scans every digitised region,
+    dnareftran.cpp:103)."""
+    polys = []
     name = None
     points = []
     for line in open(path, errors="replace"):
@@ -76,7 +80,7 @@ def read_plate_boundaries(path: str) -> dict:
             continue
         if line.startswith("*"):
             if name and points:
-                polys[name] = np.asarray(points)
+                polys.append((name, np.asarray(points)))
             name, points = None, []
             continue
         if "," in line:
@@ -88,11 +92,11 @@ def read_plate_boundaries(path: str) -> dict:
                 pass
         # a plate identifier line
         if name and points:
-            polys[name] = np.asarray(points)
+            polys.append((name, np.asarray(points)))
         name = line.split()[0]
         points = []
     if name and points:
-        polys[name] = np.asarray(points)
+        polys.append((name, np.asarray(points)))
     return polys
 
 
@@ -143,12 +147,12 @@ def _unwrap_polygon(poly: np.ndarray) -> np.ndarray:
 
 
 def load_plate_model(boundaries_path: str, poles_path: str) -> PlateModel:
-    polys = {k: _unwrap_polygon(v)
-             for k, v in read_plate_boundaries(boundaries_path).items()}
+    polys = [(k, _unwrap_polygon(v))
+             for k, v in read_plate_boundaries(boundaries_path)]
     poles = read_plate_poles(poles_path)
     rotations = {name: euler_to_cartesian_rates(*pole)
                  for name, pole in poles.items()}
-    missing = set(polys) - set(rotations)
+    missing = {k for k, _ in polys} - set(rotations)
     if missing:
         raise ValueError(f"plates without pole parameters: {missing}")
     return PlateModel(polygons=polys, rotations=rotations)

@@ -100,3 +100,37 @@ def test_dynamic_to_dynamic_with_frame_change():
     out = _transform_xyz(xyz, dg, d30)
     mag = np.linalg.norm(out - xyz)
     assert 0.5 < mag < 0.8
+
+
+def test_morvel56_epoch_propagation_golden(sample_dir):
+    """The reference's own plate-motion fixture: apr network at ITRF2008
+    @04.06.2020 propagated to @01.01.2021 with NNR-MORVEL56 must match
+    apr.ITRF2008.01.01.2021.stn.expected within 0.1 mm (the reference's
+    ref-itrf-pmm-06/07 test with dnadiff -t 0.0001).  Exercises the
+    duplicate-plate-id handling (the dig reuses 'NB' for North Bismarck
+    and Nubia)."""
+    import numpy as np
+
+    from dynadjust_tpu.io_formats import read_dna_stn, read_dna_msr
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.reftran import transform_network
+    from dynadjust_tpu.reftran.plates import load_plate_model
+
+    stns, _, _ = read_dna_stn(f"{sample_dir}/apr.ITRF2008.04.06.2020.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/apr.ITRF2008.04.06.2020.msr")
+    stns.sort(key=lambda st: st.name)
+    net = build_network(stns, recs, "ITRF2008", "04.06.2020")
+    pm = load_plate_model(f"{sample_dir}/MORVEL56_plates.dig",
+                          f"{sample_dir}/NNR-MORVEL56_poles.dat")
+    transform_network(net, "ITRF2008", "01.01.2021", plate_model=pm)
+
+    exp = {}
+    for line in open(f"{sample_dir}/apr.ITRF2008.01.01.2021.stn.expected"):
+        t = line.split()
+        if len(t) >= 6 and t[1] == "FFF" and t[2] == "XYZ":
+            exp[t[0]] = np.array([float(t[3]), float(t[4]), float(t[5])])
+    assert len(exp) == 58
+    xyz = net.station_xyz()
+    worst = max(float(np.abs(xyz[net.station_index(n)] - e).max())
+                for n, e in exp.items())
+    assert worst < 1e-4, worst
