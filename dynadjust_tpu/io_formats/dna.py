@@ -173,8 +173,13 @@ def _parse_header(line: str):
 
 
 def _is_comment(line: str) -> bool:
-    s = line.lstrip()
-    return (not s) or s.startswith("*") or s.startswith("#") or s.startswith("!")
+    # Comments carry '*'/'#'/'!' in COLUMN 1.  An indented '*' is not a
+    # comment: continuation rows of ignored measurements have a blank
+    # type char and the ignore flag '*' in column 2 (' *   ...'), as
+    # dnaimport's own exports write them (dsg-ignored.msr).
+    if not line.strip():
+        return True
+    return line[0] in "*#!"
 
 
 def read_dna_stn(path: str):

@@ -68,3 +68,24 @@ def test_direction_sets(sample_dir):
     assert d.first == "212000820"
     assert d.ro == "269100210"
     assert len(d.directions) == 1
+
+
+def test_ignored_measurement_continuation_rows(sample_dir):
+    """dsg-ignored.msr: ignored clusters' continuation rows carry the
+    ignore flag ' *' in column 2 — they are data, not comments."""
+    from dynadjust_tpu.io_formats.dna import read_dna_msr
+    recs, _, _ = read_dna_msr(f"{sample_dir}/dsg-ignored.msr")
+    assert len(recs) == 22
+    assert all(getattr(r, "ignore", False) for r in recs)
+    # the X cluster keeps its full VCV rows
+    from dynadjust_tpu.io_formats.dna import GpsCluster
+    xs = [r for r in recs if isinstance(r, GpsCluster) and r.mtype == "X"]
+    assert xs and all(len(ob.vcv) == 3 for x in xs for ob in x.obs)
+
+
+def test_all_type_fixture_parses(sample_dir):
+    """dsg.msr covers every measurement type letter."""
+    from dynadjust_tpu.io_formats.dna import read_dna_msr
+    recs, _, _ = read_dna_msr(f"{sample_dir}/dsg.msr")
+    types = {getattr(r, "mtype", "D") for r in recs}
+    assert types >= set("ABCEGHIJKLMPQRSVXYZ")
