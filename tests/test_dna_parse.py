@@ -84,8 +84,9 @@ def test_ignored_measurement_continuation_rows(sample_dir):
 
 
 def test_all_type_fixture_parses(sample_dir):
-    """dsg.msr covers every measurement type letter."""
+    """dsg.msr + dsg-ignored.msr together cover every measurement type."""
     from dynadjust_tpu.io_formats.dna import read_dna_msr
     recs, _, _ = read_dna_msr(f"{sample_dir}/dsg.msr")
-    types = {getattr(r, "mtype", "D") for r in recs}
+    recs2, _, _ = read_dna_msr(f"{sample_dir}/dsg-ignored.msr")
+    types = {getattr(r, "mtype", "D") for r in recs + recs2}
     assert types >= set("ABCEGHIJKLMPQRSVXYZ")
