@@ -317,10 +317,13 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
         status = "Failed to converge"
 
     # ---- statistics ------------------------------------------------------
+    # block1 mode: only block 1 is rigorous, so statistics cover block 1
+    # alone (the reference's Phased_Block_1Mode prints block-1 results)
+    stat_blocks = blocks[:1] if block1 else blocks
     crit = _critical_value(opts.confidence_interval)
-    m_count = sum(blk.asm.measurement_count() for blk in blocks)
+    m_count = sum(blk.asm.measurement_count() for blk in stat_blocks)
     # unknowns: every station counted once; constrained coords reduce count
-    all_stations = sorted({g for blk in blocks for g in blk.stations})
+    all_stations = sorted({g for blk in stat_blocks for g in blk.stations})
     unknown_count = 3 * len(all_stations)
     for g in all_stations:
         for c in (net.constraints[g] + "FFF")[:3]:
@@ -331,7 +334,7 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
     outliers = 0
     pelzer_sum, pelzer_n = 0.0, 0
     stats_rows = []
-    for blk in blocks:
+    for blk in stat_blocks:
         rows, c2, outl, ps, pn = _measurement_stats(
             blk.asm, net, blk.rigorous_cov, blk.rigorous_est, crit)
         stats_rows.extend(rows)

@@ -313,6 +313,14 @@ def _cmd_import(args) -> int:
         base = os.path.join(args.output_folder, args.network_name)
         export_discontinuities(f"{base}.discont.txt", disconts)
         print(f"+ Exported discontinuity info: {base}.discont.txt")
+    if getattr(args, "output_msr_to_stn", False):
+        from .output.adj_writer import msr_to_stn_lines
+        sort = {0: "name", 1: "count", 2: "file_order"}.get(
+            getattr(args, "sort_msr_to_stn_field", 0), "name")
+        base = os.path.join(args.output_folder, args.network_name)
+        with open(f"{base}.m2s", "w") as f:
+            f.write("\n".join(msr_to_stn_lines(net, sort=sort)) + "\n")
+        print(f"+ Wrote {base}.m2s")
     project.save_network(net, args.output_folder, args.network_name)
     project.update_project(args.output_folder, args.network_name, "import",
                            {"files": args.files, "frame": frame,
@@ -477,8 +485,14 @@ def _cmd_segment(args) -> int:
         net_path = os.path.join(args.output_folder,
                                 f"{args.network_name}.net")
         if os.path.exists(net_path):
-            extra = [t.strip() for t in open(net_path)
-                     if t.strip() and not t.startswith("#")]
+            # .net format: title block then one station name per line
+            # (DYNADJUST BLOCK 1 STATIONS FILE, e.g. gnss_b1.net)
+            extra = []
+            for t in open(net_path):
+                t = t.strip()
+                if (not t or t.startswith(("#", "-", "!")) or " " in t):
+                    continue
+                extra.append(t)
             starting = ",".join([starting] * bool(starting) + extra)
             print(f"+ First-block stations from {net_path}: {len(extra)}")
     seg = segment_network(
@@ -1074,6 +1088,10 @@ def main(argv=None) -> int:
                    help="distance (m) for the nearby-station search")
     p.add_argument("--export-discont-file", action="store_true",
                    help="export parsed discontinuity info as text")
+    p.add_argument("--output-msr-to-stn", action="store_true",
+                   help="write the measurement-to-station summary (.m2s)")
+    p.add_argument("--sort-msr-to-stn-field", type=int, default=0,
+                   help="m2s sort: 0 name, 1 count, 2 file order")
     p.add_argument("--export-xml-files", action="store_true",
                    help="export the network as DynaML station+measurement "
                         "files")
