@@ -317,9 +317,41 @@ class Assembler:
             # whenever the design matrix is re-zeroed for relinearisation
             for g in self.gps_items:
                 self._fill_gps_design(g)
-        for g in self.gps_items:
-            self._fill_gps_mmc(g, est)
+        self._fill_gps_mmc_all(est)
         self._built = True
+
+    def _compile_gps_plan(self):
+        """Vectorised GPS mmc plan: flat arrays over every observation row
+        of every cluster (the per-iteration hot loop at national scale —
+        the reference multithreads this, PrepareAdjustmentMultiThread)."""
+        rows, l1s, l2s, obs = [], [], [], []
+        for g in self.gps_items:
+            for i, s1 in enumerate(g.stations1):
+                rows.append(g.row0 + 3 * i)
+                l1s.append(self.loc3(s1))
+                l2s.append(self.loc3(g.stations2[i])
+                           if g.mtype != "Y" else -1)
+                obs.append(g.obs[3 * i:3 * i + 3])
+        self._gps_rows = np.asarray(rows, dtype=np.int64)
+        self._gps_l1 = np.asarray(l1s, dtype=np.int64)
+        self._gps_l2 = np.asarray(l2s, dtype=np.int64)
+        self._gps_obs = (np.asarray(obs) if obs
+                         else np.zeros((0, 3)))
+
+    def _fill_gps_mmc_all(self, est):
+        if not hasattr(self, "_gps_rows"):
+            self._compile_gps_plan()
+        if not len(self._gps_rows):
+            return
+        r = self._gps_rows
+        l1 = self._gps_l1
+        l2 = self._gps_l2
+        off = np.arange(3)
+        p1 = est[l1[:, None] + off]                     # (M, 3)
+        comp = np.where((l2 >= 0)[:, None],
+                        est[np.maximum(l2, 0)[:, None] + off] - p1, p1)
+        self.mmc[(r[:, None] + off).reshape(-1)] = \
+            (self._gps_obs - comp).reshape(-1)
 
     # -- GPS ------------------------------------------------------------
     def _fill_gps_design(self, g: GpsItem):
