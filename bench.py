@@ -67,6 +67,7 @@ def main():
 
     # ---- TPU blocked solve (f32 factor + f64-refined applies) -----------
     t_gn_iter = None
+    t_gn_device = None
     if NESTED:
         from dynadjust_tpu.parallel.schur import (
             build_nested_partition, schur_solve_nested_factored)
@@ -127,6 +128,24 @@ def main():
         t_gn_iter = (time.time() - t0) / ITERS
         log(f"full GN iteration (on-device assembly) {t_gn_iter:.4f}s")
 
+        # device-only times: K dependent iterations inside one program,
+        # so dispatch/link latency (2 RTTs over a tunnel) amortises away
+        import jax as _jax
+        K = 20
+
+        @_jax.jit
+        def _dev_loop(x):
+            def body(i, xc):
+                xn, _ = adj.step(xc)
+                return xn
+            return _jax.lax.fori_loop(0, K, body, x)
+
+        _dev_loop(xd).block_until_ready()                   # compile
+        t0 = time.time()
+        _dev_loop(xd).block_until_ready()
+        t_gn_device = (time.time() - t0) / K
+        log(f"GN iteration device-only (in-jit x{K}) {t_gn_device:.4f}s")
+
     log(f"per-solve: factor+apply {t_blocked:.4f}s, "
         f"apply-only {t_apply:.4f}s")
 
@@ -180,6 +199,9 @@ def main():
             "t_apply_s": round(t_apply, 4),
             "t_gn_iteration_s": (round(t_gn_iter, 4)
                                  if t_gn_iter is not None else None),
+            "t_gn_iteration_device_s": (round(t_gn_device, 4)
+                                        if t_gn_device is not None
+                                        else None),
             "t_dense_host_s": round(t_dense, 4),
             "t_assembly_s": round(t_assembly, 4),
             "max_err_vs_dense_m": float(err),
