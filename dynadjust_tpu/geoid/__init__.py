@@ -31,8 +31,15 @@ def apply_geoid(net: NetworkData, grid: NTv2Grid, convert_heights: bool = True,
         net.geoid_sep[i] = n_value
         net.meridian_def[i] = float(np.float32(vals[1])) / _RAD_TO_SEC
         net.vertical_def[i] = float(np.float32(vals[2])) / _RAD_TO_SEC
-        if convert_heights and net.height_ref[i] == ORTHOMETRIC:
+        if net.height_ref[i] == ORTHOMETRIC:
+            # net.height is ALWAYS ellipsoidal once N is known: the
+            # reference adds geoidSep on the fly wherever the supplied
+            # height type is orthometric (e.g. PrintAdjStation,
+            # dnaadjust_printer.cpp:3938), so --convert-stn-hts only
+            # changes the stored/exported height type, not the adjustment
             net.height[i] = net.initial_height[i] + n_value
+            if convert_heights:
+                net.height_ref[i] = 0          # now stored ellipsoidal
         count += 1
     net.geoid_applied = True
     return count

@@ -52,6 +52,56 @@ def phased_result(sample_dir):
     return net, seg, res
 
 
+def test_gda2020_reftran_phased_vs_mt_golden(sample_dir):
+    """The reference's multi-thread golden sequence: import -> reftran to
+    GDA2020 -> geoid (no height conversion) -> segment 50/85 -> phased.
+    Validates on-the-fly ortho->ellipsoidal height handling when
+    --convert-stn-hts is not given, plus the GDA94->GDA2020 Helmert on a
+    real mixed network.  Coordinates against urban_mt.phased-mt.adj
+    (reference dnadiff bar 0.01)."""
+    import re
+
+    from dynadjust_tpu.reftran import transform_network
+    net = _build_no_convert(sample_dir)
+    transform_network(net, "GDA2020")
+    from dynadjust_tpu.io_formats import NTv2Grid
+    from dynadjust_tpu.geoid import apply_geoid
+    grid = NTv2Grid.read(f"{sample_dir}/urban-network-geoid.gsb")
+    apply_geoid(net, grid, convert_heights=False)
+    seg = segment_network(net, min_inner_stns=50, max_block_stns=85)
+    res = adjust_phased(net, AdjustmentOptions(free_std_dev=4.0,
+                                               max_iterations=20), seg=seg)
+    assert abs(res.sigma_zero - 0.857) < 0.002
+
+    exp = {}
+    in_table = False
+    for line in open(f"{sample_dir}/urban_mt.phased-mt.adj.expected"):
+        if line.startswith("Adjusted Coordinates"):
+            in_table = True
+            continue
+        if not in_table:
+            continue
+        m = re.match(r"^(\S+)\s+[A-Z]{3}\s+(-?[\d.]+)\s+(-?[\d.]+)\s+"
+                     r"(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)"
+                     r"\s+(-?[\d.]+)", line)
+        if m:
+            exp[m.group(1)] = np.array([float(m.group(i))
+                                        for i in (6, 7, 8)])
+    assert len(exp) > 100
+    worst = 0.0
+    for name, xyz_exp in exp.items():
+        i = net.station_index(name)
+        worst = max(worst, float(np.abs(res.xyz[i] - xyz_exp).max()))
+    assert worst < 0.01, worst
+
+
+def _build_no_convert(sample_dir):
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/urban-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/urban-network.msr")
+    stns.sort(key=lambda s: s.name)
+    return build_network(stns, recs, frame, epoch)
+
+
 def test_tpu_blocked_matches_phased(phased_result, sample_dir):
     """The TPU blocked-Schur adjustment (--phased --tpu: batched inner
     elimination + one junction solve, replacing the sequential sweeps)
