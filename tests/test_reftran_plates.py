@@ -134,3 +134,38 @@ def test_morvel56_epoch_propagation_golden(sample_dir):
     worst = max(float(np.abs(xyz[net.station_index(n)] - e).max())
                 for n, e in exp.items())
     assert worst < 1e-4, worst
+
+
+def test_gda94_to_gda2020_export_golden(sample_dir):
+    """reftran GDA94->GDA2020 against the reference's own dnareftran
+    export (urban.GDA2020.1.1.2020.stn): all 149 stations within the
+    fixture's print quantization (~0.3 mm packed-DMS)."""
+    import numpy as np
+
+    from dynadjust_tpu.io_formats import read_dna_stn, read_dna_msr
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.reftran import transform_network
+    from dynadjust_tpu.geodesy.conversions import dms_to_rad
+    from dynadjust_tpu.geodesy.projections import grid_to_geo
+
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/urban-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/urban-network.msr")
+    stns.sort(key=lambda st: st.name)
+    net = build_network(stns, recs, frame, epoch)
+    transform_network(net, "GDA2020")
+
+    exp_stns, ef, _ = read_dna_stn(f"{sample_dir}/urban.GDA2020.1.1.2020.stn")
+    assert ef == "GDA2020" and len(exp_stns) == 149
+    worst = worst_h = 0.0
+    for st in exp_stns:
+        i = net.station_index(st.name)
+        if (st.coord_type or "LLH").upper() == "UTM":
+            la, lo = grid_to_geo(st.p1, st.p2, 55)
+        else:
+            la = float(dms_to_rad(st.p1))
+            lo = float(dms_to_rad(st.p2))
+        worst = max(worst, abs(la - net.lat[i]) * 6.4e6,
+                    abs(lo - net.lon[i]) * 6.4e6 * np.cos(la))
+        worst_h = max(worst_h, abs(st.p3 - net.height[i]))
+    assert worst < 5e-4, worst
+    assert worst_h < 2e-4, worst_h
