@@ -138,6 +138,12 @@ class DirectionSet:
     epoch: str = ""
 
 
+def _ffld(line: str, layout: dict, name: str) -> float:
+    """Float field; blank -> 0.0, leading-token parse for misaligned
+    driver rows (simulation driver files; atof parity)."""
+    return _float_prefix(_fld(line, layout, name))
+
+
 def _fld(line: str, layout: dict, name: str) -> str:
     loc, width = layout[name]
     if width == 0 or loc >= len(line):
@@ -146,17 +152,19 @@ def _fld(line: str, layout: dict, name: str) -> str:
 
 
 def _float_prefix(s: str) -> float:
-    """strtod-style parse: the leading numeric token of a (possibly
-    misaligned) fixed-width field — matching the reference's C++ behaviour
-    when a column slice straddles two values."""
+    """atof-style parse: the longest leading numeric prefix of a
+    (possibly misaligned) fixed-width field; 0.0 when the slice holds no
+    number — matching the reference's C parsing when a column slice
+    straddles neighbouring values or text."""
+    import re as _re
     s = s.strip()
     if not s:
         return 0.0
     try:
         return float(s)
     except ValueError:
-        tok = s.split()[0]
-        return float(tok)
+        m = _re.match(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
+        return float(m.group(0)) if m else 0.0
 
 
 def _parse_header(line: str):
@@ -232,6 +240,12 @@ class _MsrReader:
     def f(self, line, name):
         return _fld(line, self.layout, name)
 
+    def fv(self, line, name):
+        """Float field; blank -> 0.0, leading-token parse (simulation
+        driver files carry station names without values and misaligned
+        scale columns, pseudo-driver-file.msr)."""
+        return _float_prefix(_fld(line, self.layout, name))
+
     # -- value parsers ------------------------------------------------------
 
     def angular_rad(self, line) -> float:
@@ -247,11 +261,16 @@ class _MsrReader:
         return float(dms_to_rad(float(packed)))
 
     def stddev(self, line) -> float:
-        return float(self.f(line, "stddev"))
+        return _float_prefix(self.f(line, "stddev"))
 
     def scale(self, line, which) -> float:
         v = self.f(line, which)
-        return float(v) if v else 1.0
+        if not v:
+            return 1.0
+        try:
+            return float(v)
+        except ValueError:
+            return _float_prefix(v)
 
 
 def read_dna_msr(path: str):
@@ -322,7 +341,7 @@ def _read_linear(rd: _MsrReader, line, mtype, ignore) -> Measurement:
     if mtype in "CELMS":
         m.second = rd.f(line, "targ1")
     # H and R: single-station heights
-    m.value = float(rd.f(line, "linear"))
+    m.value = rd.fv(line, "linear")
     m.sd = rd.stddev(line)
     m.inst_height = _float_prefix(rd.f(line, "inst_ht"))
     m.targ_height = _float_prefix(rd.f(line, "targ_ht"))
@@ -359,25 +378,36 @@ def _gps_scales_frame(rd, line):
             rd.f(line, "epoch") or rd.epoch)
 
 
+def _continuation_follows(rd: _MsrReader) -> bool:
+    """True when the next line is a cluster continuation row (blank type
+    char in column 1).  Simulation driver files (--simulate) list cluster
+    headers with no component rows."""
+    nxt = rd.peek()
+    return nxt is not None and len(nxt) > 1 and nxt[0] == " "
+
+
 def _read_vcv_rows(rd: _MsrReader):
     """Read the three X/Y/Z component lines of one GPS obs.
 
-    Returns (vec(3,), vcv(3,3) symmetric)."""
+    Returns (vec(3,), vcv(3,3) symmetric).  Driver records without
+    component rows yield zeros (values filled by --simulate)."""
     lay = rd.layout
     v = np.zeros(3)
     V = np.zeros((3, 3))
+    if not _continuation_follows(rd):
+        return v, np.eye(3)
     lx = rd.next()
-    v[0] = float(_fld(lx, lay, "gps"))
-    V[0, 0] = float(_fld(lx, lay, "gps_vcv_1"))
+    v[0] = _ffld(lx, lay, "gps")
+    V[0, 0] = _ffld(lx, lay, "gps_vcv_1")
     ly = rd.next()
-    v[1] = float(_fld(ly, lay, "gps"))
-    V[0, 1] = V[1, 0] = float(_fld(ly, lay, "gps_vcv_1"))
-    V[1, 1] = float(_fld(ly, lay, "gps_vcv_2"))
+    v[1] = _ffld(ly, lay, "gps")
+    V[0, 1] = V[1, 0] = _ffld(ly, lay, "gps_vcv_1")
+    V[1, 1] = _ffld(ly, lay, "gps_vcv_2")
     lz = rd.next()
-    v[2] = float(_fld(lz, lay, "gps"))
-    V[0, 2] = V[2, 0] = float(_fld(lz, lay, "gps_vcv_1"))
-    V[1, 2] = V[2, 1] = float(_fld(lz, lay, "gps_vcv_2"))
-    V[2, 2] = float(_fld(lz, lay, "gps_vcv_3"))
+    v[2] = _ffld(lz, lay, "gps")
+    V[0, 2] = V[2, 0] = _ffld(lz, lay, "gps_vcv_1")
+    V[1, 2] = V[2, 1] = _ffld(lz, lay, "gps_vcv_2")
+    V[2, 2] = _ffld(lz, lay, "gps_vcv_3")
     return v, V
 
 
@@ -385,11 +415,13 @@ def _read_cov_block(rd: _MsrReader):
     """Read one 3x3 cross-covariance block (three lines of three values)."""
     lay = rd.layout
     C = np.zeros((3, 3))
+    if not _continuation_follows(rd):
+        return C
     for r in range(3):
         ln = rd.next()
-        C[r, 0] = float(_fld(ln, lay, "gps_vcv_1"))
-        C[r, 1] = float(_fld(ln, lay, "gps_vcv_2"))
-        C[r, 2] = float(_fld(ln, lay, "gps_vcv_3"))
+        C[r, 0] = _ffld(ln, lay, "gps_vcv_1")
+        C[r, 1] = _ffld(ln, lay, "gps_vcv_2")
+        C[r, 2] = _ffld(ln, lay, "gps_vcv_3")
     return C
 
 

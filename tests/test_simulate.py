@@ -55,3 +55,23 @@ def test_simulated_msr_round_trip(sim_net, tmp_path):
     write_dna_msr(str(path), sim_net)
     recs, _, _ = read_dna_msr(str(path))
     assert len(recs) == len(sim_net.measurements)
+
+
+def test_simulation_driver_file(sample_dir, tmp_path):
+    """The reference's pseudo driver fixture: measurement records without
+    values (names only, misaligned scales) parse and simulate
+    (imp-psu02-dna-data parity)."""
+    from dynadjust_tpu.io_formats.dna import read_dna_stn, read_dna_msr
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.network.simulate import simulate_measurements
+
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/pseudo.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/pseudo-driver-file.msr")
+    assert len(recs) == 25
+    net = build_network(stns, recs, frame, epoch)
+    n = simulate_measurements(net)
+    assert n == len(recs)
+    # simulated values are consistent: zero-residual adjustment
+    from dynadjust_tpu.adjust import adjust_simultaneous, AdjustmentOptions
+    res = adjust_simultaneous(net, AdjustmentOptions())
+    assert res.sigma_zero < 1e-6
