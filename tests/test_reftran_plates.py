@@ -169,3 +169,31 @@ def test_gda94_to_gda2020_export_golden(sample_dir):
         worst_h = max(worst_h, abs(st.p3 - net.height[i]))
     assert worst < 5e-4, worst
     assert worst_h < 2e-4, worst_h
+
+
+def test_every_itrf_frame_label_transforms(sample_dir):
+    """The reference's frame-label battery (ref-frame-misc-01..):
+    every ITRF/GDA/WGS84 label joins to GDA2020 with the plate model."""
+    from dynadjust_tpu.io_formats import read_dna_stn, read_dna_msr
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.reftran import transform_network
+    from dynadjust_tpu.reftran.plates import load_plate_model
+
+    stns0, _, _ = read_dna_stn(f"{sample_dir}/urban-network.stn")
+    recs0, _, _ = read_dna_msr(f"{sample_dir}/urban-network.msr")
+    pm = load_plate_model(f"{sample_dir}/PB2002_plates.dig",
+                          f"{sample_dir}/PB2002_poles.dat")
+    frames = [("ITRF1988", "03.12.1988"), ("ITRF1989", "01.09.1989"),
+              ("ITRF1990", "01.10.1990"), ("ITRF1991", "01.01.1991"),
+              ("ITRF1992", "01.02.1992"), ("ITRF1993", "01.03.1993"),
+              ("ITRF1994", "01.04.1994"), ("ITRF1996", "01.06.1996"),
+              ("ITRF1997", "01.07.1997"), ("ITRF2000", "01.01.2000"),
+              ("ITRF2005", "01.01.2005"), ("ITRF2008", "01.01.2008"),
+              ("ITRF2014", "01.01.2014"), ("ITRF2020", "01.01.2021"),
+              ("GDA94", "01.01.1994"), ("GDA2020", "01.01.2020"),
+              ("WGS84", "01.01.2010")]
+    for fr, ep in frames:
+        net = build_network(list(stns0), recs0, fr, ep)
+        stats = transform_network(net, "GDA2020", "01.01.2020",
+                                  plate_model=pm)
+        assert stats["stations"] + stats["stations_skipped"] == 149, fr
