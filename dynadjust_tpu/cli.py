@@ -856,6 +856,9 @@ def _cmd_dynadjust(args) -> int:
 def _add_common(p):
     p.add_argument("--output-folder", default=".",
                    help="project/output folder")
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="suppress progress output")
+    p.add_argument("--version", action="version", version="dynadjust_tpu")
 
 
 def _add_adjust_args(p):
@@ -1412,6 +1415,11 @@ def main(argv=None) -> int:
     p.set_defaults(func=_cmd_diff)
 
     args = parser.parse_args(argv)
+    if getattr(args, "quiet", False):
+        import contextlib
+        import io as _io
+        with contextlib.redirect_stdout(_io.StringIO()):
+            return args.func(args)
     return args.func(args)
 
 

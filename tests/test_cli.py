@@ -1,0 +1,62 @@
+"""End-to-end CLI drives (subprocess): the same pipelines the verify
+recipe runs by hand, kept green by CI."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run([sys.executable, "-m", "dynadjust_tpu"] + args,
+                       cwd=cwd, env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, (args, r.stdout[-800:], r.stderr[-800:])
+    return r.stdout
+
+
+def test_cli_gnss_pipeline_byte_parity(sample_dir, tmp_path):
+    for f in ("gnss-network.stn", "gnss-network.msr",
+              "gnss-network-geoid.gsb"):
+        (tmp_path / f).write_bytes(
+            open(f"{sample_dir}/{f}", "rb").read())
+    cwd = str(tmp_path)
+    _run(["import", "-n", "gnss", "gnss-network.stn", "gnss-network.msr"],
+         cwd)
+    _run(["geoid", "gnss", "-g", "gnss-network-geoid.gsb",
+          "--convert-stn-hts"], cwd)
+    _run(["reftran", "gnss"], cwd)
+    out = _run(["adjust", "gnss", "--output-adj-msr",
+                "--scale-normals-to-unity"], cwd)
+    assert "*** PASSED ***" in out
+
+    ours = (tmp_path / "gnss.simult.adj").read_text().splitlines()
+    exp = open(f"{sample_dir}/gnss.simult.adj.expected").read().splitlines()
+    ia = next(i for i, l in enumerate(ours)
+              if "Number of unknown parameters" in l)
+    ib = next(i for i, l in enumerate(exp)
+              if "Number of unknown parameters" in l)
+    assert ours[ia:] == exp[ib:]
+
+
+def test_cli_orchestrator_with_log(sample_dir, tmp_path):
+    for f in ("urban-network.stn", "urban-network.msr",
+              "urban-network-geoid.gsb"):
+        (tmp_path / f).write_bytes(open(f"{sample_dir}/{f}", "rb").read())
+    cwd = str(tmp_path)
+    out = _run(["dynadjust", "-n", "urb", "urban-network.stn",
+                "urban-network.msr", "-g", "urban-network-geoid.gsb",
+                "--convert-stn-hts", "--phased", "--min-inner-stns", "50",
+                "--max-block-stns", "250"], cwd)
+    assert "Converged" in out
+    log = (tmp_path / "dynadjust.log").read_text()
+    for stage in ("import", "geoid", "segment", "adjust"):
+        assert f"{stage:<10}done" in log, stage
