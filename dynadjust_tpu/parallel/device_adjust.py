@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .schur import (_schur_factor_jit, _schur_factor_inv_jit,
-                    _device_solve_refined_jit, _owner_indices)
+                    _device_solve_refined_jit, _owner_mask)
 from .assembly import AssemblyPlan, build_plan
 from .blocked_adjust import BlockedNetwork
 
@@ -33,7 +33,7 @@ def _gn_step_jit(x, L, Y, Lj, di, dj, djg, Nij_s,
                  pi, pj, obs, weight,
                  bi1, bi2, bj1, bj2,
                  inner_stn, junc_stn,
-                 jmap, jmask32, jmask64, imask64, gi, gg,
+                 jmap, jmask32, jmask64, imask64, owner64,
                  nj_total, refine, B, ni, nj, method="inv"):
     """One Gauss-Newton iteration on device: assemble rhs, refined solve,
     update coordinates.  Returns (x_new, max_corr)."""
@@ -53,7 +53,7 @@ def _gn_step_jit(x, L, Y, Lj, di, dj, djg, Nij_s,
 
     xi, xj = _device_solve_refined_jit(
         L, Y, Lj, di, dj, djg, Nij_s, Nii64, Nij64, Njj64,
-        bi, bj, jmap, jmask32, jmask64, imask64, gi, gg,
+        bi, bj, jmap, jmask32, jmask64, imask64, owner64,
         nj_total, refine, method)
 
     # scatter corrections back to station layout (scratch row S)
@@ -92,8 +92,7 @@ class DeviceAdjustment:
         self.jmask32 = jnp.asarray(plan.jmask.astype(dtype))
         self.jmask64 = jnp.asarray(plan.jmask)
         self.imask64 = jnp.asarray(plan.imask)
-        gi, gg = _owner_indices(plan.jmap, plan.jmask)
-        self.gi, self.gg = jnp.asarray(gi), jnp.asarray(gg)
+        self.owner64 = jnp.asarray(_owner_mask(plan.jmap, plan.jmask))
 
         self.pi = jnp.asarray(bn.pairs[:, 0].astype(np.int32))
         self.pj = jnp.asarray(bn.pairs[:, 1].astype(np.int32))
@@ -134,7 +133,7 @@ class DeviceAdjustment:
             self.bi1, self.bi2, self.bj1, self.bj2,
             self.inner_stn, self.junc_stn,
             self.jmap, self.jmask32, self.jmask64, self.imask64,
-            self.gi, self.gg,
+            self.owner64,
             self.nj_total, self.refine, self.B, self.ni, self.nj,
             self.method)
 

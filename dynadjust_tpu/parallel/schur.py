@@ -389,7 +389,7 @@ def _schur_factor_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
 
 
 def _schur_apply_core(L, Y, Lj, di, dj, djg, Nij_s, bi, bj, jmap, jmask,
-                      nj_total):
+                      nj_total, axis=None):
     """Solve with precomputed factors (triangular solves only)."""
     bi = bi * di
     bj = bj * dj
@@ -397,6 +397,8 @@ def _schur_apply_core(L, Y, Lj, di, dj, djg, Nij_s, bi, bj, jmap, jmask,
     t_b = (bj - jnp.einsum("bki,bk->bi", Nij_s, w, precision=_HI)) * jmask
     t = jnp.zeros((nj_total,), dtype=t_b.dtype)
     t = t.at[jmap.reshape(-1)].add(t_b.reshape(-1))
+    if axis is not None:
+        t = jax.lax.psum(t, axis)
     xj = jax.scipy.linalg.cho_solve((Lj, True), t)
     xj_b = xj[jmap] * jmask
     xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b, precision=_HI)) * di
@@ -407,8 +409,9 @@ _schur_apply_jit = partial(jax.jit, static_argnames=("nj_total",))(
     _schur_apply_core)
 
 
-@partial(jax.jit, static_argnames=("nj_total",))
-def _schur_factor_inv_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
+@partial(jax.jit, static_argnames=("nj_total", "axis"))
+def _schur_factor_inv_jit(Nii, Nij, Njj, jmap, jmask, nj_total,
+                          axis=None):
     """Explicit-inverse factorization (the reference's dpotrf+dpotri,
     dnamatrix_contiguous.cpp:963-1006): returns (Ainv, Y, Sinv, di, dj,
     djg, Nij_s).  Uses the blocked tiled factorization (ops/blocked_chol)
@@ -419,13 +422,15 @@ def _schur_factor_inv_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
     zero_b = jnp.zeros_like(Nii[..., 0])
     zero_j = jnp.zeros_like(Njj[..., 0])
     Nii_s, Nij_s, Njj_s, _, _, di, dj, djg = _unity_scale(
-        Nii, Nij, Njj, zero_b, zero_j, jmap, jmask, nj_total, None)
+        Nii, Nij, Njj, zero_b, zero_j, jmap, jmask, nj_total, axis)
     Ainv, Y, S_b = block_reduce(Nii_s, Nij_s, Njj_s)
     S_b = S_b * jmask[:, :, None] * jmask[:, None, :]
     S = jnp.zeros((nj_total, nj_total), dtype=S_b.dtype)
     idx_i = jnp.repeat(jmap[:, :, None], jmap.shape[1], axis=2).reshape(-1)
     idx_j = jnp.repeat(jmap[:, None, :], jmap.shape[1], axis=1).reshape(-1)
     S = S.at[idx_i, idx_j].add(S_b.reshape(-1))
+    if axis is not None:
+        S = jax.lax.psum(S, axis)
     diag = jnp.diag(S)
     S = S + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
     Lj = jnp.linalg.cholesky(S)
@@ -463,7 +468,7 @@ def _schur_factor_inv64_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
 
 
 def _schur_apply_inv_core(Ainv, Y, Sinv, di, dj, djg, Nij_s, bi, bj,
-                          jmap, jmask, nj_total):
+                          jmap, jmask, nj_total, axis=None):
     """Solve with explicit inverses — matmuls only (MXU)."""
     bi = bi * di
     bj = bj * dj
@@ -471,6 +476,8 @@ def _schur_apply_inv_core(Ainv, Y, Sinv, di, dj, djg, Nij_s, bi, bj,
     t_b = (bj - jnp.einsum("bki,bk->bi", Nij_s, w, precision=_HI)) * jmask
     t = jnp.zeros((nj_total,), dtype=t_b.dtype)
     t = t.at[jmap.reshape(-1)].add(t_b.reshape(-1))
+    if axis is not None:
+        t = jax.lax.psum(t, axis)
     xj = jnp.einsum("ij,j->i", Sinv, t, precision=_HI)
     xj_b = xj[jmap] * jmask
     xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b, precision=_HI)) * di
@@ -536,6 +543,23 @@ def schur_solve_factored(bs: BlockSystem, refine: int = 2,
 # ---------------------------------------------------------------------------
 
 
+def _owner_mask(jmap, jmask):
+    """(B, nj) mask with 1.0 at exactly one (block, slot) per global
+    junction param — the slot that 'owns' the junction residual when a
+    global vector is distributed back to block rhs form.  Array form (not
+    flat indices) so it shards over the blocks axis."""
+    B, nj = jmap.shape
+    mask = np.zeros((B, nj))
+    seen = set()
+    for b in range(B):
+        for k in range(nj):
+            g = int(jmap[b, k])
+            if jmask[b, k] > 0 and g not in seen:
+                seen.add(g)
+                mask[b, k] = 1.0
+    return mask
+
+
 def _owner_indices(jmap, jmask):
     """One owner slot per global junction param: (flat positions into the
     (B*nj) block-rhs array, corresponding global param ids)."""
@@ -551,11 +575,13 @@ def _owner_indices(jmap, jmask):
     return gi, gg
 
 
-@partial(jax.jit, static_argnames=("nj_total", "refine", "method"))
+@partial(jax.jit, static_argnames=("nj_total", "refine", "method",
+                                   "axis"))
 def _device_solve_refined_jit(L, Y, Lj, di, dj, djg, Nij_s,
                               Nii64, Nij64, Njj64, bi64, bj64,
                               jmap, jmask32, jmask64, imask64,
-                              gi, gg, nj_total, refine, method="chol"):
+                              owner64, nj_total, refine, method="chol",
+                              axis=None):
     """Factored apply + `refine` rounds of float64 residual refinement, all
     inside one program.  The residual matvecs run in f64 on-device (VPU —
     they are tiny next to the factorization), so a refined solve costs one
@@ -572,12 +598,14 @@ def _device_solve_refined_jit(L, Y, Lj, di, dj, djg, Nij_s,
     def apply(ri64, rjb64):
         xi, xj = apply_core(L, Y, Lj, di, dj, djg, Nij_s,
                             ri64.astype(f32), rjb64.astype(f32),
-                            jmap, jmask32, nj_total)
+                            jmap, jmask32, nj_total, axis)
         return xi.astype(bi64.dtype), xj.astype(bi64.dtype)
 
     xi, xj = apply(bi64, bj64)
     t_glob = jnp.zeros((nj_total,), dtype=bi64.dtype)
     t_glob = t_glob.at[jmap.reshape(-1)].add((bj64 * jmask64).reshape(-1))
+    if axis is not None:
+        t_glob = jax.lax.psum(t_glob, axis)
     for _ in range(refine):
         xj_b = xj[jmap] * jmask64
         yi = (jnp.einsum("bij,bj->bi", Nii64, xi) +
@@ -586,10 +614,11 @@ def _device_solve_refined_jit(L, Y, Lj, di, dj, djg, Nij_s,
                 jnp.einsum("bij,bj->bi", Njj64, xj_b)) * jmask64
         yj = jnp.zeros((nj_total,), dtype=bi64.dtype)
         yj = yj.at[jmap.reshape(-1)].add(yj_b.reshape(-1))
+        if axis is not None:
+            yj = jax.lax.psum(yj, axis)
         ri = bi64 * imask64 - yi
         rj = t_glob - yj
-        rjb = jnp.zeros((B * nj,), dtype=bi64.dtype)
-        rjb = rjb.at[gi].set(rj[gg]).reshape(B, nj)
+        rjb = rj[jmap] * owner64           # one owner slot per junc param
         dxi, dxj = apply(ri, rjb)
         xi = xi + dxi
         xj = xj + dxj
@@ -607,20 +636,51 @@ class DeviceSchurFactors:
     fast over PCIe and usable at all over a tunneled device."""
 
     def __init__(self, bs: BlockSystem, dtype=np.float32,
-                 method: str = "inv"):
+                 method: str = "inv", mesh: Mesh = None,
+                 axis: str = "blocks"):
         self.bs = bs
         self.nj_total = bs.nj_global + 1
         self.method = method
-        self.Nii64 = jnp.asarray(bs.Nii.astype(np.float64))
-        self.Nij64 = jnp.asarray(bs.Nij.astype(np.float64))
-        self.Njj64 = jnp.asarray(bs.Njj.astype(np.float64))
-        self.jmap = jnp.asarray(bs.jmap)
-        self.jmask32 = jnp.asarray(bs.jmask.astype(dtype))
-        self.jmask64 = jnp.asarray(bs.jmask.astype(np.float64))
-        self.imask64 = jnp.asarray(bs.imask.astype(np.float64))
-        gi, gg = _owner_indices(bs.jmap, bs.jmask)
-        self.gi = jnp.asarray(gi)
-        self.gg = jnp.asarray(gg)
+        self.mesh = mesh
+        self.axis = axis if mesh is not None else None
+        self.B_real = bs.Nii.shape[0]
+
+        Nii, Nij, Njj = bs.Nii, bs.Nij, bs.Njj
+        jmap, jmask, imask = bs.jmap, bs.jmask, bs.imask
+        owner = _owner_mask(bs.jmap, bs.jmask)
+        if mesh is not None:
+            # pad the block axis to the device count (identity blocks)
+            ndev = mesh.shape[axis]
+            B = Nii.shape[0]
+            Bp = ((B + ndev - 1) // ndev) * ndev
+            if Bp != B:
+                def padb(x, fill=0.0):
+                    pw = [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1)
+                    return np.pad(x, pw, constant_values=fill)
+                Nii = padb(Nii).copy()
+                for b in range(B, Bp):
+                    Nii[b] = np.eye(Nii.shape[1], dtype=Nii.dtype)
+                Nij, Njj = padb(Nij), padb(Njj)
+                jmask, imask, owner = (padb(jmask), padb(imask),
+                                       padb(owner))
+                jmap = padb(jmap, fill=bs.nj_global)
+
+            shard = NamedSharding(mesh, P(axis))
+
+            def put(x):
+                return jax.device_put(jnp.asarray(x), shard)
+        else:
+            def put(x):
+                return jnp.asarray(x)
+
+        self.Nii64 = put(Nii.astype(np.float64))
+        self.Nij64 = put(Nij.astype(np.float64))
+        self.Njj64 = put(Njj.astype(np.float64))
+        self.jmap = put(jmap)
+        self.jmask32 = put(jmask.astype(dtype))
+        self.jmask64 = put(jmask.astype(np.float64))
+        self.imask64 = put(imask.astype(np.float64))
+        self.owner64 = put(owner)
         self.dtype = dtype
         self.refactor()
 
@@ -629,12 +689,32 @@ class DeviceSchurFactors:
 
         method 'inv64': exact f64 factorization on device (emulated f64;
         for ill-conditioned real networks).  'inv'/'chol': f32 MXU
-        factorizations, recovered by f64 refinement in solve_device."""
+        factorizations, recovered by f64 refinement in solve_device.
+        With a mesh, the factorization runs under shard_map: per-block
+        factors stay shard-local, the junction system rides one psum."""
+        if self.mesh is not None:
+            if self.method != "inv":
+                raise ValueError("mesh-sharded factors require "
+                                 "method='inv'")
+            ax, nj_total = self.axis, self.nj_total
+
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
+                     out_specs=(P(ax), P(ax), P(), P(ax), P(ax), P(),
+                                P(ax)))
+            def factor(Nii, Nij, Njj, jmap, jmask):
+                return _schur_factor_inv_jit(Nii, Nij, Njj, jmap, jmask,
+                                             nj_total, ax)
+
+            self.factors = jax.jit(factor)(
+                self.Nii64.astype(self.dtype),
+                self.Nij64.astype(self.dtype),
+                self.Njj64.astype(self.dtype), self.jmap, self.jmask32)
+            return
         if self.method == "inv64":
             self.factors = _schur_factor_inv64_jit(
                 self.Nii64, self.Nij64, self.Njj64, self.jmap,
-                jnp.asarray(self.bs.jmask.astype(np.float64)),
-                self.nj_total)
+                self.jmask64, self.nj_total)
             return
         factor = (_schur_factor_inv_jit if self.method == "inv"
                   else _schur_factor_jit)
@@ -644,10 +724,25 @@ class DeviceSchurFactors:
             self.nj_total)
 
     def solve_device(self, bi64, bj64, refine: int = 2):
-        """Refined solve; rhs and results stay on device (f64)."""
+        """Refined solve; rhs and results stay on device (f64).
+
+        With a mesh, the factors and normals are block-sharded
+        (NamedSharding over the blocks axis): the same jitted program
+        compiles SPMD — XLA turns the junction scatters into
+        all-reduces over ICI."""
         method = "inv" if self.method == "inv64" else self.method
         if self.method == "inv64":
             refine = 0              # factors are already f64-exact
+        bi64 = np.asarray(bi64, dtype=np.float64)
+        bj64 = np.asarray(bj64, dtype=np.float64)
+        Bp = int(self.Nii64.shape[0])
+        if bi64.shape[0] != Bp:
+            bi64 = np.pad(bi64, ((0, Bp - bi64.shape[0]), (0, 0)))
+            bj64 = np.pad(bj64, ((0, Bp - bj64.shape[0]), (0, 0)))
+        if self.mesh is not None:
+            shard = NamedSharding(self.mesh, P(self.axis))
+            bi64 = jax.device_put(jnp.asarray(bi64), shard)
+            bj64 = jax.device_put(jnp.asarray(bj64), shard)
         return _device_solve_refined_jit(
             *self.factors, self.Nii64, self.Nij64, self.Njj64,
             jnp.asarray(bi64, dtype=jnp.float64),
@@ -655,11 +750,11 @@ class DeviceSchurFactors:
             self.jmap,
             (self.jmask64 if self.method == "inv64" else self.jmask32),
             self.jmask64, self.imask64,
-            self.gi, self.gg, self.nj_total, refine, method)
+            self.owner64, self.nj_total, refine, method)
 
     def solve(self, bi, bj, refine: int = 2):
         xi, xj = self.solve_device(bi, bj, refine)
-        return (np.asarray(xi, dtype=np.float64),
+        return (np.asarray(xi, dtype=np.float64)[:self.B_real],
                 np.asarray(xj, dtype=np.float64)[:self.bs.nj_global])
 
 

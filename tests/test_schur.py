@@ -256,3 +256,20 @@ def test_adjust_blocked_nested(grid_system):
     x_nest, it_n, mc_n, _ = adjust_blocked(bn, x0, block_super=sup)
     assert it_n == it_f
     np.testing.assert_allclose(x_nest, x_flat, atol=1e-6)
+
+
+def test_device_solver_mesh_sharded(small_net):
+    """Device-resident refined solve sharded over an 8-device mesh
+    (blocks on devices, junction reduction via psum) equals the f64
+    solution."""
+    import jax
+    from jax.sharding import Mesh
+    from dynadjust_tpu.parallel.schur import DeviceSchurFactors
+    xyz, x0, bn, fixed = small_net
+    bs = build_normals(bn, x0, 0.01)
+    xi64, xj64 = schur_solve(bs)
+    mesh = Mesh(np.array(jax.devices()), ("blocks",))
+    f = DeviceSchurFactors(bs, mesh=mesh)
+    xi, xj = f.solve(bs.bi, bs.bj, refine=2)
+    assert np.abs(xi - xi64).max() < 1e-10
+    assert np.abs(xj - xj64).max() < 1e-10
