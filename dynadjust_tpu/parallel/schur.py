@@ -1294,10 +1294,23 @@ def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
             first_idx[g] = k
     gi = np.fromiter(first_idx.values(), dtype=np.int64)
     gg = np.fromiter(first_idx.keys(), dtype=np.int64)
-    for _ in range(refine):
+    # residual-driven refinement: the f32 contraction rate is
+    # ~kappa_scaled*eps per round, which worsens with network size —
+    # iterate until the relative residual converges (up to max_refine),
+    # with `refine` as the floor
+    rhs_scale = max(float(np.abs(bs.bi).max()),
+                    float(np.abs(rhs_j_global).max()), 1e-30)
+    max_refine = max(refine, 12)
+    prev_rel = np.inf
+    for round_no in range(max_refine):
         yi, yj = _block_matvec(bs, xi, xj)
         ri = (bs.bi * bs.imask) - yi
         rj = rhs_j_global - yj
+        rel = max(float(np.abs(ri).max()),
+                  float(np.abs(rj).max())) / rhs_scale
+        if round_no >= refine and (rel < 1e-12 or rel >= 0.5 * prev_rel):
+            break
+        prev_rel = rel
         rj_b = np.zeros_like(bs.bj).reshape(-1)
         rj_b[gi] = rj[gg]
         di_, dj_ = factors.solve(ri, rj_b.reshape(bs.bj.shape))
