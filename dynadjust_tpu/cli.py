@@ -853,11 +853,15 @@ def _cmd_dynadjust(args) -> int:
     return rc
 
 
-def _add_common(p):
+def _add_common(p, project_opt=True):
     p.add_argument("--output-folder", default=".",
                    help="project/output folder")
     p.add_argument("-q", "--quiet", action="store_true",
                    help="suppress progress output")
+    if project_opt:
+        p.add_argument("-p", "--project-file", dest="tool_project_file",
+                       default="",
+                       help="load defaults from a .dnaproj project file")
     p.add_argument("--version", action="version", version="dynadjust_tpu")
 
 
@@ -1237,7 +1241,7 @@ def main(argv=None) -> int:
     p.add_argument("--test-integrity", action="store_true",
                    help="verify station-measurement connections per block")
     _add_adjust_args(p)
-    _add_common(p)
+    _add_common(p, project_opt=False)
     p.set_defaults(func=_cmd_dynadjust)
 
     p = sub.add_parser("plot", help="plot network map / segmentation graph")
@@ -1415,6 +1419,15 @@ def main(argv=None) -> int:
     p.set_defaults(func=_cmd_diff)
 
     args = parser.parse_args(argv)
+    if getattr(args, "tool_project_file", ""):
+        # per-tool project-file defaults (every reference tool accepts
+        # `-p project.dnaproj`): fill unset args from the project
+        from .io_formats.dnaproj import project_to_args
+        loaded = project_to_args(args.tool_project_file)
+        for k, v in loaded.items():
+            cur = getattr(args, k, None)
+            if cur in (None, "", [], False, 0):
+                setattr(args, k, v)
     if getattr(args, "quiet", False):
         import contextlib
         import io as _io
