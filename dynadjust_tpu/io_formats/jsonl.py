@@ -112,7 +112,13 @@ def _parse_measurement(d, frame, epoch, cluster_id):
             if mtype == "Y" and geographic:
                 vec = np.array([float(dms_to_rad(vec[0])),
                                 float(dms_to_rad(vec[1])), vec[2]])
-            ob = GpsObs(first=first, second=second if mtype != "Y" else "",
+            # every cluster entry names its own stations (point "Name",
+            # baseline "First"/"Second"); the header First/Second only
+            # covers the first entry
+            ob_first = str(ob_d.get("Name") or ob_d.get("First") or first)
+            ob_second = str(ob_d.get("Second") or second)
+            ob = GpsObs(first=ob_first,
+                        second=ob_second if mtype != "Y" else "",
                         vec=vec, vcv=_vcv_from(ob_d))
             for cov_d in _aslist(ob_d.get(cov_key)):
                 ob.covs.append(_cov_from(cov_d))

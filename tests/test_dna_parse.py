@@ -90,3 +90,24 @@ def test_all_type_fixture_parses(sample_dir):
     recs2, _, _ = read_dna_msr(f"{sample_dir}/dsg-ignored.msr")
     types = {getattr(r, "mtype", "D") for r in recs + recs2}
     assert types >= set("ABCEGHIJKLMPQRSVXYZ")
+
+
+def test_jsonl_fixtures_adjust(sample_dir):
+    """The reference's JSONL fixtures import and reproduce the GNSS
+    adjustment statistics."""
+    from dynadjust_tpu.io_formats.jsonl import read_jsonl
+    from dynadjust_tpu.io_formats import NTv2Grid
+    from dynadjust_tpu.geoid import apply_geoid
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.adjust import adjust_simultaneous, AdjustmentOptions
+
+    stns, _, f, e = read_jsonl(f"{sample_dir}/gnss-networkstn.jsonl")
+    _, recs, _, _ = read_jsonl(f"{sample_dir}/gnss-networkmsr.jsonl")
+    stns.sort(key=lambda s: s.name)
+    net = build_network(stns, recs, f or "GDA2020", e or "01.01.2020")
+    grid = NTv2Grid.read(f"{sample_dir}/gnss-network-geoid.gsb")
+    apply_geoid(net, grid, convert_heights=True)
+    res = adjust_simultaneous(net, AdjustmentOptions(
+        scale_normals_to_unity=True))
+    assert res.iterations == 2
+    assert abs(res.sigma_zero - 1.169) < 0.005
