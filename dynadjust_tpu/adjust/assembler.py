@@ -368,19 +368,7 @@ class Assembler:
                     A[r + k, l1 + k] = -1.0
                     A[r + k, l2 + k] = 1.0
 
-    def _fill_gps_mmc(self, g: GpsItem, est):
-        mmc = self.mmc
-        for i, s1 in enumerate(g.stations1):
-            r = g.row0 + 3 * i
-            l1 = self.loc3(s1)
-            if g.mtype == "Y":
-                comp = est[l1:l1 + 3]
-            else:
-                l2 = self.loc3(g.stations2[i])
-                comp = est[l2:l2 + 3] - est[l1:l1 + 3]
-            mmc[r:r + 3] = g.obs[3 * i:3 * i + 3] - comp
 
-    # -- scalar types ----------------------------------------------------
     def _fill_scalar(self, it: ScalarItem, est, apply_reductions):
         net, ell = self.net, self.ell
         s1 = it.s1

@@ -71,8 +71,7 @@ def adjust_tpu_blocked(net: NetworkData,
                        options: AdjustmentOptions | None = None,
                        seg_file: str | None = None,
                        seg: Segmentation | None = None) -> AdjustmentResult:
-    from ..parallel.schur import (build_block_system, DeviceSchurFactors,
-                                  _owner_indices)
+    from ..parallel.schur import build_block_system, DeviceSchurFactors
 
     opts = options or AdjustmentOptions()
     t0 = time.time()
