@@ -1090,23 +1090,33 @@ def _nested_factor_stage1(Nii, Nij, Njj, jmap, jmask, sb_of_block,
     """Level-1 factorization + level-2 assembly.  Memory-lean: scaled
     normals are donated, Nij is folded into Y (t = bj − Yᵀbi needs no
     stored coupling), and the level-2 systems are scattered directly."""
-    zero_b = jnp.zeros_like(Nii[..., 0])
-    zero_j = jnp.zeros_like(Njj[..., 0])
-    Nii_s, Nij_s, Njj_s, _, _, di, dj, djg = _unity_scale(
-        Nii, Nij, Njj, zero_b, zero_j, jmap, jmask, nj_total, None)
+    # Scale factors only (vectors): materialising a fully-scaled copy of
+    # the normals alongside the unscaled inputs is a ~4.5G transient at
+    # national scale — the scaling is applied per chunk inside the map.
+    dii = jnp.diagonal(Nii, axis1=-2, axis2=-1)
+    djj = jnp.diagonal(Njj, axis1=-2, axis2=-1) * jmask
+    dj_global = jnp.zeros((nj_total,), dtype=Njj.dtype)
+    dj_global = dj_global.at[jmap.reshape(-1)].add(djj.reshape(-1))
+    dj_global = jnp.where(dj_global <= 0.0, 1.0, dj_global)
+    djg = 1.0 / jnp.sqrt(dj_global)
+    di = 1.0 / jnp.sqrt(jnp.where(dii <= 0.0, 1.0, dii))
+    dj = jnp.where(jmask > 0, djg[jmap], 1.0)
 
     # Factor + invert level-1 blocks in sequential chunks (lax.map):
     # batched Cholesky/triangular-solve temps scale with the whole batch,
     # which exceeds HBM at national scale.  Explicit inverses (the
     # reference's dpotri) make applies pure MXU matmuls.
-    B, ni = Nii_s.shape[0], Nii_s.shape[1]
+    B, ni = Nii.shape[0], Nii.shape[1]
     nchunks = min(16, B)
     while B % nchunks:
         nchunks -= 1
-    eye1 = jnp.eye(ni, dtype=Nii_s.dtype)
+    eye1 = jnp.eye(ni, dtype=Nii.dtype)
 
     def _chunk(args):
-        Nii_c, Nij_c, Njj_c = args
+        Nii_c, Nij_c, Njj_c, di_c, dj_c = args
+        Nii_c = Nii_c * di_c[:, :, None] * di_c[:, None, :]
+        Nij_c = Nij_c * di_c[:, :, None] * dj_c[:, None, :]
+        Njj_c = Njj_c * dj_c[:, :, None] * dj_c[:, None, :]
         L_c = jnp.linalg.cholesky(Nii_c)
         Y_c = jax.scipy.linalg.cho_solve((L_c, True), Nij_c)
         Ainv_c = jax.scipy.linalg.cho_solve(
@@ -1116,10 +1126,13 @@ def _nested_factor_stage1(Nii, Nij, Njj, jmap, jmask, sb_of_block,
         return Ainv_c, Y_c, S_c
 
     C = B // nchunks
+    nj_slots = Njj.shape[1]
     Ainv, Y, S_b = jax.lax.map(_chunk, (
-        Nii_s.reshape(nchunks, C, ni, ni),
-        Nij_s.reshape(nchunks, C, ni, -1),
-        Njj_s.reshape(nchunks, C, Njj_s.shape[1], Njj_s.shape[2])))
+        Nii.reshape(nchunks, C, ni, ni),
+        Nij.reshape(nchunks, C, ni, -1),
+        Njj.reshape(nchunks, C, nj_slots, nj_slots),
+        di.reshape(nchunks, C, ni),
+        dj.reshape(nchunks, C, nj_slots)))
     Ainv = Ainv.reshape(B, ni, ni)
     Y = Y.reshape(B, ni, -1)
     S_b = S_b.reshape(B, S_b.shape[-2], S_b.shape[-1])
