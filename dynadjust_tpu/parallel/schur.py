@@ -30,6 +30,8 @@ inert (zero couplings, zero rhs).
 
 from __future__ import annotations
 
+import os
+import sys
 from dataclasses import dataclass
 from functools import partial
 
@@ -1080,19 +1082,19 @@ def schur_solve_nested_refined(bs: BlockSystem, part: NestedPartition,
 # nested factor-once / apply-many
 # ---------------------------------------------------------------------------
 
-# NOTE: no donate_argnums — donation on this runtime leaves zombie
-# buffers when XLA rejects a donated layout, wedging HBM at national
-# scale (observed: post-factor the device rejects even KB-sized
-# transfers).  Inputs are dropped by python refcount instead.
-@partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nj_total"))
-def _nested_factor_stage1(Nii, Nij, Njj, jmap, jmask, sb_of_block,
-                          l2slot, SB, ni2, nj2, nj_total):
-    """Level-1 factorization + level-2 assembly.  Memory-lean: scaled
-    normals are donated, Nij is folded into Y (t = bj − Yᵀbi needs no
-    stored coupling), and the level-2 systems are scattered directly."""
-    # Scale factors only (vectors): materialising a fully-scaled copy of
-    # the normals alongside the unscaled inputs is a ~4.5G transient at
-    # national scale — the scaling is applied per chunk inside the map.
+# Factoring at national scale is driven from PYTHON in small chunks, not
+# one monolithic jit: XLA sizes a program's temp arena to its peak
+# liveness, and a lax.map whose stacked outputs are program outputs pays
+# for them TWICE (stacked temps + copies) — measured 9.25G temp for the
+# level-1 stage at 250k stations (AOT memory_analysis), on top of 4.6G
+# args and 5.4G outputs, against ~15G usable HBM.  Small per-chunk
+# programs keep each temp arena at a few hundred MB; the chunk index is
+# a traced scalar so the program compiles once.
+
+@partial(jax.jit, static_argnames=("nj_total",))
+def _nested_scale_vecs(Nii, Njj, jmap, jmask, nj_total):
+    """Unity scale vectors from the blocked diagonals (no scaled copy of
+    the normals is ever materialised — scaling happens per chunk)."""
     dii = jnp.diagonal(Nii, axis1=-2, axis2=-1)
     djj = jnp.diagonal(Njj, axis1=-2, axis2=-1) * jmask
     dj_global = jnp.zeros((nj_total,), dtype=Njj.dtype)
@@ -1101,95 +1103,123 @@ def _nested_factor_stage1(Nii, Nij, Njj, jmap, jmask, sb_of_block,
     djg = 1.0 / jnp.sqrt(dj_global)
     di = 1.0 / jnp.sqrt(jnp.where(dii <= 0.0, 1.0, dii))
     dj = jnp.where(jmask > 0, djg[jmap], 1.0)
+    return di, dj, djg
 
-    # Factor + invert level-1 blocks in sequential chunks (lax.map):
-    # batched Cholesky/triangular-solve temps scale with the whole batch,
-    # which exceeds HBM at national scale.  Explicit inverses (the
-    # reference's dpotri) make applies pure MXU matmuls.
-    B, ni = Nii.shape[0], Nii.shape[1]
-    nchunks = min(16, B)
-    while B % nchunks:
-        nchunks -= 1
-    eye1 = jnp.eye(ni, dtype=Nii.dtype)
 
-    def _chunk(args):
-        Nii_c, Nij_c, Njj_c, di_c, dj_c = args
-        Nii_c = Nii_c * di_c[:, :, None] * di_c[:, None, :]
-        Nij_c = Nij_c * di_c[:, :, None] * dj_c[:, None, :]
-        Njj_c = Njj_c * dj_c[:, :, None] * dj_c[:, None, :]
-        L_c = jnp.linalg.cholesky(Nii_c)
-        Y_c = jax.scipy.linalg.cho_solve((L_c, True), Nij_c)
-        Ainv_c = jax.scipy.linalg.cho_solve(
-            (L_c, True), jnp.broadcast_to(eye1, Nii_c.shape))
-        S_c = Njj_c - jnp.einsum("bki,bkj->bij", Nij_c, Y_c,
-                                 precision=_HI)
-        return Ainv_c, Y_c, S_c
+@partial(jax.jit, static_argnames=("C",))
+def _nested_chunk_factor(Nii, Nij, Njj, di, dj, k, C):
+    """Scale + factor + invert C level-1 blocks starting at block k·C.
+    Explicit inverses (the reference's dpotri, dnaadjust.cpp:6586) make
+    every apply a pure MXU matmul."""
+    sl = lambda A: jax.lax.dynamic_slice_in_dim(A, k * C, C)
+    Nii_c, Nij_c, Njj_c = sl(Nii), sl(Nij), sl(Njj)
+    di_c, dj_c = sl(di), sl(dj)
+    Nii_c = Nii_c * di_c[:, :, None] * di_c[:, None, :]
+    Nij_c = Nij_c * di_c[:, :, None] * dj_c[:, None, :]
+    Njj_c = Njj_c * dj_c[:, :, None] * dj_c[:, None, :]
+    L_c = jnp.linalg.cholesky(Nii_c)
+    Y_c = jax.scipy.linalg.cho_solve((L_c, True), Nij_c)
+    eye1 = jnp.eye(Nii.shape[1], dtype=Nii.dtype)
+    Ainv_c = jax.scipy.linalg.cho_solve(
+        (L_c, True), jnp.broadcast_to(eye1, Nii_c.shape))
+    S_c = Njj_c - jnp.einsum("bki,bkj->bij", Nij_c, Y_c, precision=_HI)
+    return Ainv_c, Y_c, S_c
 
-    C = B // nchunks
-    nj_slots = Njj.shape[1]
-    Ainv, Y, S_b = jax.lax.map(_chunk, (
-        Nii.reshape(nchunks, C, ni, ni),
-        Nij.reshape(nchunks, C, ni, -1),
-        Njj.reshape(nchunks, C, nj_slots, nj_slots),
-        di.reshape(nchunks, C, ni),
-        dj.reshape(nchunks, C, nj_slots)))
-    Ainv = Ainv.reshape(B, ni, ni)
-    Y = Y.reshape(B, ni, -1)
-    S_b = S_b.reshape(B, S_b.shape[-2], S_b.shape[-1])
+
+@partial(jax.jit, static_argnames=("SB", "ni2", "nj2"))
+def _nested_l2_assemble(S_b, jmask, sb_of_block, l2slot, SB, ni2, nj2):
     S_b = S_b * jmask[:, :, None] * jmask[:, None, :]
-    Nii2, Nij2, Njj2 = _scatter_l2_mats(S_b, sb_of_block, l2slot,
-                                        SB, ni2, nj2)
+    return _scatter_l2_mats(S_b, sb_of_block, l2slot, SB, ni2, nj2)
+
+
+def _nested_factor_stage1(Nii, Nij, Njj, jmap, jmask, sb_of_block,
+                          l2slot, SB, ni2, nj2, nj_total):
+    """Level-1 factorization + level-2 assembly, python-chunked (see the
+    temp-arena note above).  Inputs are device arrays; the caller drops
+    its references so they free as soon as the last chunk executes."""
+    B, ni = Nii.shape[0], Nii.shape[1]
+    di, dj, djg = _nested_scale_vecs(Nii, Njj, jmap, jmask,
+                                     nj_total=nj_total)
+    C = next(c for c in range(min(16, B), 0, -1) if B % c == 0)
+    parts = [_nested_chunk_factor(Nii, Nij, Njj, di, dj, k, C=C)
+             for k in range(B // C)]
+    # free the unscaled normals before concatenating the factor pieces:
+    # the concat transient (one full-size copy) plus the inputs would
+    # exceed HBM at national scale (dispatch order guarantees the queued
+    # chunk programs run before the concat, so the frees land in time)
+    del Nii, Nij, Njj
+    Ainv = jnp.concatenate([p[0] for p in parts])
+    Y = jnp.concatenate([p[1] for p in parts])
+    S_b = jnp.concatenate([p[2] for p in parts])
+    del parts
+    Nii2, Nij2, Njj2 = _nested_l2_assemble(S_b, jmask, sb_of_block,
+                                           l2slot, SB=SB, ni2=ni2,
+                                           nj2=nj2)
     return Ainv, Y, Nii2, Nij2, Njj2, di, dj, djg
 
 
-
-
-def _chunked_spd_inverse(L, max_chunk: int = 2048):
-    """Inverse from a Cholesky factor by solving identity columns in
-    sequential chunks — XLA's triangular solve materialises temps
-    proportional to rhs width, which is prohibitive for a full-width
-    identity at national scale."""
-    n = L.shape[0]
-    chunk = min(max_chunk, n)
-    nchunks = (n + chunk - 1) // chunk
-    npad = nchunks * chunk
-
-    def _cols(g):
-        cols = g * chunk + jnp.arange(chunk)
-        E = (jnp.arange(n)[:, None] == cols[None, :]).astype(L.dtype)
-        return jax.scipy.linalg.cho_solve((L, True), E)
-
-    parts = jax.lax.map(_cols, jnp.arange(nchunks))   # (nchunks, n, chunk)
-    inv = jnp.transpose(parts, (1, 0, 2)).reshape(n, npad)
-    return inv[:, :n]
+@jax.jit
+def _nested_l2_factor_one(Nii2, Nij2, i2mask, k):
+    """Factor + invert ONE level-2 (super-block) system."""
+    Nii2b = jax.lax.dynamic_slice_in_dim(Nii2, k, 1)[0]
+    Nij2b = jax.lax.dynamic_slice_in_dim(Nij2, k, 1)[0]
+    mask_b = jax.lax.dynamic_slice_in_dim(i2mask, k, 1)[0]
+    eye = jnp.eye(Nii2b.shape[0], dtype=Nii2b.dtype)
+    Nii2b = Nii2b + eye * (1.0 - mask_b)[None, :] * \
+        jnp.where(eye > 0, 1.0, 0.0)
+    L2b = jnp.linalg.cholesky(Nii2b)
+    Y2b = jax.scipy.linalg.cho_solve((L2b, True), Nij2b)
+    A2invb = jax.scipy.linalg.cho_solve((L2b, True), eye)
+    S2b = - jnp.einsum("ki,kj->ij", Nij2b, Y2b, precision=_HI)
+    return A2invb, Y2b, S2b
 
 
 @partial(jax.jit, static_argnames=("nsj_total",))
-def _nested_factor_stage2(Nii2, Nij2, Njj2, i2mask, j2mask, j2map,
-                          nsj_total):
-    """Level-2 factorization + level-3 assembly and factorization."""
-    eye = jnp.eye(Nii2.shape[1], dtype=Nii2.dtype)
-    Nii2 = Nii2 + eye[None] * (1.0 - i2mask)[:, None, :] * \
-        jnp.where(eye[None] > 0, 1.0, 0.0)
-
-    # level-2 systems are few but large: factor/invert them one
-    # super-block at a time (lax.map is sequential) so XLA's
-    # triangular-solve temps are paid for a single system, not the batch
-    def _factor_one(args):
-        Nii2b, Nij2b = args
-        L2b = jnp.linalg.cholesky(Nii2b)
-        Y2b = jax.scipy.linalg.cho_solve((L2b, True), Nij2b)
-        A2invb = jax.scipy.linalg.cho_solve((L2b, True), eye)
-        S2b = - jnp.einsum("ki,kj->ij", Nij2b, Y2b, precision=_HI)
-        return A2invb, Y2b, S2b
-
-    A2inv, Y2, S2_b = jax.lax.map(_factor_one, (Nii2, Nij2))
+def _nested_l3_chol(S2_b, Njj2, j2mask, j2map, nsj_total):
+    """Assemble + Cholesky-factor the super-junction system."""
     S2_b = (Njj2 + S2_b) * j2mask[:, :, None] * j2mask[:, None, :]
     S2, _ = _scatter_junction(S2_b, jnp.zeros_like(S2_b[..., 0]), j2map,
                               nsj_total)
     diag = jnp.diag(S2)
     S2 = S2 + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
-    Lj = jnp.linalg.cholesky(S2)
+    return jnp.linalg.cholesky(S2)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _inv_cols(L, g, chunk):
+    """One column-chunk of the SPD inverse from a Cholesky factor —
+    XLA's triangular solve materialises temps proportional to rhs width,
+    so the identity is solved a slab at a time."""
+    n = L.shape[0]
+    cols = g * chunk + jnp.arange(chunk)
+    E = (jnp.arange(n)[:, None] == cols[None, :]).astype(L.dtype)
+    return jax.scipy.linalg.cho_solve((L, True), E)
+
+
+def _chunked_spd_inverse(L, max_chunk: int = 2048):
+    """Inverse from a Cholesky factor, one column slab per dispatch."""
+    n = L.shape[0]
+    chunk = min(max_chunk, n)
+    nchunks = (n + chunk - 1) // chunk
+    parts = [_inv_cols(L, g, chunk=chunk) for g in range(nchunks)]
+    return jnp.concatenate(parts, axis=1)[:, :n]
+
+
+def _nested_factor_stage2(Nii2, Nij2, Njj2, i2mask, j2mask, j2map,
+                          nsj_total):
+    """Level-2 factorization + level-3 assembly/factorization,
+    python-chunked (one dispatch per super-block; measured 6.1G temp
+    arena for the monolithic jit at 250k stations)."""
+    SB = Nii2.shape[0]
+    parts = [_nested_l2_factor_one(Nii2, Nij2, i2mask, k)
+             for k in range(SB)]
+    del Nii2, Nij2
+    A2inv = jnp.stack([p[0] for p in parts])
+    Y2 = jnp.stack([p[1] for p in parts])
+    S2_b = jnp.stack([p[2] for p in parts])
+    del parts
+    Lj = _nested_l3_chol(S2_b, Njj2, j2mask, j2map, nsj_total=nsj_total)
+    del S2_b, Njj2
     Sinv = _chunked_spd_inverse(Lj)
     return A2inv, Y2, Sinv
 
@@ -1224,17 +1254,30 @@ class NestedSchurFactors:
         self.xj_kind = jnp.asarray(part.xj_kind)
         self.xj_sb = jnp.asarray(part.xj_sb)
         self.xj_slot = jnp.asarray(part.xj_slot)
+        # DTA_SCHUR_SYNC=1: surface async device errors at stage
+        # boundaries — this runtime defers execution errors to the next
+        # device->host transfer, which hides which program OOM'd
+        _sync = os.environ.get("DTA_SCHUR_SYNC", "") == "1"
+
+        def _probe(tag, arr):
+            if _sync:
+                np.asarray(arr.ravel()[:1])
+                print(f"schur sync: {tag} ok", file=sys.stderr, flush=True)
+
         Ainv, Y, Nii2, Nij2, Njj2, di, dj, djg = _nested_factor_stage1(
             jnp.asarray(bs.Nii.astype(dtype)),
             jnp.asarray(bs.Nij.astype(dtype)),
             jnp.asarray(bs.Njj.astype(dtype)),
             self.jmap, self.jmask, self.sbb, self.l2slot,
             part.SB, part.ni2, part.nj2, self.nj_total)
+        _probe("factor stage1", Ainv)
         A2inv, Y2, Sinv = _nested_factor_stage2(
             Nii2, Nij2, Njj2,
             jnp.asarray(part.i2mask.astype(dtype)),
             self.j2mask, self.j2map, self.nsj_total)
+        _probe("factor stage2", Sinv)
         self.factors = (Ainv, Y, A2inv, Y2, Sinv, di, dj, djg)
+        self._probe = _probe
 
     def solve(self, bi, bj):
         """Op-by-op application: fused apply programs compile to larger
@@ -1252,16 +1295,20 @@ class NestedSchurFactors:
         # matvec workspaces (transposed operand copies) alive at once,
         # which tips HBM over at national scale
         w = jax.block_until_ready(jnp.einsum("bij,bj->bi", Ainv, bi))
+        self._probe("apply w", w)
         t_b = jax.block_until_ready(
             (bj - jnp.einsum("bkj,bk->bj", Y, bi)) * self.jmask)
+        self._probe("apply t_b", t_b)
         bi2, bj2 = _scatter_l2_rhs(t_b, self.sbb, self.l2slot,
                                    part.SB, part.ni2, part.nj2)
         w2 = jax.block_until_ready(
             jnp.einsum("bij,bj->bi", A2inv, bi2))
+        self._probe("apply w2", w2)
         t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2)) * self.j2mask
         t2 = jnp.zeros((self.nsj_total,), dtype=t2_b.dtype)
         t2 = t2.at[self.j2map.reshape(-1)].add(t2_b.reshape(-1))
         xsj = jax.block_until_ready(Sinv @ t2)
+        self._probe("apply xsj", xsj)
         xsj_b = xsj[self.j2map] * self.j2mask
         xi2 = jax.block_until_ready(
             w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b))
