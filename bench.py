@@ -38,8 +38,11 @@ BLOCK = int(os.environ.get("BENCH_BLOCK", "16"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 # BENCH_NESTED=1: use the 3-level nested solver (national-scale path);
 # BENCH_SUPER: super-tile size in tiles (default 4)
+# BENCH_STREAMED=1: host-staged level-1 factors streamed through the chip
+# (the staged .mtx analogue — for networks whose factors exceed HBM)
 NESTED = os.environ.get("BENCH_NESTED", "") == "1"
 SUPER = int(os.environ.get("BENCH_SUPER", "4"))
+STREAMED = os.environ.get("BENCH_STREAMED", "") == "1"
 
 
 def main():
@@ -68,17 +71,19 @@ def main():
     # ---- TPU blocked solve (f32 factor + f64-refined applies) -----------
     t_gn_iter = None
     t_gn_device = None
-    if NESTED:
+    if NESTED or STREAMED:
         from dynadjust_tpu.parallel.schur import (
             build_nested_partition, schur_solve_nested_factored)
         from dynadjust_tpu.utils.synthetic import grid_super_assignment
         part = build_nested_partition(bs, grid_super_assignment(
             ROWS, COLS, BLOCK, BLOCK, SUPER, SUPER))
-        log(f"nested: SB={part.SB} ni2={part.ni2} nsj={part.nsj_global}")
+        log(f"nested: SB={part.SB} ni2={part.ni2} nsj={part.nsj_global}"
+            + (" (streamed factors)" if STREAMED else ""))
 
         def solve(factors=None):
             return schur_solve_nested_factored(bs, part, refine=2,
-                                               factors=factors)
+                                               factors=factors,
+                                               streamed=STREAMED)
 
         t0 = time.time()
         xi, xj, factors = solve()                           # compile
@@ -168,7 +173,9 @@ def main():
         t_dense_4k = 20.0           # measured dense 12288-param solve (s)
         t_dense = t_dense_4k * (S / 4096.0) ** 3
         result = {
-            "metric": (f"nested_schur_solve_{S}stn_gnss_network" if NESTED
+            "metric": (f"streamed_schur_solve_{S}stn_gnss_network"
+                       if STREAMED else
+                       f"nested_schur_solve_{S}stn_gnss_network" if NESTED
                        else f"blocked_schur_solve_{S}stn_gnss_network"),
             "value": round(1.0 / t_blocked, 3),
             "unit": "solves/s",
@@ -222,7 +229,9 @@ def main():
     err = np.abs(dxb.reshape(-1) - dx_dense).max()
 
     result = {
-        "metric": (f"nested_schur_solve_{S}stn_gnss_network" if NESTED
+        "metric": (f"streamed_schur_solve_{S}stn_gnss_network"
+                   if STREAMED else
+                   f"nested_schur_solve_{S}stn_gnss_network" if NESTED
                    else f"blocked_schur_solve_{S}stn_gnss_network"),
         "value": round(1.0 / t_blocked, 3),
         "unit": "solves/s",

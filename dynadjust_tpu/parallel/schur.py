@@ -1336,13 +1336,19 @@ class NestedSchurFactors:
 
 def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
                                 refine: int = 2, dtype=np.float32,
-                                factors: NestedSchurFactors = None):
+                                factors: NestedSchurFactors = None,
+                                streamed: bool = False):
     """Nested mixed-precision solve with factor reuse: one 3-level f32
     factorization, then 1 + refine cheap applies with f64 host residual
     refinement.  Pass `factors` back in to skip re-factorizing when the
-    normals are unchanged (refinement rounds, repeated rhs)."""
+    normals are unchanged (refinement rounds, repeated rhs).
+
+    streamed=True stages the level-1 factors in host RAM and streams
+    them through the chip per chunk — for networks whose factors exceed
+    HBM (the reference's staged .mtx mode, dnaadjust-stage.cpp:59)."""
     if factors is None:
-        factors = NestedSchurFactors(bs, part, dtype)
+        cls = StreamedNestedSchurFactors if streamed else NestedSchurFactors
+        factors = cls(bs, part, dtype)
     xi, xj = factors.solve(bs.bi, bs.bj)
     rhs_j_global = _gather_rhs_junction(bs)
     flat = bs.jmap.reshape(-1)
@@ -1377,3 +1383,210 @@ def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
         xi = xi + di_
         xj = xj + dj_
     return xi, xj, factors
+
+
+# ---------------------------------------------------------------------------
+# host-streamed nested factors: networks whose level-1 factors exceed HBM
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _streamed_chunk_factor(Nii_c, Nij_c, Njj_c, di_c, dj_c):
+    """Scale + factor + invert one host-resident chunk of level-1 blocks.
+    Same math as _nested_chunk_factor, but the chunk arrives from host
+    RAM instead of being sliced out of device-resident normals."""
+    Nii_c = Nii_c * di_c[:, :, None] * di_c[:, None, :]
+    Nij_c = Nij_c * di_c[:, :, None] * dj_c[:, None, :]
+    Njj_c = Njj_c * dj_c[:, :, None] * dj_c[:, None, :]
+    L_c = jnp.linalg.cholesky(Nii_c)
+    Y_c = jax.scipy.linalg.cho_solve((L_c, True), Nij_c)
+    eye1 = jnp.eye(Nii_c.shape[1], dtype=Nii_c.dtype)
+    Ainv_c = jax.scipy.linalg.cho_solve(
+        (L_c, True), jnp.broadcast_to(eye1, Nii_c.shape))
+    S_c = Njj_c - jnp.einsum("bki,bkj->bij", Nij_c, Y_c, precision=_HI)
+    return Ainv_c, Y_c, S_c
+
+
+@partial(jax.jit, static_argnames=("SB", "ni2", "nj2"),
+         donate_argnums=(0, 1, 2))
+def _l2_accumulate(Nii2, Nij2, Njj2, S_c, jmask_c, sbb_c, l2s_c,
+                   SB, ni2, nj2):
+    """Accumulate one chunk's Schur pieces into the level-2 systems."""
+    a, b, c = _nested_l2_assemble(S_c, jmask_c, sbb_c, l2s_c,
+                                  SB=SB, ni2=ni2, nj2=nj2)
+    return Nii2 + a, Nij2 + b, Njj2 + c
+
+
+@partial(jax.jit, static_argnames=("SB", "ni2", "nj2"),
+         donate_argnums=(0, 1))
+def _l2rhs_accumulate(bi2, bj2, t_c, sbb_c, l2s_c, SB, ni2, nj2):
+    a, b = _scatter_l2_rhs(t_c, sbb_c, l2s_c, SB, ni2, nj2)
+    return bi2 + a, bj2 + b
+
+
+@jax.jit
+def _streamed_fwd_chunk(Ainv_c, Y_c, bi_c, bj_c, jmask_c):
+    """Forward elimination of one chunk: w = Nii⁻¹ bi and the junction
+    contribution t = (bj − Nji Nii⁻¹ bi)·mask."""
+    w_c = jnp.einsum("bij,bj->bi", Ainv_c, bi_c)
+    t_c = (bj_c - jnp.einsum("bkj,bk->bj", Y_c, bi_c)) * jmask_c
+    return w_c, t_c
+
+
+@jax.jit
+def _streamed_bwd_chunk(Y_c, w_c, xjb_c, di_c):
+    """Back-substitution of one chunk: x_i = (w − Nii⁻¹Nij x_j)·di."""
+    return (w_c - jnp.einsum("bij,bj->bi", Y_c, xjb_c)) * di_c
+
+
+@partial(jax.jit, static_argnames=("nsj_total",))
+def _streamed_mid_solve(A2inv, Y2, Sinv, bi2, bj2, j2map, j2mask,
+                        nsj_total):
+    """Level-2 elimination + level-3 solve (all small, device-resident)."""
+    w2 = jnp.einsum("bij,bj->bi", A2inv, bi2)
+    t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2)) * j2mask
+    t2 = jnp.zeros((nsj_total,), dtype=t2_b.dtype)
+    t2 = t2.at[j2map.reshape(-1)].add(t2_b.reshape(-1))
+    xsj = Sinv @ t2
+    xsj_b = xsj[j2map] * j2mask
+    xi2 = w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b)
+    return xi2, xsj
+
+
+class StreamedNestedSchurFactors:
+    """Host-staged 3-level factorization for national-scale networks.
+
+    The TPU analogue of the reference's staged adjustment
+    (--staged-adjustment; per-block matrices memory-mapped to .mtx
+    files, dnaadjust-stage.cpp:59, OffloadBlockToMappedFile
+    dnaadjust.hpp:530): level-1 normals and their factors (explicit
+    inverses + eliminated couplings) live in host RAM, and chunks of C
+    blocks stream through the chip for the O(n³) work.  Only the
+    level-2/3 factors (junction-sized, tiny) stay device-resident, so
+    HBM holds one chunk at a time — network size is bounded by host
+    RAM, exactly as the reference's staged mode is bounded by disk.
+
+    Each apply streams the factor pool twice (forward elimination,
+    back-substitution): on pod hosts this rides PCIe at tens of GB/s;
+    over a tunnel it is link-bound, which is the capacity/latency trade
+    the staged mode exists to make.
+    """
+
+    def __init__(self, bs: BlockSystem, part: NestedPartition,
+                 dtype=np.float32, chunk: int = None):
+        self.bs = bs
+        self.part = part
+        self.dtype = dtype
+        self.nj_total = bs.nj_global + 1
+        self.nsj_total = part.nsj_global + 1
+        B, ni = bs.Nii.shape[:2]
+        nj = bs.Njj.shape[1]
+
+        # unity-scale vectors from the diagonals (host, f64)
+        dii = np.einsum("bii->bi", bs.Nii)
+        djj = np.einsum("bii->bi", bs.Njj) * bs.jmask
+        djg = np.zeros((self.nj_total,))
+        np.add.at(djg, bs.jmap.reshape(-1), djj.reshape(-1))
+        djg = 1.0 / np.sqrt(np.where(djg <= 0.0, 1.0, djg))
+        di = 1.0 / np.sqrt(np.where(dii <= 0.0, 1.0, dii))
+        dj = np.where(bs.jmask > 0, djg[bs.jmap], 1.0)
+        self.di_h = di.astype(dtype)
+        self.dj_h = dj.astype(dtype)
+        self.djg_h = djg
+
+        # chunk size: a divisor of B (one compiled program for all
+        # chunks) targeting ~DTA_STREAM_CHUNK_BYTES of traffic each
+        if chunk is None:
+            per_block = (2 * ni * ni + 2 * ni * nj + nj * nj) * \
+                np.dtype(dtype).itemsize
+            target = int(os.environ.get("DTA_STREAM_CHUNK_BYTES",
+                                        1 << 30))
+            chunk = max(1, min(B, target // max(per_block, 1)))
+        self.C = next(c for c in range(min(chunk, B), 0, -1)
+                      if B % c == 0)
+
+        # host factor pools (the .mtx analogue)
+        self.Ainv_h = np.empty((B, ni, ni), dtype=dtype)
+        self.Y_h = np.empty((B, ni, nj), dtype=dtype)
+
+        Nii2 = jnp.zeros((part.SB, part.ni2, part.ni2), dtype=dtype)
+        Nij2 = jnp.zeros((part.SB, part.ni2, part.nj2), dtype=dtype)
+        Njj2 = jnp.zeros((part.SB, part.nj2, part.nj2), dtype=dtype)
+        C = self.C
+        for k in range(0, B, C):
+            sl = slice(k, k + C)
+            Ainv_c, Y_c, S_c = _streamed_chunk_factor(
+                jnp.asarray(bs.Nii[sl].astype(dtype)),
+                jnp.asarray(bs.Nij[sl].astype(dtype)),
+                jnp.asarray(bs.Njj[sl].astype(dtype)),
+                jnp.asarray(self.di_h[sl]), jnp.asarray(self.dj_h[sl]))
+            Nii2, Nij2, Njj2 = _l2_accumulate(
+                Nii2, Nij2, Njj2, S_c,
+                jnp.asarray(bs.jmask[sl].astype(dtype)),
+                jnp.asarray(part.sb_of_block[sl]),
+                jnp.asarray(part.l2slot[sl]),
+                SB=part.SB, ni2=part.ni2, nj2=part.nj2)
+            self.Ainv_h[sl] = np.asarray(Ainv_c)
+            self.Y_h[sl] = np.asarray(Y_c)
+            del Ainv_c, Y_c, S_c
+
+        self.j2map = jnp.asarray(part.j2map)
+        self.j2mask = jnp.asarray(part.j2mask.astype(dtype))
+        A2inv, Y2, Sinv = _nested_factor_stage2(
+            Nii2, Nij2, Njj2,
+            jnp.asarray(part.i2mask.astype(dtype)),
+            self.j2mask, self.j2map, self.nsj_total)
+        self.l2_factors = (A2inv, Y2, Sinv)
+
+    def solve(self, bi, bj):
+        bs, part = self.bs, self.part
+        dtype = self.dtype
+        B, ni = bs.bi.shape
+        C = self.C
+        bi_s = (np.asarray(bi) * self.di_h).astype(dtype)
+        bj_s = (np.asarray(bj) * self.dj_h).astype(dtype)
+
+        # forward elimination, streamed
+        W = np.empty((B, ni), dtype=dtype)
+        bi2 = jnp.zeros((part.SB, part.ni2), dtype=dtype)
+        bj2 = jnp.zeros((part.SB, part.nj2), dtype=dtype)
+        for k in range(0, B, C):
+            sl = slice(k, k + C)
+            w_c, t_c = _streamed_fwd_chunk(
+                jnp.asarray(self.Ainv_h[sl]), jnp.asarray(self.Y_h[sl]),
+                jnp.asarray(bi_s[sl]), jnp.asarray(bj_s[sl]),
+                jnp.asarray(bs.jmask[sl].astype(dtype)))
+            bi2, bj2 = _l2rhs_accumulate(
+                bi2, bj2, t_c,
+                jnp.asarray(part.sb_of_block[sl]),
+                jnp.asarray(part.l2slot[sl]),
+                SB=part.SB, ni2=part.ni2, nj2=part.nj2)
+            W[sl] = np.asarray(w_c)
+            del w_c, t_c
+
+        # level-2/3 solve (device-resident, junction-sized)
+        A2inv, Y2, Sinv = self.l2_factors
+        xi2, xsj = _streamed_mid_solve(A2inv, Y2, Sinv, bi2, bj2,
+                                       self.j2map, self.j2mask,
+                                       nsj_total=self.nsj_total)
+
+        # junction reconstruction on host (same as NestedSchurFactors)
+        xi2_h = np.asarray(xi2)
+        xsj_h = np.asarray(xsj)
+        njg = bs.nj_global
+        xj = np.where(part.xj_kind == 0,
+                      xi2_h[part.xj_sb,
+                            np.minimum(part.xj_slot, part.ni2 - 1)],
+                      xsj_h[np.minimum(part.xj_slot, self.nsj_total - 1)])
+        xj_pad = np.concatenate([xj, [0.0]]).astype(dtype)
+        xj_b = (xj_pad[bs.jmap] * bs.jmask).astype(dtype)
+
+        # back-substitution, streamed
+        xi = np.empty((B, ni), dtype=np.float64)
+        for k in range(0, B, C):
+            sl = slice(k, k + C)
+            xi_c = _streamed_bwd_chunk(
+                jnp.asarray(self.Y_h[sl]), jnp.asarray(W[sl]),
+                jnp.asarray(xj_b[sl]), jnp.asarray(self.di_h[sl]))
+            xi[sl] = np.asarray(xi_c, dtype=np.float64)
+            del xi_c
+        return xi, np.asarray(xj, dtype=np.float64) * self.djg_h[:njg]

@@ -273,3 +273,30 @@ def test_device_solver_mesh_sharded(small_net):
     xi, xj = f.solve(bs.bi, bs.bj, refine=2)
     assert np.abs(xi - xi64).max() < 1e-10
     assert np.abs(xj - xj64).max() < 1e-10
+
+
+def test_nested_schur_streamed(grid_system):
+    """Host-streamed factors (the staged .mtx analogue) match the
+    device-resident nested path and hence the flat/dense solution."""
+    from dynadjust_tpu.parallel.schur import (
+        build_nested_partition, schur_solve, schur_solve_nested_factored,
+    )
+    from dynadjust_tpu.utils.synthetic import grid_super_assignment
+
+    bs, bn, rows, cols, blk = grid_system
+    xi, xj = schur_solve(bs)
+    sup = grid_super_assignment(rows, cols, blk, blk, 2, 2)
+    part = build_nested_partition(bs, sup)
+    # small chunk forces several streaming round-trips
+    from dynadjust_tpu.parallel.schur import StreamedNestedSchurFactors
+    factors = StreamedNestedSchurFactors(bs, part, chunk=3)
+    assert factors.C < len(bs.Nii)  # really streaming in chunks
+    xi_s, xj_s, _ = schur_solve_nested_factored(bs, part, refine=2,
+                                                factors=factors)
+    np.testing.assert_allclose(xi_s, xi, atol=1e-7)
+    np.testing.assert_allclose(xj_s, xj, atol=1e-7)
+    # streamed=True construction path
+    xi_t, xj_t, f2 = schur_solve_nested_factored(bs, part, refine=2,
+                                                 streamed=True)
+    np.testing.assert_allclose(xi_t, xi, atol=1e-7)
+    np.testing.assert_allclose(xj_t, xj, atol=1e-7)
