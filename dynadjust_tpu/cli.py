@@ -268,6 +268,13 @@ def _cmd_import(args) -> int:
     stations.sort(key=lambda s: s.name)
     net = build_network(stations, measurements, frame, epoch)
     net.station_file_order = [orig_order[n] for n in net.names]
+    if getattr(args, "observation_epoch", ""):
+        from .network.data import (normalise_observation_epoch,
+                                   apply_observation_epoch)
+        oe = normalise_observation_epoch(args.observation_epoch)
+        n_oe = apply_observation_epoch(net.measurements, oe)
+        net.observation_epoch = oe
+        print(f"+ Observation epoch {oe} applied to {n_oe} measurements")
     if getattr(args, "simulate", False):
         from .network.simulate import simulate_measurements
         from .io_formats.dna_writer import write_dna_msr
@@ -1033,6 +1040,12 @@ def main(argv=None) -> int:
                    help="run exports from the saved network store instead "
                         "of re-parsing input files")
     p.add_argument("-r", "--reference-frame", default="")
+    p.add_argument("--observation-epoch", default="",
+                   help="project-level epoch of observation (dd.mm.yyyy, "
+                        "yyyy, or 'today') applied to measurements whose "
+                        "observation epoch is unset "
+                        "(dnaimportwrapper.cpp:321, "
+                        "ApplyProjectObservationEpoch)")
     p.add_argument("--stn-renaming-file", default="")
     p.add_argument("-d", "--discontinuity-file", default="",
                    help="SINEX discontinuity file; renames station "

@@ -108,6 +108,7 @@ class GpsCluster:
     epoch: str
     obs: list = field(default_factory=list)    # list[GpsObs]
     cluster_id: int = 0
+    obs_epoch: str = ""         # epoch of observation (v1.2 metadata)
 
 
 @dataclass
@@ -123,6 +124,7 @@ class Measurement:
     inst_height: float = 0.0
     targ_height: float = 0.0
     epoch: str = ""
+    obs_epoch: str = ""         # epoch of observation (v1.2 metadata)
 
 
 @dataclass
@@ -136,6 +138,7 @@ class DirectionSet:
     directions: list = field(default_factory=list)
     # directions: list of (target, value_rad, sd_rad, ignored)
     epoch: str = ""
+    obs_epoch: str = ""         # epoch of observation (v1.2 metadata)
 
 
 def _ffld(line: str, layout: dict, name: str) -> float:
@@ -333,6 +336,7 @@ def _read_angular(rd: _MsrReader, line, mtype, ignore) -> Measurement:
     m.inst_height = _float_prefix(rd.f(line, "inst_ht"))
     m.targ_height = _float_prefix(rd.f(line, "targ_ht"))
     m.epoch = rd.f(line, "epoch") or rd.epoch
+    m.obs_epoch = rd.f(line, "obs_epoch")
     return m
 
 
@@ -346,6 +350,7 @@ def _read_linear(rd: _MsrReader, line, mtype, ignore) -> Measurement:
     m.inst_height = _float_prefix(rd.f(line, "inst_ht"))
     m.targ_height = _float_prefix(rd.f(line, "targ_ht"))
     m.epoch = rd.f(line, "epoch") or rd.epoch
+    m.obs_epoch = rd.f(line, "obs_epoch")
     return m
 
 
@@ -357,6 +362,7 @@ def _read_directions(rd: _MsrReader, line, ignore):
         ro_value=rd.angular_rad(line),
         ro_sd=rd.stddev(line) * _SEC_TO_RAD,
         epoch=rd.f(line, "epoch") or rd.epoch,
+        obs_epoch=rd.f(line, "obs_epoch"),
     )
     count = int(rd.f(line, "targ2"))
     for _ in range(count):
@@ -433,7 +439,7 @@ def _read_gps_baselines(rd: _MsrReader, line, mtype, ignore, cid) -> GpsCluster:
     cl = GpsCluster(mtype=mtype, ignore=ignore, coord_type="XYZ",
                     vscale=vscale, pscale=pscale, lscale=lscale,
                     hscale=hscale, epsg_frame=refframe, epoch=ep,
-                    cluster_id=cid)
+                    cluster_id=cid, obs_epoch=rd.f(line, "obs_epoch"))
     first, second = rd.f(line, "inst"), rd.f(line, "targ1")
     for b in range(count):
         if b > 0:
@@ -454,7 +460,7 @@ def _read_gps_points(rd: _MsrReader, line, ignore, cid) -> GpsCluster:
     cl = GpsCluster(mtype="Y", ignore=ignore, coord_type=coord_type,
                     vscale=vscale, pscale=pscale, lscale=lscale,
                     hscale=hscale, epsg_frame=refframe, epoch=ep,
-                    cluster_id=cid)
+                    cluster_id=cid, obs_epoch=rd.f(line, "obs_epoch"))
     first = rd.f(line, "inst")
     for p in range(count):
         if p > 0:

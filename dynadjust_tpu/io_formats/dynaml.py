@@ -71,6 +71,7 @@ def _parse_measurement(el, frame, epoch, cluster_id):
     ignore = _is_ignored(el)
     m_frame = _txt(el, "ReferenceFrame", frame)
     m_epoch = _txt(el, "Epoch", epoch)
+    obs_epoch = _txt(el, "EpochOfObservation", "")
 
     if mtype in ("G", "X", "Y"):
         cl = GpsCluster(
@@ -80,7 +81,8 @@ def _parse_measurement(el, frame, epoch, cluster_id):
             pscale=_num(el, "Pscale", 1.0) or 1.0,
             lscale=_num(el, "Lscale", 1.0) or 1.0,
             hscale=_num(el, "Hscale", 1.0) or 1.0,
-            epsg_frame=m_frame, epoch=m_epoch, cluster_id=cluster_id)
+            epsg_frame=m_frame, epoch=m_epoch, cluster_id=cluster_id,
+            obs_epoch=obs_epoch)
         first = _txt(el, "First")
         second = _txt(el, "Second")
         tag = "GPSBaseline" if mtype in ("G", "X") else "Clusterpoint"
@@ -118,7 +120,8 @@ def _parse_measurement(el, frame, epoch, cluster_id):
         ds = DirectionSet(
             ignore=ignore, first=_txt(el, "First"), ro=_txt(el, "Second"),
             ro_value=float(dms_to_rad(_num(el, "Value"))),
-            ro_sd=_num(el, "StdDev") * _SEC_TO_RAD, epoch=m_epoch)
+            ro_sd=_num(el, "StdDev") * _SEC_TO_RAD, epoch=m_epoch,
+            obs_epoch=obs_epoch)
         for d_el in el.findall("Directions"):
             ds.directions.append((
                 _txt(d_el, "Target"),
@@ -130,7 +133,7 @@ def _parse_measurement(el, frame, epoch, cluster_id):
 
     m = Measurement(mtype=mtype, ignore=ignore, first=_txt(el, "First"),
                     second=_txt(el, "Second"), third=_txt(el, "Third"),
-                    epoch=m_epoch)
+                    epoch=m_epoch, obs_epoch=obs_epoch)
     if mtype in ANGULAR_TYPES:
         m.value = float(dms_to_rad(_num(el, "Value")))
         m.sd = _num(el, "StdDev") * _SEC_TO_RAD
@@ -220,6 +223,9 @@ def write_dynaml_msr(path: str, net, comment: str = ""):
             L.append(f"    <ReferenceFrame>{rec.epsg_frame}"
                      f"</ReferenceFrame>")
             L.append(f"    <Epoch>{rec.epoch}</Epoch>")
+            if getattr(rec, "obs_epoch", "") and rec.obs_epoch != rec.epoch:
+                L.append(f"    <EpochOfObservation>{rec.obs_epoch}"
+                         f"</EpochOfObservation>")
             L.append(f"    <Vscale>{rec.vscale:g}</Vscale>")
             L.append(f"    <Pscale>{rec.pscale:g}</Pscale>")
             L.append(f"    <Lscale>{rec.lscale:g}</Lscale>")
@@ -270,6 +276,9 @@ def write_dynaml_msr(path: str, net, comment: str = ""):
             L.append(f"    <Value>{float(rad_to_dms(rec.ro_value)):.6f}"
                      f"</Value>")
             L.append(f"    <StdDev>{rec.ro_sd * RAD_TO_SEC:.4f}</StdDev>")
+            if getattr(rec, "obs_epoch", "") and rec.obs_epoch != rec.epoch:
+                L.append(f"    <EpochOfObservation>{rec.obs_epoch}"
+                         f"</EpochOfObservation>")
             L.append(f"    <Total>{len(rec.directions)}</Total>")
             for (t, v, sd, ign) in rec.directions:
                 L.append("    <Directions>")
@@ -302,6 +311,9 @@ def write_dynaml_msr(path: str, net, comment: str = ""):
                          f"</InstHeight>")
                 L.append(f"    <TargHeight>{rec.targ_height:.3f}"
                          f"</TargHeight>")
+            if getattr(rec, "obs_epoch", "") and rec.obs_epoch != rec.epoch:
+                L.append(f"    <EpochOfObservation>{rec.obs_epoch}"
+                         f"</EpochOfObservation>")
             L.append("  </DnaMeasurement>")
     L.append("</DnaXmlFormat>")
     with open(path, "w") as f:

@@ -91,6 +91,7 @@ def _parse_measurement(d, frame, epoch, cluster_id):
     ignore = str(d.get("Ignore", "")).strip() != ""
     m_frame = d.get("ReferenceFrame", frame) or frame
     m_epoch = d.get("Epoch", epoch) or epoch
+    obs_epoch = str(d.get("EpochOfObservation", "") or "")
 
     if mtype in ("G", "X", "Y"):
         coord_type = d.get("Coords", "XYZ") or "XYZ"
@@ -100,7 +101,8 @@ def _parse_measurement(d, frame, epoch, cluster_id):
             pscale=_f(d, "Pscale", 1.0) or 1.0,
             lscale=_f(d, "Lscale", 1.0) or 1.0,
             hscale=_f(d, "Hscale", 1.0) or 1.0,
-            epsg_frame=m_frame, epoch=m_epoch, cluster_id=cluster_id)
+            epsg_frame=m_frame, epoch=m_epoch, cluster_id=cluster_id,
+            obs_epoch=obs_epoch)
         first = str(d.get("First", ""))
         second = str(d.get("Second", ""))
         key = "GPSBaseline" if mtype in ("G", "X") else "Clusterpoint"
@@ -130,7 +132,8 @@ def _parse_measurement(d, frame, epoch, cluster_id):
             ignore=ignore, first=str(d.get("First", "")),
             ro=str(d.get("Second", "")),
             ro_value=float(dms_to_rad(_f(d, "Value"))),
-            ro_sd=_f(d, "StdDev") * _SEC_TO_RAD, epoch=m_epoch)
+            ro_sd=_f(d, "StdDev") * _SEC_TO_RAD, epoch=m_epoch,
+            obs_epoch=obs_epoch)
         for dd in _aslist(d.get("Directions")):
             ds.directions.append((
                 str(dd.get("Target", "")),
@@ -142,7 +145,8 @@ def _parse_measurement(d, frame, epoch, cluster_id):
     m = Measurement(mtype=mtype, ignore=ignore,
                     first=str(d.get("First", "")),
                     second=str(d.get("Second", "")),
-                    third=str(d.get("Third", "")), epoch=m_epoch)
+                    third=str(d.get("Third", "")), epoch=m_epoch,
+                    obs_epoch=obs_epoch)
     if mtype in ANGULAR_TYPES:
         m.value = float(dms_to_rad(_f(d, "Value")))
         m.sd = _f(d, "StdDev") * _SEC_TO_RAD

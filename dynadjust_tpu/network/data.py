@@ -57,6 +57,9 @@ class NetworkData:
     # original input-file position of each station (fileOrder analogue;
     # used by --sort-stn-orig-order)
     station_file_order: list = None
+    # project-level epoch of observation (--observation-epoch; recorded
+    # like binary_file_meta_t.observation_epoch, dnainterop.cpp:218)
+    observation_epoch: str = ""
 
     @property
     def nstations(self) -> int:
@@ -131,3 +134,39 @@ def build_network(stations: list, measurements: list, frame: str,
         vertical_def=np.zeros(n), descriptions=descs,
         measurements=measurements, frame=frame, epoch=epoch, datum=datum,
         station_frames=sframes, station_epochs=sepochs)
+
+
+def normalise_observation_epoch(value: str) -> str:
+    """Normalise a --observation-epoch value to dd.mm.yyyy
+    (dnaimportwrapper.cpp:321-339): 'today' -> today's date; a bare year
+    gains '01.01.'; anything else must parse as dd.mm.yyyy."""
+    import datetime
+    v = (value or "").strip()
+    if not v:
+        return ""
+    if v.lower() == "today":
+        return datetime.date.today().strftime("%d.%m.%Y")
+    if "." not in v:
+        v = "01.01." + v
+    try:
+        datetime.datetime.strptime(v, "%d.%m.%Y")
+    except ValueError:
+        raise ValueError(f"Cannot parse observation epoch '{value}'")
+    return v
+
+
+def apply_observation_epoch(measurements: list, obs_epoch: str) -> int:
+    """Apply the project-level observation epoch to every measurement
+    whose epoch of observation is not explicitly set — empty or equal to
+    the record's reference-frame epoch, the auto-default
+    (ApplyProjectObservationEpoch, dnainterop.cpp:223-265).  Returns the
+    number of records updated."""
+    if not obs_epoch:
+        return 0
+    n = 0
+    for rec in measurements:
+        cur = getattr(rec, "obs_epoch", "")
+        if not cur or cur == getattr(rec, "epoch", ""):
+            rec.obs_epoch = obs_epoch
+            n += 1
+    return n

@@ -81,6 +81,9 @@ def _station_record(net, res, i, original_xyz=None) -> dict:
 
 
 def _measurement_record(net, r) -> dict:
+    rec = (net.measurements[r.rec_idx]
+           if 0 <= r.rec_idx < len(net.measurements) else None)
+    obs_epoch = getattr(rec, "obs_epoch", "") if rec is not None else ""
     m = {
         "Type": r.mtype,
         "Cardinal": r.cardinal.strip(),
@@ -99,6 +102,10 @@ def _measurement_record(net, r) -> dict:
         "Outlier": bool(r.outlier),
         "Ignored": bool(r.ignore),
     }
+    # EpochOfObservation only when explicitly set (AddObservationEpoch,
+    # dnaadjust_json_printer.cpp:232-236)
+    if obs_epoch.strip():
+        m["EpochOfObservation"] = obs_epoch.strip()
     return {"DnaMeasurement": m}
 
 

@@ -517,3 +517,59 @@ def test_dynaml_msr_round_trip(sample_dir, tmp_path):
         elif isinstance(a, DirectionSet):
             assert len(a.directions) == len(b.directions)
             assert abs(a.ro_value - b.ro_value) < 1e-9
+
+
+def test_observation_epoch(sample_dir, tmp_path):
+    """--observation-epoch semantics (dnaimportwrapper.cpp:321,
+    ApplyProjectObservationEpoch dnainterop.cpp:223): normalisation,
+    not-explicitly-set override rule, DynaML round-trip, JSONL mirror."""
+    import json
+    from dynadjust_tpu.adjust import AdjustmentOptions
+    from dynadjust_tpu.adjust.simultaneous import adjust_simultaneous
+    from dynadjust_tpu.io_formats import read_dna_stn, read_dna_msr
+    from dynadjust_tpu.io_formats.dynaml import (read_dynaml,
+                                                 write_dynaml_msr)
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.network.data import (normalise_observation_epoch,
+                                            apply_observation_epoch)
+    from dynadjust_tpu.output.json_writer import write_adj_jsonl
+
+    # normalisation rules
+    assert normalise_observation_epoch("2021") == "01.01.2021"
+    assert normalise_observation_epoch("15.06.2020") == "15.06.2020"
+    assert len(normalise_observation_epoch("today")) == 10
+    with pytest.raises(ValueError):
+        normalise_observation_epoch("31.02.2020")
+
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/gnss-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/gnss-network.msr")
+    # an explicitly-set record is never overridden
+    recs[0].obs_epoch = "02.03.2004"
+    n = apply_observation_epoch(recs, "15.06.2020")
+    assert n == len(recs) - 1
+    assert recs[0].obs_epoch == "02.03.2004"
+    assert recs[1].obs_epoch == "15.06.2020"
+    # a record whose obs epoch equals the frame epoch (the SetEpoch
+    # auto-default) counts as not explicitly set
+    recs[2].obs_epoch = recs[2].epoch
+    assert apply_observation_epoch(recs[2:3], "16.06.2020") == 1
+    assert recs[2].obs_epoch == "16.06.2020"
+
+    net = build_network(stns, recs, frame, epoch)
+
+    # DynaML round-trip preserves per-measurement observation epochs
+    xml = tmp_path / "oe.msr.xml"
+    write_dynaml_msr(str(xml), net)
+    stns2, recs2, _, _ = read_dynaml(str(xml))
+    assert recs2[0].obs_epoch == "02.03.2004"
+    assert recs2[1].obs_epoch == "15.06.2020"
+
+    # JSONL report mirrors EpochOfObservation per adjusted measurement
+    res = adjust_simultaneous(net, AdjustmentOptions())
+    out = tmp_path / "oe.adj.jsonl"
+    write_adj_jsonl(str(out), net, res)
+    msrs = [json.loads(l)["DnaMeasurement"]
+            for l in out.read_text().splitlines()
+            if "DnaMeasurement" in l]
+    epochs = {m.get("EpochOfObservation") for m in msrs}
+    assert "15.06.2020" in epochs and "02.03.2004" in epochs
