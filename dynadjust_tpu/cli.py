@@ -367,7 +367,11 @@ def _cmd_geoid(args) -> int:
             system_to=getattr(args, "system_to", "AHD_1971"),
             sub_grid_name=getattr(args, "sub_grid_name", "AUSGEOID"),
             created=getattr(args, "creation_date", ""),
-            updated=getattr(args, "update_date", ""))
+            updated=getattr(args, "update_date", ""),
+            semi_major_from=getattr(args, "semi_major_from", 6378137.0),
+            semi_minor_from=getattr(args, "semi_minor_from", 6356752.314),
+            semi_major_to=getattr(args, "semi_major_to", 6378137.0),
+            semi_minor_to=getattr(args, "semi_minor_to", 6356752.314))
         write_gsb(grid, args.grid)
         print(f"+ Created NTv2 grid {args.grid} from {args.create_ntv2}")
         return 0
@@ -1160,6 +1164,11 @@ def main(argv=None) -> int:
                    help="NTv2 units: seconds or radians")
     p.add_argument("--grid-version", default="1.0.0.0")
     p.add_argument("--system-from", default="GDA94")
+    p.add_argument("--semi-major-from", type=float, default=6378137.0,
+                   help="'from' ellipsoid semi-major for grid creation")
+    p.add_argument("--semi-minor-from", type=float, default=6356752.314)
+    p.add_argument("--semi-major-to", type=float, default=6378137.0)
+    p.add_argument("--semi-minor-to", type=float, default=6356752.314)
     p.add_argument("--system-to", default="AHD_1971")
     p.add_argument("--sub-grid-name", default="AUSGEOID")
     p.add_argument("--creation-date", default="",
@@ -1294,11 +1303,56 @@ def main(argv=None) -> int:
                    help="plot only this segmentation block (1-based)")
     p.add_argument("--omit-title-block", action="store_true")
     p.add_argument("--title", default="")
+    p.add_argument("--alternate-name", action="store_true",
+                   help="plot station descriptions as labels "
+                        "(PLOT_ALT_NAME, dnaplot.cpp:2495)")
+    p.add_argument("--centre-latitude", type=float, default=-999.0,
+                   help="centre the plot on this latitude (dd.mmsssss)")
+    p.add_argument("--centre-longitude", type=float, default=-999.0,
+                   help="centre the plot on this longitude (ddd.mmsssss)")
+    p.add_argument("--centre-station", default="",
+                   help="centre the plot on this station")
+    p.add_argument("--area-radius", type=float, default=5000.0,
+                   help="window radius in metres around the centre "
+                        "(default 5000, dnaoptions.hpp:617)")
+    p.add_argument("--bounding-box", default="",
+                   help="lat1,lon1,lat2,lon2 (dd.mmss) upper-left and "
+                        "lower-right plot limits")
     p.add_argument("--export-png", action="store_true",
                    help="write PNG instead of PDF")
     p.add_argument("--supress-pdf-creation", action="store_true",
                    help="skip the map output (graph data only)")
     _add_common(p)
+
+    def _plot_centre(a, net):
+        """(lat_deg, lon_deg) window centre from --centre-station or
+        --centre-latitude/--centre-longitude (dd.mmsssss packed DMS)."""
+        import numpy as _np
+        from .geodesy.conversions import dms_to_rad
+        if a.centre_station:
+            i = net.name_to_idx.get(a.centre_station)
+            if i is None:
+                raise SystemExit(f"- Error: centre station "
+                                 f"'{a.centre_station}' is not in the "
+                                 f"network")
+            return (float(_np.degrees(net.lat[i])),
+                    float(_np.degrees(net.lon[i])))
+        if a.centre_latitude > -999.0 and a.centre_longitude > -999.0:
+            return (float(_np.degrees(dms_to_rad(a.centre_latitude))),
+                    float(_np.degrees(dms_to_rad(a.centre_longitude))))
+        return None
+
+    def _plot_bbox(s):
+        """lat1,lon1,lat2,lon2 (dd.mmss) -> degrees tuple."""
+        if not s:
+            return None
+        import numpy as _np
+        from .geodesy.conversions import dms_to_rad
+        parts = [float(v) for v in s.split(",")]
+        if len(parts) != 4:
+            raise SystemExit("- Error: bounding box must be "
+                             "lat1,lon1,lat2,lon2")
+        return tuple(float(_np.degrees(dms_to_rad(v))) for v in parts)
 
     def _copy_net_with_adjusted(net, res):
         import copy
@@ -1364,7 +1418,11 @@ def main(argv=None) -> int:
             omit_title_block=a.omit_title_block,
             title=a.title or None,
             ellipse_magnify=a.scale_ellipse_circles,
-            arrow_magnify=a.scale_arrows)
+            arrow_magnify=a.scale_arrows,
+            alternate_name=a.alternate_name,
+            centre=_plot_centre(a, net),
+            area_radius_m=a.area_radius,
+            bounding_box=_plot_bbox(a.bounding_box))
         print(f"+ Wrote {out}")
         return 0
     p.set_defaults(func=_cmd_plot)

@@ -46,7 +46,11 @@ def create_ntv2_from_dat(dat_path: str, uncertainty_path: str = "",
                          system_from: str = "GDA94",
                          system_to: str = "AHD_1971",
                          sub_grid_name: str = "AUSGEOID",
-                         created: str = "", updated: str = "") -> NTv2Grid:
+                         created: str = "", updated: str = "",
+                         semi_major_from: float = 6378137.0,
+                         semi_minor_from: float = 6356752.314,
+                         semi_major_to: float = 6378137.0,
+                         semi_minor_to: float = 6356752.314) -> NTv2Grid:
     """Build an in-memory NTv2 grid from an AUSGeoid DAT file.
 
     uncertainty_path: optional WINTER DAT uncertainty file whose N-value
@@ -84,8 +88,9 @@ def create_ntv2_from_dat(dat_path: str, uncertainty_path: str = "",
     sg.values = vals
     return NTv2Grid(gs_type=gs_type.upper().ljust(8), version=version,
                     system_from=system_from, system_to=system_to,
-                    ellipsoid_from=(6378137.0, 6356752.314),
-                    ellipsoid_to=(6378137.0, 6356752.314), subgrids=[sg])
+                    ellipsoid_from=(semi_major_from, semi_minor_from),
+                    ellipsoid_to=(semi_major_to, semi_minor_to),
+                    subgrids=[sg])
 
 
 def write_gsb(grid: NTv2Grid, path: str):

@@ -23,7 +23,9 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
                  label_corrections: bool = False,
                  label_font_size: float = 6.0,
                  block_number: int = 0, omit_title_block: bool = False,
-                 ellipse_magnify: float = 1.0, arrow_magnify: float = 1.0):
+                 ellipse_magnify: float = 1.0, arrow_magnify: float = 1.0,
+                 alternate_name: bool = False, centre=None,
+                 area_radius_m: float = 5000.0, bounding_box=None):
     """Write a network map (PDF/PNG by extension).
 
     show_corrections: arrows from initial to adjusted positions (the
@@ -31,7 +33,13 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
     radian arrays).  show_pu: positional uncertainty circles (95%).
     msr_types: plot only these measurement type codes (--plot-msr-types).
     block_number: restrict to one segmentation block (1-based; needs seg).
-    label_*: station name / constraint / correction annotations."""
+    label_*: station name / constraint / correction annotations.
+    alternate_name: label stations by description instead of name
+    (PLOT_ALT_NAME, dnaplot.cpp:2495).  centre: (lat_deg, lon_deg) to
+    centre the plot window, bounded by area_radius_m (the reference's
+    --centre-latitude/--centre-longitude/--centre-station/--area-radius).
+    bounding_box: (lat1, lon1, lat2, lon2) degrees, upper-left to
+    lower-right."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -158,6 +166,9 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
             if in_block is not None and i not in in_block:
                 continue
             txt = net.names[i] if label_stations else ""
+            if label_stations and alternate_name:
+                # description as label, "_" when empty (dnaplot.cpp:2498)
+                txt = (net.descriptions[i] or "_").strip() or "_"
             if label_constraints and "C" in net.constraints[i]:
                 txt = (txt + " " if txt else "") + net.constraints[i]
             if txt:
@@ -176,6 +187,16 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
                             xytext=(2, -8), textcoords="offset points",
                             zorder=8)
 
+    if centre is not None:
+        clat, clon = centre
+        dlat = area_radius_m / 111320.0
+        dlon = dlat / max(np.cos(np.radians(clat)), 1e-6)
+        ax.set_xlim(clon - dlon, clon + dlon)
+        ax.set_ylim(clat - dlat, clat + dlat)
+    elif bounding_box is not None:
+        lat1, lon1, lat2, lon2 = bounding_box
+        ax.set_xlim(min(lon1, lon2), max(lon1, lon2))
+        ax.set_ylim(min(lat1, lat2), max(lat1, lat2))
     ax.set_xlabel("Longitude (°)")
     ax.set_ylabel("Latitude (°)")
     if not omit_title_block:

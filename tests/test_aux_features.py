@@ -573,3 +573,44 @@ def test_observation_epoch(sample_dir, tmp_path):
             if "DnaMeasurement" in l]
     epochs = {m.get("EpochOfObservation") for m in msrs}
     assert "15.06.2020" in epochs and "02.03.2004" in epochs
+
+
+def test_plot_window_and_alt_names(tmp_path, sample_dir):
+    """Plot window options (--centre-station/--area-radius,
+    --bounding-box) and description labels (--alternate-name)."""
+    from dynadjust_tpu.network import build_network
+    from dynadjust_tpu.output.plot import plot_network
+    stns, frame, epoch = read_dna_stn(f"{sample_dir}/gnss-network.stn")
+    recs, _, _ = read_dna_msr(f"{sample_dir}/gnss-network.msr")
+    net = build_network(stns, recs, frame, epoch)
+    clat = float(np.degrees(net.lat[0]))
+    clon = float(np.degrees(net.lon[0]))
+    out = plot_network(str(tmp_path / "win.png"), net,
+                       centre=(clat, clon), area_radius_m=20000.0,
+                       label_stations=True, alternate_name=True)
+    assert os.path.getsize(out) > 1000
+    out2 = plot_network(str(tmp_path / "bbox.png"), net,
+                        bounding_box=(clat - 1, clon - 1,
+                                      clat + 1, clon + 1))
+    assert os.path.getsize(out2) > 1000
+
+
+def test_ntv2_ellipsoid_overrides(tmp_path, sample_dir):
+    """--semi-major-from/-to and --semi-minor-from/-to land in the NTv2
+    header (NTV2_MAJOR_F..., dnageoidwrapper.cpp:650,886)."""
+    import glob
+    from dynadjust_tpu.geoid.gridtools import create_ntv2_from_dat, \
+        write_gsb
+    from dynadjust_tpu.io_formats.ntv2 import NTv2Grid
+    dats = glob.glob(f"{sample_dir}/ausgeoid*.dat")
+    assert dats, "no DAT fixture"
+    grid = create_ntv2_from_dat(dats[0], semi_major_from=6378160.0,
+                                semi_minor_from=6356774.719,
+                                semi_major_to=6378137.0,
+                                semi_minor_to=6356752.314)
+    out = tmp_path / "o.gsb"
+    write_gsb(grid, str(out))
+    g2 = NTv2Grid.read(str(out))
+    assert abs(g2.ellipsoid_from[0] - 6378160.0) < 1e-6
+    assert abs(g2.ellipsoid_from[1] - 6356774.719) < 1e-6
+    assert abs(g2.ellipsoid_to[0] - 6378137.0) < 1e-6
