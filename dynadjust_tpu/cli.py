@@ -38,7 +38,8 @@ def _cmd_import(args) -> int:
     if getattr(args, "export_from_binary", False):
         # exports from the saved network store, no re-parse
         # (EXPORT_FROM_BINARY; the reference's binary files are our store)
-        net = project.load_network(args.output_folder, args.network_name)
+        net = project.load_network(getattr(args, 'input_folder', '') or
+                               args.output_folder, args.network_name)
         base = os.path.join(args.output_folder, args.network_name)
         if getattr(args, "export_dna", False):
             from .io_formats.dna_writer import write_dna_stn, write_dna_msr
@@ -429,7 +430,8 @@ def _cmd_geoid(args) -> int:
         print("error: network name required", file=sys.stderr)
         return 1
 
-    net = project.load_network(args.output_folder, args.network_name)
+    net = project.load_network(getattr(args, 'input_folder', '') or
+                               args.output_folder, args.network_name)
     grid = NTv2Grid.read(args.grid)
     n = apply_geoid(net, grid, convert_heights=args.convert_stn_hts,
                     method=args.interpolation_method)
@@ -465,7 +467,8 @@ def _cmd_reftran(args) -> int:
         print(f"+ Loaded plate motion model "
               f"({len(plate_model.polygons)} plates)")
 
-    net = project.load_network(args.output_folder, args.network_name)
+    net = project.load_network(getattr(args, 'input_folder', '') or
+                               args.output_folder, args.network_name)
     if getattr(args, "override_input_ref_frame", False) and \
             args.reference_frame:
         # --override-input-ref-frame: relabel without transformation
@@ -490,7 +493,8 @@ def _cmd_segment(args) -> int:
     from .segment import segment_network
     from . import project
 
-    net = project.load_network(args.output_folder, args.network_name)
+    net = project.load_network(getattr(args, 'input_folder', '') or
+                               args.output_folder, args.network_name)
     starting = args.starting_stns
     if getattr(args, "net_file", False):
         net_path = os.path.join(args.output_folder,
@@ -547,7 +551,8 @@ def _cmd_adjust(args) -> int:
     from .output import write_adj, write_xyz
     from . import project
 
-    net = project.load_network(args.output_folder, args.network_name)
+    net = project.load_network(getattr(args, 'input_folder', '') or
+                               args.output_folder, args.network_name)
     opts = AdjustmentOptions(
         max_iterations=args.max_iterations,
         iteration_threshold=args.iteration_threshold,
@@ -579,8 +584,13 @@ def _cmd_adjust(args) -> int:
         typeb_global = parse_typeb_global(args.type_b_global)
 
     import pickle
+    in_folder = getattr(args, "input_folder", "") or args.output_folder
     base0 = os.path.join(args.output_folder, args.network_name)
     res_file = f"{base0}.results.pkl"
+    if not os.path.exists(res_file):
+        alt = os.path.join(in_folder, f"{args.network_name}.results.pkl")
+        if os.path.exists(alt):
+            res_file = alt
 
     t0 = time.time()
     if args.report_mode:
@@ -595,6 +605,10 @@ def _cmd_adjust(args) -> int:
     elif args.phased or args.block1_phased:
         seg_file = os.path.join(args.output_folder,
                                 f"{args.network_name}.seg.pkl")
+        if not os.path.exists(seg_file):
+            alt = os.path.join(in_folder, f"{args.network_name}.seg.pkl")
+            if os.path.exists(alt):
+                seg_file = alt
         if getattr(args, "tpu", False) and not args.block1_phased:
             # TPU-native phased: parallel two-level blocked Schur instead
             # of the sequential forward/reverse/combine sweeps
@@ -867,6 +881,9 @@ def _cmd_dynadjust(args) -> int:
 def _add_common(p, project_opt=True):
     p.add_argument("--output-folder", default=".",
                    help="project/output folder")
+    p.add_argument("-i", "--input-folder", default="",
+                   help="folder to look in for interim project files "
+                        "(default: the output folder)")
     p.add_argument("-q", "--quiet", action="store_true",
                    help="suppress progress output")
     if project_opt:
@@ -1301,6 +1318,9 @@ def main(argv=None) -> int:
     p.add_argument("--label-font-size", type=float, default=6.0)
     p.add_argument("--block-number", type=int, default=0,
                    help="plot only this segmentation block (1-based)")
+    p.add_argument("--phased-block-view", action="store_true",
+                   help="write one map per segmentation block "
+                        "(PLOT_BLOCKS, dnaplotwrapper.cpp:375)")
     p.add_argument("--omit-title-block", action="store_true")
     p.add_argument("--title", default="")
     p.add_argument("--alternate-name", action="store_true",
@@ -1365,10 +1385,15 @@ def main(argv=None) -> int:
     def _cmd_plot(a):
         import pickle
         from . import project
-        net = project.load_network(a.output_folder, a.network_name)
+        net = project.load_network(getattr(a, 'input_folder', '') or
+                                   a.output_folder, a.network_name)
         base = os.path.join(a.output_folder, a.network_name)
+        in_base = os.path.join(getattr(a, "input_folder", "") or
+                               a.output_folder, a.network_name)
         seg = None
         seg_file = f"{base}.seg.pkl"
+        if not os.path.exists(seg_file):
+            seg_file = f"{in_base}.seg.pkl"
         if os.path.exists(seg_file):
             from .segment import Segmentation
             seg = Segmentation.load(seg_file)
@@ -1385,6 +1410,8 @@ def main(argv=None) -> int:
         res = None
         initial = None
         res_file = f"{base}.results.pkl"
+        if not os.path.exists(res_file):
+            res_file = f"{in_base}.results.pkl"
         if os.path.exists(res_file):
             with open(res_file, "rb") as f:
                 res = pickle.load(f)
@@ -1399,6 +1426,26 @@ def main(argv=None) -> int:
                 else:
                     initial = (net.lat, net.lon)
                 net = _copy_net_with_adjusted(net, res)
+        if a.phased_block_view and seg is not None:
+            outs = []
+            for b in range(seg.block_count):
+                out_b = f"{base}.block{b + 1}.{ext}"
+                plot_network(
+                    out_b, net, res=res, seg=seg,
+                    show_ellipses=a.error_ellipses and res is not None,
+                    msr_types=a.plot_msr_types,
+                    omit_measurements=a.omit_measurements,
+                    msr_line_width=a.msr_line_width,
+                    label_stations=a.label_stations,
+                    label_font_size=a.label_font_size,
+                    block_number=b + 1,
+                    omit_title_block=a.omit_title_block,
+                    title=f"{a.title or a.network_name} block {b + 1}",
+                    alternate_name=a.alternate_name)
+                outs.append(out_b)
+            print(f"+ Wrote {len(outs)} block maps "
+                  f"({outs[0]} .. {outs[-1]})")
+            return 0
         out = a.output or f"{base}.{ext}"
         plot_network(
             out, net, res=res, seg=seg,
@@ -1437,7 +1484,8 @@ def main(argv=None) -> int:
         from . import project
         from collections import Counter
         from .io_formats.dna import GpsCluster, DirectionSet
-        net = project.load_network(a.output_folder, a.network_name)
+        net = project.load_network(getattr(a, 'input_folder', '') or
+                                   a.output_folder, a.network_name)
         PAD = 35
         print(f"{'Network name:':<{PAD}}{a.network_name}")
         print(f"{'Reference frame:':<{PAD}}{net.frame}")

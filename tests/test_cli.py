@@ -60,3 +60,41 @@ def test_cli_orchestrator_with_log(sample_dir, tmp_path):
     log = (tmp_path / "dynadjust.log").read_text()
     for stage in ("import", "geoid", "segment", "adjust"):
         assert f"{stage:<10}done" in log, stage
+
+
+def test_input_folder_and_block_view(tmp_path, sample_dir):
+    """-i/--input-folder resolves interim files from a different folder
+    (general option on every reference tool); --phased-block-view writes
+    one map per block."""
+    import subprocess
+    import sys
+    import glob
+    import os
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    ind = tmp_path / "in"
+    outd = tmp_path / "out"
+    ind.mkdir()
+    outd.mkdir()
+
+    def run(*a):
+        r = subprocess.run([sys.executable, "-m", "dynadjust_tpu", *a],
+                           capture_output=True, text=True, env=env,
+                           cwd=str(tmp_path))
+        assert r.returncode == 0, r.stdout + r.stderr
+        return r.stdout
+
+    run("import", "-n", "g",
+        f"{sample_dir}/gnss-network.stn", f"{sample_dir}/gnss-network.msr",
+        "--output-folder", str(ind))
+    run("segment", "g", "--min-inner-stns", "5", "--max-block-stns", "30",
+        "--output-folder", str(ind))
+    # adjust reads the store from -i, writes results to --output-folder
+    out = run("adjust", "g", "-i", str(ind), "--output-folder", str(outd),
+              "--phased", "--scale-normals-to-unity")
+    assert "Converged" in out
+    assert (outd / "g.phased.adj").exists()
+    # plot per-block maps, store and seg from -i, maps to --output-folder
+    run("plot", "g", "-i", str(ind), "--output-folder", str(outd),
+        "--phased-block-view", "--export-png")
+    blocks = glob.glob(str(outd / "g.block*.png"))
+    assert len(blocks) >= 2
