@@ -295,6 +295,12 @@ class Assembler:
         corrections (mutating term1) as PrepareAdjustment does."""
         A, mmc = self.A, self.mmc
         rebuild_design = self.has_non_gps or not self._built
+        # the reference restores term1 from preAdjMeas and re-reduces on
+        # every matrix rebuild (InitialiseMeasurement dnaadjust.cpp:3913,
+        # bms_meta_.reduced :373), so deflection corrections track the
+        # current estimates; reduction branches below are reset-style
+        apply_reductions = apply_reductions or (self.has_non_gps and
+                                                self._built)
         if rebuild_design:
             A[:] = 0.0
         if self.has_non_gps and self._built:
@@ -454,9 +460,9 @@ class Assembler:
                 it.pre_adj_corr = gm.hz_angle_deflection_correction(
                     d12, zen12, d13, zen13,
                     net.vertical_def[s1], net.meridian_def[s1])
-                it.term1 -= it.pre_adj_corr
             else:
                 it.pre_adj_corr = 0.0
+            it.term1 = it.pre_adj_meas - it.pre_adj_corr
 
         self._mmc(it, comp)
 
@@ -495,9 +501,9 @@ class Assembler:
                 it.pre_adj_corr = gm.laplace_correction(
                     comp, zen, net.vertical_def[s1], net.meridian_def[s1],
                     lat1)
-                it.term1 -= it.pre_adj_corr
             else:
                 it.pre_adj_corr = 0.0
+            it.term1 = it.pre_adj_meas - it.pre_adj_corr
 
         self._mmc(it, comp)
         cl, sl = np.cos(lat1), np.sin(lat1)
@@ -548,12 +554,12 @@ class Assembler:
                 az = gm.direction(*p1, *p2, lat1, lon1)[0]
                 it.pre_adj_corr = gm.zenith_deflection_correction(
                     az, net.vertical_def[s1], net.meridian_def[s1])
-                if it.mtype == "V":
-                    it.term1 += it.pre_adj_corr
-                else:   # Z
-                    it.term1 -= it.pre_adj_corr
             else:
                 it.pre_adj_corr = 0.0
+            if it.mtype == "V":
+                it.term1 = it.pre_adj_meas + it.pre_adj_corr
+            else:   # Z
+                it.term1 = it.pre_adj_meas - it.pre_adj_corr
 
         if it.mtype == "V":
             comp, e, n, up = gm.zenith_distance(
@@ -601,9 +607,9 @@ class Assembler:
             if (abs(net.geoid_sep[s1]) > 1e-4 or
                     abs(net.geoid_sep[s2]) > 1e-4):
                 it.pre_adj_corr = net.geoid_sep[s2] - net.geoid_sep[s1]
-                it.term1 += it.pre_adj_corr
             else:
                 it.pre_adj_corr = 0.0
+            it.term1 = it.pre_adj_meas + it.pre_adj_corr
 
         self._mmc(it, comp)
         A, row = self.A, it.row
@@ -623,9 +629,9 @@ class Assembler:
         if apply_reductions:
             if it.mtype == "H" and abs(net.geoid_sep[s1]) > 1e-4:
                 it.pre_adj_corr = net.geoid_sep[s1]
-                it.term1 += it.pre_adj_corr
             else:
                 it.pre_adj_corr = 0.0
+            it.term1 = it.pre_adj_meas + it.pre_adj_corr
 
         comp, nu1, zn1 = gm.ellipsoid_height(*p1, self.cur_lat[s1], ell)
         self._mmc(it, comp)
@@ -644,9 +650,9 @@ class Assembler:
             if it.mtype == "I" and \
                     abs(net.meridian_def[s1]) > E4_SEC_DEFLECTION:
                 it.pre_adj_corr = net.meridian_def[s1]
-                it.term1 -= it.pre_adj_corr
             else:
                 it.pre_adj_corr = 0.0
+            it.term1 = it.pre_adj_meas - it.pre_adj_corr
 
         # mechanical differentiation with 1e-4 increments
         # (PartialD_Latitude, dnatemplategeodesyfuncs.hpp:281-320)
@@ -670,10 +676,11 @@ class Assembler:
         if apply_reductions:
             if it.mtype == "J" and \
                     abs(net.vertical_def[s1]) > E4_SEC_DEFLECTION:
-                it.pre_adj_corr = net.vertical_def[s1] / np.cos(self.cur_lat[s1])
-                it.term1 -= it.pre_adj_corr
+                it.pre_adj_corr = net.vertical_def[s1] / \
+                    np.cos(self.cur_lat[s1])
             else:
                 it.pre_adj_corr = 0.0
+            it.term1 = it.pre_adj_meas - it.pre_adj_corr
 
         self._mmc(it, lon1)
         t = p1[0] * p1[1] / (p1[0] ** 2 + p1[1] ** 2) ** 1.5

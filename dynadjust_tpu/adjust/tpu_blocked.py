@@ -67,10 +67,51 @@ def _block_cov_from_factors(factors, b, ki, kj, inner_idx, junc_idx,
     return out
 
 
+def _assemble_block_cov(cov_ii, cov_ij, cov_jj, ki, kj,
+                        inner_idx, junc_idx):
+    k = ki + kj
+    cov = np.zeros((k, k))
+    cov[np.ix_(range(ki), range(ki))] = cov_ii
+    cov[np.ix_(range(ki), range(ki, k))] = cov_ij
+    cov[np.ix_(range(ki, k), range(ki))] = cov_ij.T
+    cov[np.ix_(range(ki, k), range(ki, k))] = cov_jj
+    perm = np.concatenate([inner_idx, junc_idx])
+    out = np.zeros_like(cov)
+    out[np.ix_(perm, perm)] = cov
+    return out
+
+
+def _block_cov_from_nested(factors, b, ki, kj, inner_idx, junc_idx,
+                           jmap_b):
+    """Same block-inverse identities as _block_cov_from_factors, with
+    the junction covariance recovered through the nested level-2/3
+    factors (nested_junction_cov) instead of a global Sinv."""
+    Ainv_b, Y_b, di_b = factors.level1_block(b)
+    Ainv_b = Ainv_b[:ki, :ki]
+    Y_b = Y_b[:ki, :kj]
+    di_b = di_b[:ki]
+    jm = np.asarray(jmap_b)[:kj]
+    Csel = factors.junction_cov(jm)
+    djg_b = factors.djg_np[jm]
+    YS = Y_b @ Csel
+    cov_ii = (Ainv_b + YS @ Y_b.T) * np.outer(di_b, di_b)
+    cov_ij = -YS * np.outer(di_b, djg_b)
+    cov_jj = Csel * np.outer(djg_b, djg_b)
+    return _assemble_block_cov(cov_ii, cov_ij, cov_jj, ki, kj,
+                               inner_idx, junc_idx)
+
+
 def adjust_tpu_blocked(net: NetworkData,
                        options: AdjustmentOptions | None = None,
                        seg_file: str | None = None,
-                       seg: Segmentation | None = None) -> AdjustmentResult:
+                       seg: Segmentation | None = None,
+                       super_blocks: int = 0,
+                       staged: bool = False) -> AdjustmentResult:
+    """super_blocks > 0 routes the solve through the 3-level nested
+    Schur factors (contiguous grouping of the segmentation's blocks into
+    that many super-blocks) — the national-scale junction path.  staged
+    additionally stages the level-1 factor pools in host RAM and streams
+    them through the chip (networks whose factors exceed HBM)."""
     from ..parallel.schur import build_block_system, DeviceSchurFactors
 
     opts = options or AdjustmentOptions()
@@ -119,6 +160,7 @@ def adjust_tpu_blocked(net: NetworkData,
     max_corr = np.inf
     factors = None
     bs = None
+    nested_part = None
 
     for _ in range(opts.max_iterations):
         iteration += 1
@@ -133,13 +175,32 @@ def adjust_tpu_blocked(net: NetworkData,
                                 [p[1] for p in part],
                                 [p[2] for p in part])
         # re-factor when geometry changed (non-GPS present) or first pass
-        if factors is None or any(blk.asm.has_non_gps for blk in blocks):
-            # f64 factorization: real networks (angular weights +
-            # constraints) exceed what f32+refinement recovers
+        refactor = factors is None or any(blk.asm.has_non_gps
+                                          for blk in blocks)
+        if super_blocks > 0:
+            from ..parallel.schur import (build_nested_partition,
+                                          NestedSchurFactors,
+                                          StreamedNestedSchurFactors)
+            if nested_part is None:
+                block_super = (np.arange(B, dtype=np.int64) *
+                               min(super_blocks, B)) // B
+                nested_part = build_nested_partition(bs, block_super)
+            if refactor:
+                cls = (StreamedNestedSchurFactors if staged
+                       else NestedSchurFactors)
+                # f64 factorization: real networks (angular weights +
+                # constraints) exceed what f32+refinement recovers
+                factors = cls(bs, nested_part, dtype=np.float64)
+            else:
+                factors.bs = bs
+            xi, xj = factors.solve(bs.bi, bs.bj)
+        elif refactor:
+            # f64 factorization (see above)
             factors = DeviceSchurFactors(bs, method="inv64")
+            xi, xj = factors.solve(bs.bi, bs.bj, refine=2)
         else:
             factors.bs = bs
-        xi, xj = factors.solve(bs.bi, bs.bj, refine=2)
+            xi, xj = factors.solve(bs.bi, bs.bj, refine=2)
 
         max_corr = 0.0
         max_stn = 0
@@ -189,9 +250,14 @@ def adjust_tpu_blocked(net: NetworkData,
     cov = np.zeros((3 * S, 3 * S))
     for b, blk in enumerate(blocks):
         inner_p, junc_p, junc_g = part[b]
-        cov_b = _block_cov_from_factors(
-            factors.factors, b, len(inner_p), len(junc_p),
-            inner_p, junc_p, bs.jmap[b], bs.jmask[b])
+        if super_blocks > 0:
+            cov_b = _block_cov_from_nested(
+                factors, b, len(inner_p), len(junc_p),
+                inner_p, junc_p, bs.jmap[b])
+        else:
+            cov_b = _block_cov_from_factors(
+                factors.factors, b, len(inner_p), len(junc_p),
+                inner_p, junc_p, bs.jmap[b], bs.jmask[b])
         rows, c2, outl, ps, pn = _measurement_stats(
             blk.asm, net, cov_b, blk.est, crit)
         stats_rows.extend(rows)

@@ -615,7 +615,9 @@ def _cmd_adjust(args) -> int:
             from .adjust.tpu_blocked import adjust_tpu_blocked
             res = adjust_tpu_blocked(
                 net, opts,
-                seg_file if os.path.exists(seg_file) else None)
+                seg_file if os.path.exists(seg_file) else None,
+                super_blocks=getattr(args, "tpu_super_blocks", 0),
+                staged=bool(args.staged_adjustment))
         else:
             from .adjust.phased import adjust_phased
             res = adjust_phased(
@@ -992,6 +994,13 @@ def _add_adjust_args(p):
                    help="solve the normal equations on the TPU (blocked "
                         "f32 MXU factorization + on-device Newton-refined "
                         "f64 inverse)")
+    p.add_argument("--tpu-super-blocks", type=int, default=0,
+                   help="with --phased --tpu: group the segmentation "
+                        "blocks into this many super-blocks and solve "
+                        "through the 3-level nested Schur factors (the "
+                        "national-scale junction path; combine with "
+                        "--staged-adjustment to stream host-staged "
+                        "factor pools past HBM)")
     p.add_argument("--scale-normals-to-unity", action="store_true")
     p.add_argument("--max-iterations", type=int, default=10)
     p.add_argument("--iteration-threshold", type=float, default=0.0005)

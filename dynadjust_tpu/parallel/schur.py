@@ -1590,3 +1590,102 @@ class StreamedNestedSchurFactors:
             xi[sl] = np.asarray(xi_c, dtype=np.float64)
             del xi_c
         return xi, np.asarray(xj, dtype=np.float64) * self.djg_h[:njg]
+
+
+# ---------------------------------------------------------------------------
+# nested a-posteriori covariance extraction (for adjusted-measurement stats)
+# ---------------------------------------------------------------------------
+
+def nested_junction_cov(part: NestedPartition, A2inv, Y2, Sinv, gsel):
+    """Scaled a-posteriori covariance over global junction params `gsel`.
+
+    The level-2 analogue of reading Sinv blocks on the flat path: with
+    W = Y2[sb] and the level-3 inverse Sinv,
+        Cov(inner2_sb)      = A2inv[sb] + W Sinv_sel Wᵀ
+        Cov(inner2_sb, xsj) = −W Sinv[j2map[sb], :]
+        Cov(xsj)            = Sinv
+    (the standard 2x2 block-inverse identities, same as the reference's
+    combine-pass variance recovery, dnaadjust.cpp:3196).  All params of
+    one level-1 block live in a single super-block by construction, so
+    any block's junction params are covered.  Returns (k, k) in the
+    djg-scaled space."""
+    gsel = np.asarray(gsel, dtype=np.int64)
+    k = len(gsel)
+    kind = part.xj_kind[gsel]
+    sbs = {int(s) for s in part.xj_sb[gsel[kind == 0]]}
+    if len(sbs) > 1:
+        raise ValueError("junction params span multiple super-blocks")
+    cov = np.zeros((k, k))
+    sj_idx = part.xj_slot[gsel]          # inner2 slot (kind 0) / sj (kind 1)
+    if (kind == 0).any():
+        sb = next(iter(sbs))
+        U = np.asarray(Y2[sb], dtype=np.float64)        # (ni2, nj2)
+        jm2 = part.j2map[sb]
+        Sl = np.asarray(Sinv, dtype=np.float64)
+        C_loc = Sl[np.ix_(jm2, jm2)] * np.outer(part.j2mask[sb],
+                                                part.j2mask[sb])
+        A2 = np.asarray(A2inv[sb], dtype=np.float64)
+        M = A2 + U @ C_loc @ U.T                        # cov(inner2_sb)
+        X = -(U * part.j2mask[sb][None, :]) @ Sl[jm2, :]  # (ni2, nsj)
+        i0 = np.nonzero(kind == 0)[0]
+        cov[np.ix_(i0, i0)] = M[np.ix_(sj_idx[i0], sj_idx[i0])]
+        i1 = np.nonzero(kind == 1)[0]
+        if len(i1):
+            cov[np.ix_(i0, i1)] = X[np.ix_(sj_idx[i0], sj_idx[i1])]
+            cov[np.ix_(i1, i0)] = cov[np.ix_(i0, i1)].T
+    i1 = np.nonzero(kind == 1)[0]
+    if len(i1):
+        Sl = np.asarray(Sinv, dtype=np.float64)
+        cov[np.ix_(i1, i1)] = Sl[np.ix_(sj_idx[i1], sj_idx[i1])]
+    return cov
+
+
+def _resident_level1_block(self, b):
+    Ainv, Y, A2inv, Y2, Sinv, di, dj, djg = self.factors
+    return (np.asarray(Ainv[b], dtype=np.float64),
+            np.asarray(Y[b], dtype=np.float64),
+            np.asarray(di[b], dtype=np.float64))
+
+
+def _resident_junction_cov(self, gsel):
+    Ainv, Y, A2inv, Y2, Sinv, di, dj, djg = self.factors
+    if getattr(self, "_l2_host", None) is None:
+        self._l2_host = (np.asarray(A2inv, dtype=np.float64),
+                         np.asarray(Y2, dtype=np.float64),
+                         np.asarray(Sinv, dtype=np.float64))
+    A2h, Y2h, Sh = self._l2_host
+    return nested_junction_cov(self.part, A2h, Y2h, Sh, gsel)
+
+
+def _resident_djg_np(self):
+    return np.asarray(self.factors[7], dtype=np.float64)
+
+
+NestedSchurFactors.level1_block = _resident_level1_block
+NestedSchurFactors.junction_cov = _resident_junction_cov
+NestedSchurFactors.djg_np = property(_resident_djg_np)
+
+
+def _streamed_level1_block(self, b):
+    return (np.asarray(self.Ainv_h[b], dtype=np.float64),
+            np.asarray(self.Y_h[b], dtype=np.float64),
+            np.asarray(self.di_h[b], dtype=np.float64))
+
+
+def _streamed_junction_cov(self, gsel):
+    if getattr(self, "_l2_host", None) is None:
+        A2inv, Y2, Sinv = self.l2_factors
+        self._l2_host = (np.asarray(A2inv, dtype=np.float64),
+                         np.asarray(Y2, dtype=np.float64),
+                         np.asarray(Sinv, dtype=np.float64))
+    A2h, Y2h, Sh = self._l2_host
+    return nested_junction_cov(self.part, A2h, Y2h, Sh, gsel)
+
+
+def _streamed_djg_np(self):
+    return np.asarray(self.djg_h, dtype=np.float64)
+
+
+StreamedNestedSchurFactors.level1_block = _streamed_level1_block
+StreamedNestedSchurFactors.junction_cov = _streamed_junction_cov
+StreamedNestedSchurFactors.djg_np = property(_streamed_djg_np)

@@ -300,3 +300,50 @@ def test_nested_schur_streamed(grid_system):
                                                  streamed=True)
     np.testing.assert_allclose(xi_t, xi, atol=1e-7)
     np.testing.assert_allclose(xj_t, xj, atol=1e-7)
+
+
+def test_nested_junction_cov_matches_dense(grid_system):
+    """Nested a-posteriori junction covariance (level-2/3 block-inverse
+    identities) equals the dense N^-1 junction sub-blocks — the variance
+    recovery the reference's combine pass provides (dnaadjust.cpp:3196)."""
+    from dynadjust_tpu.parallel.schur import (
+        build_nested_partition, NestedSchurFactors,
+        StreamedNestedSchurFactors)
+    from dynadjust_tpu.utils.synthetic import grid_super_assignment
+
+    bs, bn, rows, cols, blk = grid_system
+    sup = grid_super_assignment(rows, cols, blk, blk, 2, 2)
+    part = build_nested_partition(bs, sup)
+
+    # dense junction covariance via the full simultaneous inverse
+    dx = _dense_solution(bn, np.zeros((bn.nstations, 3)), 0.01)  # noqa
+    S = bn.nstations
+    N = np.zeros((3 * S, 3 * S))
+    for m, (i, j) in enumerate(bn.pairs):
+        w = bn.weight[m]
+        for k in range(3):
+            N[3 * i + k, 3 * i + k] += w
+            N[3 * j + k, 3 * j + k] += w
+            N[3 * i + k, 3 * j + k] -= w
+            N[3 * j + k, 3 * i + k] -= w
+    wdiag = np.full(3 * S, 0.01)
+    for s in bn.constrained:
+        wdiag[3 * s:3 * s + 3] = 1e6
+    N += np.diag(wdiag)
+    Ninv = np.linalg.inv(N)
+
+    # global junction param g corresponds to station bn.junction_stations
+    jstn = np.asarray(bn.junction_stations)
+    gparam = np.concatenate([[3 * s, 3 * s + 1, 3 * s + 2] for s in jstn])
+
+    for factors in (NestedSchurFactors(bs, part, dtype=np.float64),
+                    StreamedNestedSchurFactors(bs, part,
+                                               dtype=np.float64, chunk=3)):
+        djg = factors.djg_np
+        for b in [0, len(bs.Nii) // 2, len(bs.Nii) - 1]:
+            jm = bs.jmap[b][bs.jmask[b] > 0]
+            C = factors.junction_cov(jm)
+            C = C * np.outer(djg[jm], djg[jm])     # unscale
+            sel = gparam[jm]
+            np.testing.assert_allclose(
+                C, Ninv[np.ix_(sel, sel)], rtol=1e-6, atol=1e-12)
