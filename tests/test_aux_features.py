@@ -84,14 +84,7 @@ def test_geoid_summary_and_geo_export(sample_dir, tmp_path):
     export_dna_geo(str(p), net)
     ours = p.read_text().splitlines()
     exp = open(f"{sample_dir}/urban-network.geo").read().splitlines()
-    assert len(ours) == len(exp)
-    # byte-identical bar last-digit interpolation rounding (<=0.001")
-    diffs = [(a, b) for a, b in zip(ours, exp) if a != b]
-    assert len(diffs) <= 4
-    for a, b in diffs:
-        va = [float(t) for t in a.split()[1:]]
-        vb = [float(t) for t in b.split()[1:]]
-        assert max(abs(x - y) for x, y in zip(va, vb)) <= 0.0011
+    assert ours == exp      # byte-identical to the reference's own export
 
 
 def test_screening_assoc_and_transcend(sample_dir):
