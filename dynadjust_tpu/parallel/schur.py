@@ -1337,7 +1337,8 @@ class NestedSchurFactors:
 def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
                                 refine: int = 2, dtype=np.float32,
                                 factors: NestedSchurFactors = None,
-                                streamed: bool = False):
+                                streamed: bool = False,
+                                max_refine: int = 12):
     """Nested mixed-precision solve with factor reuse: one 3-level f32
     factorization, then 1 + refine cheap applies with f64 host residual
     refinement.  Pass `factors` back in to skip re-factorizing when the
@@ -1366,7 +1367,7 @@ def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
     # with `refine` as the floor
     rhs_scale = max(float(np.abs(bs.bi).max()),
                     float(np.abs(rhs_j_global).max()), 1e-30)
-    max_refine = max(refine, 12)
+    max_refine = max(refine, max_refine)
     prev_rel = np.inf
     for round_no in range(max_refine):
         yi, yj = _block_matvec(bs, xi, xj)

@@ -19,8 +19,11 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-COLS = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+# Default 448x448 = ~200k stations: the axon tunnel client leaks every
+# uploaded host buffer (~1x traffic), so the demo bounds total upload
+# traffic (bounded refinement, one reuse apply) to stay inside host RAM.
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 448
+COLS = int(sys.argv[2]) if len(sys.argv) > 2 else 448
 BLOCK = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 SUPER = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
@@ -60,17 +63,17 @@ def main():
     log(f"f32 level-1 pool ~{gib:.1f} GiB (device={jax.devices()[0]})")
 
     t0 = time.time()
-    xi, xj, factors = schur_solve_nested_factored(bs, part, refine=2,
-                                                  streamed=True)
+    xi, xj, factors = schur_solve_nested_factored(bs, part, refine=0,
+                                                  streamed=True,
+                                                  max_refine=3)
     t_solve = time.time() - t0
     log(f"streamed factor+refined-solve {t_solve:.1f}s (chunk C="
         f"{factors.C})")
 
     t0 = time.time()
-    xi, xj, _ = schur_solve_nested_factored(bs, part, refine=2,
-                                            factors=factors)
+    xi2, xj2 = factors.solve(bs.bi, bs.bj)
     t_apply = time.time() - t0
-    log(f"streamed re-solve (factor reuse) {t_apply:.1f}s")
+    log(f"streamed apply (factor reuse, no refinement) {t_apply:.1f}s")
 
     yi, yj = _block_matvec(bs, xi, xj)
     ri = np.abs(bs.bi * bs.imask - yi).max()
