@@ -357,6 +357,23 @@ def _cmd_geoid(args) -> int:
     from .geoid import apply_geoid
     from . import project
 
+    # reference-CLI aliases
+    if args.interpolation_method in ("0", "1"):
+        args.interpolation_method = ("bilinear"
+                                     if args.interpolation_method == "0"
+                                     else "bicubic")
+    if getattr(args, "create_ntv2_flag", False) and not args.create_ntv2:
+        if not getattr(args, "dat_file", ""):
+            print("error: -c requires -d/--dat-file", file=sys.stderr)
+            return 1
+        args.create_ntv2 = args.dat_file
+    if getattr(args, "export_ntv2_asc_flag", False) and \
+            not args.export_ascii_grid:
+        args.export_ascii_grid = args.grid + ".asc"
+    if getattr(args, "export_ntv2_gsb_flag", False) and \
+            not args.export_ntv2_gsb_file:
+        args.export_ntv2_gsb_file = args.grid + ".gsb"
+
     if getattr(args, "create_ntv2", ""):
         from .geoid.gridtools import create_ntv2_from_dat, write_gsb
         grid = create_ntv2_from_dat(
@@ -423,7 +440,10 @@ def _cmd_geoid(args) -> int:
         grid = NTv2Grid.read(args.grid)
         out = args.point_file + ".geoid.txt"
         done, skipped = interpolate_point_file(
-            grid, args.point_file, out, method=args.interpolation_method)
+            grid, args.point_file, out, method=args.interpolation_method,
+            convert_heights=True,
+            dms=not getattr(args, "decimal_degrees", False),
+            direction=getattr(args, "direction", 0))
         print(f"+ Interpolated {done} points ({skipped} skipped) -> {out}")
         return 0
     if not args.network_name:
@@ -1165,8 +1185,9 @@ def main(argv=None) -> int:
     p.add_argument("network_name", nargs="?", default="")
     p.add_argument("-g", "--grid", required=True)
     p.add_argument("--convert-stn-hts", action="store_true")
-    p.add_argument("--interpolation-method", default="bicubic",
-                   choices=["bilinear", "bicubic"])
+    p.add_argument("-m", "--interpolation-method", default="bicubic",
+                   choices=["bilinear", "bicubic", "0", "1"],
+                   help="0/bilinear or 1/bicubic (default)")
     p.add_argument("--export-dna-geo-file", "--export-dna-geo",
                    dest="export_dna_geo_file", action="store_true",
                    help="write a DNA .geo file of interpolated N values "
@@ -1204,9 +1225,25 @@ def main(argv=None) -> int:
     p.add_argument("--create-ntv2", default="",
                    help="create an NTv2 .gsb from an AUSGeoid DAT file "
                         "(grid argument becomes the output path)")
+    p.add_argument("-c", dest="create_ntv2_flag", action="store_true",
+                   help="create NTv2 grid from the -d/--dat-file "
+                        "(reference CREATE_NTV2_C)")
+    p.add_argument("-d", "--dat-file", default="",
+                   help="standard DAT file for -c grid creation")
+    p.add_argument("-r", "--direction", type=int, default=0,
+                   choices=[0, 1],
+                   help="height conversion direction: 0 orthometric->"
+                        "ellipsoid (default), 1 ellipsoid->orthometric")
     p.add_argument("--export-ascii-grid", default="",
                    help="export the grid to NTv2 ASCII at this path")
-    p.add_argument("--point-file", default="",
+    p.add_argument("--export-ntv2-asc-file", "--export-ntv2-asc",
+                   dest="export_ntv2_asc_flag", action="store_true",
+                   help="export the grid to NTv2 ASCII next to it (.asc)")
+    p.add_argument("--export-ntv2-gsb", dest="export_ntv2_gsb_flag",
+                   action="store_true",
+                   help="export the grid to NTv2 binary next to it (.gsb)")
+    p.add_argument("-t", "--text-file", "--point-file",
+                   dest="point_file", default="",
                    help="interpolate a DAT/CSV point file instead of a "
                         "network")
     _add_common(p)

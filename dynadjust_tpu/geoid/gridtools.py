@@ -172,7 +172,7 @@ def export_ascii(grid: NTv2Grid, path: str):
 def interpolate_point_file(grid: NTv2Grid, in_path: str, out_path: str,
                            method: str = "bicubic",
                            convert_heights: bool = False,
-                           dms: bool = True):
+                           dms: bool = True, direction: int = 0):
     """Interpolate a DAT or CSV point file (name, lat, lon[, height]) and
     write results alongside; returns (interpolated, skipped).
 
@@ -209,8 +209,10 @@ def interpolate_point_file(grid: NTv2Grid, in_path: str, out_path: str,
         done += 1
         h = ""
         if convert_heights and len(toks) > 3 and toks[3]:
+            # direction 0: orthometric->ellipsoidal (+N); 1: reverse (-N)
+            sgn = -1.0 if direction else 1.0
             try:
-                h = f"{float(toks[3]) + vals[0]:14.4f}"
+                h = f"{float(toks[3]) + sgn * vals[0]:14.4f}"
             except ValueError:
                 h = ""
         out_lines.append(

@@ -418,8 +418,13 @@ def _read_ascii(path: str) -> NTv2Grid:
         count = int(sub["GS_COUNT"])
         vals = np.zeros((count, 4), dtype=np.float32)
         for i in range(count):
-            parts = toks[idx].split()
+            line = toks[idx]
             idx += 1
+            parts = line.split()
+            if len(parts) < 4:
+                # setw(10) fixed columns fuse when a negative value fills
+                # the field (the reference writes and reads them this way)
+                parts = [line[k:k + 10] for k in range(0, 40, 10)]
             vals[i] = [float(p) for p in parts[:4]]
         sg.values = vals.reshape(sg.nrows, sg.ncols, 4)
         grid.subgrids.append(sg)

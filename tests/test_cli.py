@@ -98,3 +98,45 @@ def test_input_folder_and_block_view(tmp_path, sample_dir):
         "--phased-block-view", "--export-png")
     blocks = glob.glob(str(outd / "g.block*.png"))
     assert len(blocks) >= 2
+
+
+def test_geoid_cli_reference_matrix(tmp_path, sample_dir):
+    """The reference's geoid CI invocations (CMakeLists.txt:1160-1183)
+    run verbatim against our CLI: numeric --interpolation-method,
+    -t text/CSV point files, --direction, -c/-d grid creation,
+    --export-ntv2-asc / --export-ntv2-gsb round trip."""
+    import subprocess
+    import sys
+    import os
+    import numpy as np
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    for f in ("gnss-network-geoid.gsb", "geoid-points-dat.txt",
+              "geoid-points-csv.csv", "ausgeoid09_gda94_v1.01_clip_1x1.dat"):
+        (tmp_path / f).write_bytes(open(f"{sample_dir}/{f}", "rb").read())
+
+    def run(*a):
+        r = subprocess.run([sys.executable, "-m", "dynadjust_tpu",
+                            "geoid", *a], capture_output=True, text=True,
+                           env=env, cwd=str(tmp_path))
+        assert r.returncode == 0, (a, r.stdout + r.stderr)
+        return r.stdout
+
+    g = "gnss-network-geoid.gsb"
+    run("-g", g, "--interactive", "--latitude", "-36.3348253617",
+        "--longitude", "145.5741006771")
+    run("-g", g, "--interactive", "--latitude", "-36.2704890597",
+        "--longitude", "146.4809871537", "--interpolation-method", "0")
+    run("-g", g, "-t", "geoid-points-dat.txt")
+    run("-g", g, "-t", "geoid-points-csv.csv", "--decimal-degrees",
+        "--direction", "0")
+    run("-d", "ausgeoid09_gda94_v1.01_clip_1x1.dat", "-c", "-g",
+        "clip.gsb")
+    assert (tmp_path / "clip.gsb").exists()
+    run("-g", g, "--export-ntv2-asc")
+    run("-g", f"{g}.asc", "--export-ntv2-gsb")
+    from dynadjust_tpu.io_formats.ntv2 import NTv2Grid
+    a = NTv2Grid.read(str(tmp_path / g))
+    b = NTv2Grid.read(str(tmp_path / f"{g}.asc.gsb"))
+    d = max(np.abs(x.values - y.values).max()
+            for x, y in zip(a.subgrids, b.subgrids))
+    assert d == 0.0     # gsb -> asc -> gsb is bit-exact at 6dp values
