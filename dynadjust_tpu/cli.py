@@ -100,8 +100,21 @@ def _cmd_import(args) -> int:
                   file=sys.stderr)
             return 1
 
+    if getattr(args, "epoch", ""):
+        epoch = args.epoch
     if args.reference_frame:
         frame = args.reference_frame
+        if getattr(args, "override_input_ref_frame", False):
+            # relabel every record's frame with -r, no transformation
+            # (OVERRIDE_INPUT_FRAME, imp-gnss1 CI test)
+            fr = frame.upper()
+            for rec in measurements:
+                if hasattr(rec, "epsg_frame"):
+                    rec.epsg_frame = fr
+            for s in stations:
+                if getattr(s, "frame", ""):
+                    s.frame = fr
+            print(f"+ Input reference frame overridden to {fr}")
 
     # --- import-time screening and auxiliaries --------------------------
     if getattr(args, "include_msr_types", "") or \
@@ -506,6 +519,28 @@ def _cmd_reftran(args) -> int:
           f"({stats['stations_skipped']} already on {net.frame}), "
           f"{stats['measurements']} measurement clusters "
           f"({stats['measurements_skipped']} skipped)")
+    if getattr(args, "export_dna", False) or \
+            getattr(args, "export_xml", False):
+        # export name: <network>.<frame>[.<epoch>] (epoch only when the
+        # target frame is dynamic), dnareftranwrapper.cpp:255-263
+        from .params.datums import is_dynamic_frame
+        base_name = f"{args.network_name}.{net.frame}"
+        if is_dynamic_frame(net.frame) and net.epoch:
+            base_name += f".{net.epoch}"
+        base = os.path.join(args.output_folder, base_name)
+        if args.export_dna:
+            from .io_formats.dna_writer import write_dna_stn, write_dna_msr
+            write_dna_stn(f"{base}.stn", net)
+            write_dna_msr(f"{base}.msr", net)
+            print(f"+ Exported stations and measurements to:\n"
+                  f"  - {base}.stn\n  - {base}.msr")
+        if args.export_xml:
+            from .io_formats.dynaml import (write_dynaml_stn,
+                                            write_dynaml_msr)
+            write_dynaml_stn(f"{base}stn.xml", net)
+            write_dynaml_msr(f"{base}msr.xml", net)
+            print(f"+ Exported stations and measurements to:\n"
+                  f"  - {base}stn.xml\n  - {base}msr.xml")
     return 0
 
 
@@ -681,8 +716,10 @@ def _cmd_adjust(args) -> int:
               sort_adj_msr=getattr(args, "sort_adj_msr", 0),
               print_ignored=getattr(args, "output_ignored_msrs", False),
               stn_coord_types=getattr(args, "stn_coord_types", "PLHhXYZ"),
-              angular_style=getattr(args, "angular_msr_format",
-                                    "separated"),
+              angular_style=("ddeg"
+                             if getattr(args, "angular_msr_type", 0) == 1
+                             else getattr(args, "angular_msr_format",
+                                          "separated")),
               stn_corr=getattr(args, "stn_corrections", False),
               msr_prec_m=getattr(args, "precision_msr_linear", 4),
               msr_prec_s=getattr(args, "precision_msr_angular", 4),
@@ -786,7 +823,10 @@ def _cmd_adjust(args) -> int:
           f"{res.chi_lower:.3f} < {res.sigma_zero:.3f} < "
           f"{res.chi_upper:.3f}  *** {res.pass_fail} ***")
     print(f"  Output: {adj_path}")
-    return 0 if res.status == "Converged" else 2
+    # the reference returns ADJUST_SUCCESS from every normal completion
+    # (threshold-exceeded / test-failed included); only exceptions fail
+    # (dnaadjustwrapper.cpp:1466)
+    return 0
 
 
 def _apply_cli_constraints(net, spec: str):
@@ -901,6 +941,13 @@ def _cmd_dynadjust(args) -> int:
 
 
 def _add_common(p, project_opt=True):
+    try:
+        p.add_argument("--verbose-level", dest="verbose_level",
+                       type=int, default=0,
+                       help="verbosity (0-3; reference VERBOSE level; "
+                            "boost-style prefixes like --verbose work)")
+    except argparse.ArgumentError:
+        pass                    # verb defines its own verbose option
     p.add_argument("--output-folder", default=".",
                    help="project/output folder")
     p.add_argument("-i", "--input-folder", default="",
@@ -918,7 +965,8 @@ def _add_common(p, project_opt=True):
 def _add_adjust_args(p):
     p.add_argument("--output-adj-msr", action="store_true",
                    help="print adjusted measurements to the .adj file")
-    p.add_argument("--output-adj-msr-tstat", action="store_true",
+    p.add_argument("--output-adj-msr-tstat", "--output-tstat-adj-msr",
+                   dest="output_adj_msr_tstat", action="store_true",
                    help="add the T-stat column to the adjusted "
                         "measurements table")
     p.add_argument("--output-adj-gnss-units", type=int, default=0,
@@ -932,6 +980,11 @@ def _add_adjust_args(p):
     p.add_argument("--angular-msr-format", default="separated",
                    choices=("separated", "symbols", "hp", "ddeg"),
                    help="angular measurement display format")
+    p.add_argument("--angular-msr-type", type=int, default=0,
+                   choices=(0, 1),
+                   help="0: DMS (default), 1: decimal degrees "
+                        "(OUTPUT_ANGULAR_TYPE_MSR); sets the display "
+                        "format accordingly")
     p.add_argument("--precision-stn-linear", type=int, default=4,
                    help="decimal places for linear station values")
     p.add_argument("--precision-stn-angular", type=int, default=5,
@@ -1090,6 +1143,8 @@ def main(argv=None) -> int:
                    help="run exports from the saved network store instead "
                         "of re-parsing input files")
     p.add_argument("-r", "--reference-frame", default="")
+    p.add_argument("-e", "--epoch", default="",
+                   help="project reference epoch (dd.mm.yyyy)")
     p.add_argument("--observation-epoch", default="",
                    help="project-level epoch of observation (dd.mm.yyyy, "
                         "yyyy, or 'today') applied to measurements whose "
@@ -1178,6 +1233,9 @@ def main(argv=None) -> int:
     p.add_argument("--search-nearby-stn", action="store_true")
     p.add_argument("--export-dna", action="store_true",
                    help="re-export parsed data as DNA .stn/.msr")
+    p.add_argument("--override-input-ref-frame", action="store_true",
+                   help="relabel all input data with -r without "
+                        "transforming")
     _add_common(p)
     p.set_defaults(func=_cmd_import)
 
@@ -1266,6 +1324,13 @@ def main(argv=None) -> int:
     p.add_argument("-m", "--plate-pole-file", default="",
                    help="Euler pole parameters (.dat) for the plate "
                         "motion model")
+    p.add_argument("--export-dna", "--export-dna-files",
+                   dest="export_dna", action="store_true",
+                   help="export the transformed network as DNA .stn/.msr")
+    p.add_argument("--export-xml", "--export-xml-files",
+                   dest="export_xml", action="store_true",
+                   help="export the transformed network as DynaML "
+                        "stn/msr files")
     _add_common(p)
     p.set_defaults(func=_cmd_reftran)
 
@@ -1384,6 +1449,10 @@ def main(argv=None) -> int:
     p.add_argument("--bounding-box", default="",
                    help="lat1,lon1,lat2,lon2 (dd.mmss) upper-left and "
                         "lower-right plot limits")
+    p.add_argument("--map-projection", type=int, default=0,
+                   help="map projection id (reference GMT projections; "
+                        "matplotlib maps use a cos-latitude-scaled "
+                        "equirectangular view)")
     p.add_argument("--export-png", action="store_true",
                    help="write PNG instead of PDF")
     p.add_argument("--supress-pdf-creation", action="store_true",
