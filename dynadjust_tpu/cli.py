@@ -59,12 +59,32 @@ def _cmd_import(args) -> int:
                 write_dynaml_msr(f"{base}msr.xml", net)
                 print(f"+ Exported DynaML: {base}stn.xml / {base}msr.xml")
         return 0
-    if not args.files:
+    if not args.files and not (
+            getattr(args, "import_block_stn_msr", 0) or
+            getattr(args, "import_contiguous_stn_msr", 0)):
         print("error: no input files", file=sys.stderr)
         return 1
 
     stations, frame, epoch = [], "", ""
     measurements = []
+    if not args.files:
+        # block/contiguous extraction from the saved store
+        # (the reference re-reads its own .bst/.bms in this mode)
+        from .io_formats.dna import Station
+        from .geodesy.conversions import rad_to_dms
+        src_net = project.load_network(
+            getattr(args, 'input_folder', '') or args.output_folder,
+            args.network_name)
+        frame, epoch = src_net.frame, src_net.epoch
+        for i in range(src_net.nstations):
+            stations.append(Station(
+                name=src_net.names[i],
+                constraints=src_net.constraints[i], coord_type="LLh",
+                p1=float(rad_to_dms(src_net.lat[i])),
+                p2=float(rad_to_dms(src_net.lon[i])),
+                p3=float(src_net.height[i]),
+                description=src_net.descriptions[i]))
+        measurements = list(src_net.measurements)
     for path in args.files:
         if path.endswith(".stn"):
             stns, frame, epoch = read_dna_stn(path)
@@ -282,6 +302,33 @@ def _cmd_import(args) -> int:
     stations.sort(key=lambda s: s.name)
     net = build_network(stations, measurements, frame, epoch)
     net.station_file_order = [orig_order[n] for n in net.names]
+    if getattr(args, "geo_file", ""):
+        # LoadDNAGeoidFile (dnaimportwrapper.cpp:2385): per-station
+        # N value and deflections (seconds) from a DNA .geo file
+        import numpy as _np
+        from .network.data import ORTHOMETRIC
+        n_geo = 0
+        sec = _np.pi / 180.0 / 3600.0
+        for line in open(args.geo_file, errors="replace"):
+            t = line.split()
+            if len(t) < 4 or line.lstrip().startswith(("#", "*", "!")):
+                continue
+            i = net.name_to_idx.get(t[0])
+            try:
+                nval, pm, pv = float(t[1]), float(t[2]), float(t[3])
+            except ValueError:
+                continue
+            if i is None:
+                continue
+            net.geoid_sep[i] = nval
+            net.meridian_def[i] = pm * sec
+            net.vertical_def[i] = pv * sec
+            if net.height_ref[i] == ORTHOMETRIC:
+                net.height[i] = net.initial_height[i] + nval
+            n_geo += 1
+        net.geoid_applied = True
+        print(f"+ Imported geoid information for {n_geo} stations "
+              f"from {args.geo_file}")
     if getattr(args, "observation_epoch", ""):
         from .network.data import (normalise_observation_epoch,
                                    apply_observation_epoch)
@@ -536,11 +583,16 @@ def _cmd_reftran(args) -> int:
                   f"  - {base}.stn\n  - {base}.msr")
         if args.export_xml:
             from .io_formats.dynaml import (write_dynaml_stn,
-                                            write_dynaml_msr)
-            write_dynaml_stn(f"{base}stn.xml", net)
-            write_dynaml_msr(f"{base}msr.xml", net)
-            print(f"+ Exported stations and measurements to:\n"
-                  f"  - {base}stn.xml\n  - {base}msr.xml")
+                                            write_dynaml_msr,
+                                            write_dynaml_combined)
+            if getattr(args, "single_xml_file", False):
+                write_dynaml_combined(f"{base}.xml", net)
+                print(f"+ Exported combined DynaML: {base}.xml")
+            else:
+                write_dynaml_stn(f"{base}stn.xml", net)
+                write_dynaml_msr(f"{base}msr.xml", net)
+                print(f"+ Exported stations and measurements to:\n"
+                      f"  - {base}stn.xml\n  - {base}msr.xml")
     return 0
 
 
@@ -704,6 +756,8 @@ def _cmd_adjust(args) -> int:
     mode = "phased" if args.phased else "simultaneous"
     base = os.path.join(args.output_folder, args.network_name)
     suffix = ("phased-block1" if args.block1_phased
+              else "phased-mt" if (args.phased and
+                                   getattr(args, "multi_thread", False))
               else "phased" if args.phased else "simult")
     adj_path = f"{base}.{suffix}.adj"
     write_adj(adj_path, net, res, opts, cmdline=" ".join(sys.argv),
@@ -1170,11 +1224,17 @@ def main(argv=None) -> int:
                    help="keep only these measurement type letters")
     p.add_argument("--exclude-msr-types", default="",
                    help="drop these measurement type letters")
-    p.add_argument("--vscale", type=float, default=1.0,
-                   help="global GNSS VCV scalar")
-    p.add_argument("--pscale", type=float, default=1.0)
-    p.add_argument("--lscale", type=float, default=1.0)
-    p.add_argument("--hscale", type=float, default=1.0)
+    p.add_argument("--vscale", "--v-scale", dest="vscale", type=float,
+                   default=1.0, help="global GNSS VCV scalar")
+    p.add_argument("--pscale", "--p-scale", dest="pscale", type=float,
+                   default=1.0)
+    p.add_argument("--lscale", "--l-scale", dest="lscale", type=float,
+                   default=1.0)
+    p.add_argument("--hscale", "--h-scale", dest="hscale", type=float,
+                   default=1.0)
+    p.add_argument("--geo-file", default="",
+                   help="import N values/deflections from a DNA .geo "
+                        "file (LoadDNAGeoidFile)")
     p.add_argument("--ignore-similar-msr", action="store_true",
                    help="ignore the later measurement of each similar "
                         "pair")
@@ -1183,7 +1243,8 @@ def main(argv=None) -> int:
     p.add_argument("--ignore-insufficient-msrs", action="store_true",
                    help="detect stations with insufficient measurements "
                         "and ignore their measurements")
-    p.add_argument("--split-clusters", action="store_true",
+    p.add_argument("--split-clusters", "--split-gnss-cluster-msrs",
+                   dest="split_clusters", action="store_true",
                    help="split GNSS X/Y clusters straddling a bounding box "
                         "or station selection boundary")
     p.add_argument("--simulate", action="store_true",
@@ -1331,6 +1392,8 @@ def main(argv=None) -> int:
                    dest="export_xml", action="store_true",
                    help="export the transformed network as DynaML "
                         "stn/msr files")
+    p.add_argument("--single-xml-file", action="store_true",
+                   help="with --export-xml: one combined DynaML file")
     _add_common(p)
     p.set_defaults(func=_cmd_reftran)
 
@@ -1652,6 +1715,20 @@ def main(argv=None) -> int:
         return diff_main(argv2)
     p.set_defaults(func=_cmd_diff)
 
+    if argv is None:
+        argv = sys.argv[1:]
+    argv = list(argv)
+    # options whose values may begin with '-' (e.g. southern-hemisphere
+    # bounding boxes): fold the value into --opt=value form so argparse
+    # does not mistake it for a flag
+    _dashval = {"--bounding-box", "--latitude", "--longitude",
+                "--centre-latitude", "--centre-longitude"}
+    k = 0
+    while k < len(argv) - 1:
+        if argv[k] in _dashval and argv[k + 1].startswith("-"):
+            argv[k] = f"{argv[k]}={argv[k + 1]}"
+            del argv[k + 1]
+        k += 1
     args = parser.parse_args(argv)
     if getattr(args, "tool_project_file", ""):
         # per-tool project-file defaults (every reference tool accepts

@@ -60,6 +60,10 @@ def parse_epoch(epoch: str) -> _dt.date | None:
     epoch = epoch.strip()
     if not epoch:
         return None
+    if epoch.lower() == "today":
+        # the reference resolves 'today' wherever an epoch is accepted
+        # (dnaimportwrapper.cpp:301)
+        return _dt.date.today()
     for fmt in ("%d.%m.%Y", "%d-%m-%Y", "%d/%m/%Y", "%Y-%m-%d"):
         try:
             return _dt.datetime.strptime(epoch, fmt).date()
