@@ -28,6 +28,14 @@ def _cmd_import(args) -> int:
     from .network import build_network
     from . import project
 
+    if not args.network_name:
+        k = 1
+        while os.path.exists(os.path.join(args.output_folder,
+                                          f"network{k}.net.pkl")):
+            k += 1
+        args.network_name = f"network{k}"
+        print(f"+ Network name defaulted to {args.network_name}")
+
     disconts = None
     if getattr(args, "discontinuity_file", ""):
         from .io_formats.discontinuities import read_discontinuities
@@ -61,7 +69,7 @@ def _cmd_import(args) -> int:
         return 0
     if not args.files and not (
             getattr(args, "import_block_stn_msr", 0) or
-            getattr(args, "import_contiguous_stn_msr", 0)):
+            getattr(args, "import_contiguous_stn_msr", -1) >= 0):
         print("error: no input files", file=sys.stderr)
         return 1
 
@@ -123,6 +131,13 @@ def _cmd_import(args) -> int:
     if getattr(args, "epoch", ""):
         epoch = args.epoch
     if args.reference_frame:
+        from .params.datums import Datum as _Datum
+        try:
+            _Datum.from_name(args.reference_frame, epoch or "")
+        except (KeyError, ValueError) as e:
+            print(f"- Error: {args.reference_frame} is not a recognised "
+                  f"reference frame ({e})", file=sys.stderr)
+            return 1
         frame = args.reference_frame
         if getattr(args, "override_input_ref_frame", False):
             # relabel every record's frame with -r, no transformation
@@ -209,6 +224,10 @@ def _cmd_import(args) -> int:
             split_clusters=getattr(args, "split_clusters", False))
         print(f"+ Station filter retained {len(stations)} stations, "
               f"{len(measurements)} measurement records")
+    if getattr(args, "include_stns_assoc_msrs_alias", ""):
+        args.include_stns_assoc_msrs = args.include_stns_assoc_msrs_alias
+    if getattr(args, "exclude_stns_assoc_msrs_alias", ""):
+        args.exclude_stns_assoc_msrs = args.exclude_stns_assoc_msrs_alias
     if (getattr(args, "include_stns_assoc_msrs", "") or
             getattr(args, "exclude_stns_assoc_msrs", "")):
         from .network.screening import filter_stations_assoc_msrs
@@ -221,7 +240,7 @@ def _cmd_import(args) -> int:
               f"{len(stations)} stations, {len(measurements)} "
               f"measurement records")
     if (getattr(args, "import_block_stn_msr", 0) or
-            getattr(args, "import_contiguous_stn_msr", 0)):
+            getattr(args, "import_contiguous_stn_msr", -1) >= 0):
         # extract one segmentation block / contiguous sub-network
         # (ImportStnsMsrsFromBlock / FromNetwork,
         # dnaimportwrapper.cpp:799/831)
@@ -231,23 +250,40 @@ def _cmd_import(args) -> int:
         seg_path = (getattr(args, "seg_file", "") or
                     os.path.join(args.output_folder,
                                  f"{args.network_name}.seg.pkl"))
-        seg = Segmentation.load(seg_path)
-        # the seg file indexes the source network's stations: derive the
-        # source name from the seg filename (<name>.seg.pkl)
-        src_name = os.path.basename(seg_path).split(".seg")[0]
-        src = _project.load_network(os.path.dirname(seg_path) or
-                                    args.output_folder, src_name)
         bno = getattr(args, "import_block_stn_msr", 0)
-        if bno:
-            idxs = seg.parameter_stations(bno - 1)
+        if seg_path.endswith(".seg"):
+            # text .seg interchange format (the reference's own)
+            from .segment.segmenter import read_seg_block_names
+            if not bno:
+                print("error: text .seg extraction supports "
+                      "--import-block-stn-msr only", file=sys.stderr)
+                return 1
+            keep = sorted(read_seg_block_names(seg_path, bno))
             what = f"block {bno}"
         else:
-            nno = getattr(args, "import_contiguous_stn_msr", 0)
-            idxs = sorted({g for b in range(seg.block_count)
-                           if seg.networks[b] == nno - 1
-                           for g in seg.parameter_stations(b)})
-            what = f"contiguous network {nno}"
-        keep = sorted(src.names[i] for i in idxs)
+            seg = Segmentation.load(seg_path)
+            # the seg file indexes the source network's stations: derive
+            # the source name from the seg filename (<name>.seg.pkl)
+            src_name = os.path.basename(seg_path).split(".seg")[0]
+            src = _project.load_network(os.path.dirname(seg_path) or
+                                        args.output_folder, src_name)
+            if bno:
+                idxs = seg.parameter_stations(bno - 1)
+                what = f"block {bno}"
+            else:
+                # 0-based network ids (ImportStnsMsrsFromNetwork,
+                # dnainterop.cpp:4050)
+                nno = getattr(args, "import_contiguous_stn_msr", -1)
+                if nno >= len(set(seg.networks)):
+                    print(f"- Error: The specified network ID {nno} "
+                          f"exceeds the number of contiguous networks.",
+                          file=sys.stderr)
+                    return 1
+                idxs = sorted({g for b in range(seg.block_count)
+                               if seg.networks[b] == nno
+                               for g in seg.parameter_stations(b)})
+                what = f"contiguous network {nno}"
+            keep = sorted(src.names[i] for i in idxs)
         stations, measurements = filter_stations(
             stations, measurements, include=keep,
             split_clusters=getattr(args, "split_clusters", False))
@@ -295,9 +331,25 @@ def _cmd_import(args) -> int:
             stations, tolerance_m=getattr(args, "nearby_stn_buffer", 30.0))
         for a, b, d in near[:20]:
             print(f"  nearby: {a} ~ {b} ({d:.1f} m)")
+        if near:
+            # the reference exits non-zero when nearby stations are
+            # found, forcing the user to review (import-nearby CI test)
+            print(f"- Error: {len(near)} nearby station pair(s) found "
+                  f"within the buffer; review and rerun", file=sys.stderr)
+            return 1
 
     # mirror the reference: binary station records are name-sorted, but
     # the original file order is kept for --sort-stn-orig-order
+    from .network.screening import stations_of_record
+    known = {s.name for s in stations}
+    missing = sorted({nm for rec in measurements
+                      for nm in stations_of_record(rec)
+                      if nm not in known})
+    if missing:
+        print(f"- Error: {len(missing)} measurement station(s) are not "
+              f"in the station file: {' '.join(missing[:10])}",
+              file=sys.stderr)
+        return 1
     orig_order = {s.name: k for k, s in enumerate(stations)}
     stations.sort(key=lambda s: s.name)
     net = build_network(stations, measurements, frame, epoch)
@@ -539,6 +591,16 @@ def _cmd_reftran(args) -> int:
         print("- Error: --plate-model-option 1 requires a plate boundary "
               "file (-b) and pole file (-m)", file=sys.stderr)
         return 1
+    for fattr in ("plate_boundary_file", "plate_pole_file"):
+        fp = getattr(args, fattr, "")
+        if fp and not os.path.exists(fp):
+            print(f"- Error: {fp} does not exist", file=sys.stderr)
+            return 1
+    if bool(getattr(args, "plate_boundary_file", "")) != \
+            bool(getattr(args, "plate_pole_file", "")):
+        print("- Error: the plate motion model needs both -b (boundaries)"
+              " and -m (Euler poles)", file=sys.stderr)
+        return 1
     if getattr(args, "plate_boundary_file", "") and \
             getattr(args, "plate_pole_file", ""):
         from .reftran.plates import load_plate_model
@@ -602,10 +664,18 @@ def _cmd_segment(args) -> int:
 
     net = project.load_network(getattr(args, 'input_folder', '') or
                                args.output_folder, args.network_name)
+    if not any(not getattr(r, "ignore", False) for r in net.measurements):
+        print("- Error: all measurements are ignored; nothing to "
+              "segment", file=sys.stderr)
+        return 1
     starting = args.starting_stns
     if getattr(args, "net_file", False):
         net_path = os.path.join(args.output_folder,
                                 f"{args.network_name}.net")
+        if not os.path.exists(net_path):
+            print(f"- Error: {net_path} does not exist (--net-file)",
+                  file=sys.stderr)
+            return 1
         if os.path.exists(net_path):
             # .net format: title block then one station name per line
             # (DYNADJUST BLOCK 1 STATIONS FILE, e.g. gnss_b1.net)
@@ -627,7 +697,8 @@ def _cmd_segment(args) -> int:
                           f"{args.network_name}.seg.pkl"))
     from .segment.segmenter import write_seg_file, write_sap_file, \
         verify_station_connections
-    write_seg_file(os.path.join(args.output_folder,
+    write_seg_file(getattr(args, "seg_file", "") or
+                   os.path.join(args.output_folder,
                                 f"{args.network_name}.seg"),
                    net, seg, args.min_inner_stns, args.max_block_stns,
                    starting, " ".join(sys.argv))
@@ -660,6 +731,10 @@ def _cmd_adjust(args) -> int:
 
     net = project.load_network(getattr(args, 'input_folder', '') or
                                args.output_folder, args.network_name)
+    if not any(not getattr(r, "ignore", False) for r in net.measurements):
+        print("- Error: all measurements are ignored; nothing to "
+              "adjust", file=sys.stderr)
+        return 1
     opts = AdjustmentOptions(
         max_iterations=args.max_iterations,
         iteration_threshold=args.iteration_threshold,
@@ -716,6 +791,23 @@ def _cmd_adjust(args) -> int:
             alt = os.path.join(in_folder, f"{args.network_name}.seg.pkl")
             if os.path.exists(alt):
                 seg_file = alt
+        if not os.path.exists(seg_file):
+            # the reference requires a prior segmentation for phased
+            # adjustment (adjust-no-seg CI test)
+            print(f"- Error: no segmentation found for "
+                  f"{args.network_name}; run segment first",
+                  file=sys.stderr)
+            return 1
+        stage_base = (getattr(args, "stage_path", "")
+                      or args.output_folder)
+        if args.staged_adjustment and \
+                not getattr(args, "create_stage_files", False) and \
+                not os.path.exists(os.path.join(stage_base, "blocks.mtx")):
+            # stage files from a previous run are required unless
+            # --create-stage-files (adjust-no-memmap-02 CI test)
+            print("- Error: no stage (.mtx) files found; rerun with "
+                  "--create-stage-files", file=sys.stderr)
+            return 1
         if getattr(args, "tpu", False) and not args.block1_phased:
             # TPU-native phased: parallel two-level blocked Schur instead
             # of the sequential forward/reverse/combine sweeps
@@ -765,7 +857,11 @@ def _cmd_adjust(args) -> int:
               tstat=getattr(args, "output_adj_msr_tstat", False),
               gnss_units=getattr(args, "output_adj_gnss_units", 0),
               msr_to_stn=getattr(args, "output_msr_to_stn", False),
-              sort_msr_to_stn=getattr(args, "sort_msr_to_stn", "name"),
+              sort_msr_to_stn=(
+                  {0: "name", 1: "count", 2: "file_order",
+                   3: "count_desc"}[args.sort_msr_to_stn_field]
+                  if getattr(args, "sort_msr_to_stn_field", -1) >= 0
+                  else getattr(args, "sort_msr_to_stn", "name")),
               database_ids=getattr(args, "output_database_ids", False),
               sort_adj_msr=getattr(args, "sort_adj_msr", 0),
               print_ignored=getattr(args, "output_ignored_msrs", False),
@@ -886,8 +982,14 @@ def _cmd_adjust(args) -> int:
 def _apply_cli_constraints(net, spec: str):
     toks = [t.strip() for t in spec.split(",") if t.strip()]
     for name, cc in zip(toks[::2], toks[1::2]):
-        if name in net.name_to_idx:
-            net.constraints[net.station_index(name)] = cc.upper()
+        if name not in net.name_to_idx:
+            raise SystemExit(f"- Error: constraint station '{name}' is "
+                             f"not in the network")
+        cc = cc.upper()
+        if len(cc) != 3 or any(c not in "CF" for c in cc):
+            raise SystemExit(f"- Error: invalid constraint code '{cc}' "
+                             f"for station {name} (use C/F triplets)")
+        net.constraints[net.station_index(name)] = cc
 
 
 def _cmd_dynadjust(args) -> int:
@@ -994,7 +1096,37 @@ def _cmd_dynadjust(args) -> int:
     return rc
 
 
+_HELP_MODULES = (
+    "Standard options", "Output options", "Export options",
+    "Generic options", "Reference frame options",
+    "Data screening options", "GNSS variance matrix scaling options",
+    "Network simulation options", "Adjustment mode options",
+    "Phased adjustment options", "Configuration options",
+    "Stage adjustment options", "Staged adjustment options",
+    "Plot options", "Segmentation options", "Interpolation options",
+    "NTv2 grid options", "Reference options",
+)
+
+
+class _HelpModule(argparse.Action):
+    """--help-module <name>: print the verb's help and exit 0 when the
+    name matches a known module title (substring, case-insensitive);
+    unknown modules error, as the reference does
+    (dnaimportwrapper.cpp:1463-1490)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        v = str(values).upper()
+        if not any(v in m.upper() for m in _HELP_MODULES):
+            print(f"- Error: Help module '{values}' is not in the list "
+                  f"of options.", file=sys.stderr)
+            parser.exit(1)
+        parser.print_help()
+        parser.exit(0)
+
+
 def _add_common(p, project_opt=True):
+    p.add_argument("--help-module", action=_HelpModule,
+                   help="print help for this tool (reference help-module)")
     try:
         p.add_argument("--verbose-level", dest="verbose_level",
                        type=int, default=0,
@@ -1105,6 +1237,10 @@ def _add_adjust_args(p):
     p.add_argument("--sort-msr-to-stn", default="name",
                    choices=("name", "count", "count_desc", "file_order"),
                    help="sort order of the msr-to-stn summary")
+    p.add_argument("--sort-msr-to-stn-field", type=int, default=-1,
+                   choices=(-1, 0, 1, 2, 3),
+                   help="numeric m2s sort (OUTPUT_MSR_TO_STN_SORTBY): "
+                        "0 name, 1 count, 2 file order, 3 count desc")
     p.add_argument("--block1-phased", action="store_true",
                    help="rigorous estimates for block 1 only (single "
                         "reverse sweep; AdjustPhasedBlock1)")
@@ -1163,9 +1299,14 @@ def _add_adjust_args(p):
                    help="export adjusted stations as DNA .stn")
     p.add_argument("--export-dna-msr-file", action="store_true",
                    help="export measurements as DNA .msr")
-    p.add_argument("--type-b-file", default="",
+    p.add_argument("--report-results", action="store_true",
+                   help="accepted for parity (results are always "
+                        "reported to the .adj file)")
+    p.add_argument("--type-b-file", "--type-b-sd-file",
+                   dest="type_b_file", default="",
                    help="Type B uncertainty file")
-    p.add_argument("--type-b-global", default="",
+    p.add_argument("--type-b-global", "--type-b-sd-global",
+                   dest="type_b_global", default="",
                    help="global Type B sd: e,n,up (metres)")
     p.add_argument("--report-mode", action="store_true",
                    help="regenerate reports from saved results without "
@@ -1191,7 +1332,9 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("import", help="import station/measurement files")
-    p.add_argument("-n", "--network-name", required=True)
+    p.add_argument("-n", "--network-name", default="",
+                   help="network name (default: first free 'networkN', "
+                        "dnaimportwrapper.cpp:245)")
     p.add_argument("files", nargs="*")
     p.add_argument("--export-from-binary", action="store_true",
                    help="run exports from the saved network store instead "
@@ -1243,7 +1386,7 @@ def main(argv=None) -> int:
     p.add_argument("--ignore-insufficient-msrs", action="store_true",
                    help="detect stations with insufficient measurements "
                         "and ignore their measurements")
-    p.add_argument("--split-clusters", "--split-gnss-cluster-msrs",
+    p.add_argument("--split-gnss-cluster-msrs",
                    dest="split_clusters", action="store_true",
                    help="split GNSS X/Y clusters straddling a bounding box "
                         "or station selection boundary")
@@ -1264,7 +1407,7 @@ def main(argv=None) -> int:
     p.add_argument("--import-block-stn-msr", type=int, default=0,
                    help="extract stations/measurements of this "
                         "segmentation block (1-based)")
-    p.add_argument("--import-contiguous-stn-msr", type=int, default=0,
+    p.add_argument("--import-contiguous-stn-msr", type=int, default=-1,
                    help="extract stations/measurements of this contiguous "
                         "sub-network (1-based)")
     p.add_argument("--seg-file", default="",
@@ -1288,6 +1431,12 @@ def main(argv=None) -> int:
                    help="lat_min,lon_min,lat_max,lon_max (degrees)")
     p.add_argument("--include-stns", default="")
     p.add_argument("--exclude-stns", default="")
+    # exact-match aliases: the reference has ONLY the assoc-msrs forms,
+    # so its CI abbreviates them as --include-stn/--exclude-stn
+    p.add_argument("--include-stn", dest="include_stns_assoc_msrs_alias",
+                   default="", help=argparse.SUPPRESS)
+    p.add_argument("--exclude-stn", dest="exclude_stns_assoc_msrs_alias",
+                   default="", help=argparse.SUPPRESS)
     p.add_argument("--flag-unused-stations", action="store_true")
     p.add_argument("--search-similar-gnss-msr", "--search-similar-msr",
                    dest="search_similar_msr", action="store_true")
@@ -1369,7 +1518,7 @@ def main(argv=None) -> int:
     p.set_defaults(func=_cmd_geoid)
 
     p = sub.add_parser("reftran", help="transform reference frame")
-    p.add_argument("network_name")
+    p.add_argument("network_name", nargs="?", default="")
     p.add_argument("-r", "--reference-frame", default="")
     p.add_argument("-e", "--epoch", default="")
     p.add_argument("-b", "--plate-boundary-file", default="",
@@ -1398,7 +1547,9 @@ def main(argv=None) -> int:
     p.set_defaults(func=_cmd_reftran)
 
     p = sub.add_parser("segment", help="segment network into blocks")
-    p.add_argument("network_name")
+    p.add_argument("network_name", nargs="?", default="")
+    p.add_argument("--seg-file", default="",
+                   help="output .seg file path override")
     p.add_argument("--min-inner-stns", type=int, default=150)
     p.add_argument("--max-block-stns", type=int, default=150)
     p.add_argument("--starting-stns", default="")
@@ -1417,7 +1568,7 @@ def main(argv=None) -> int:
     p.set_defaults(func=_cmd_segment)
 
     p = sub.add_parser("adjust", help="least squares adjustment")
-    p.add_argument("network_name")
+    p.add_argument("network_name", nargs="?", default="")
     _add_adjust_args(p)
     _add_common(p)
     p.set_defaults(func=_cmd_adjust)
@@ -1458,7 +1609,7 @@ def main(argv=None) -> int:
     p.set_defaults(func=_cmd_dynadjust)
 
     p = sub.add_parser("plot", help="plot network map / segmentation graph")
-    p.add_argument("network_name")
+    p.add_argument("network_name", nargs="?", default="")
     p.add_argument("-o", "--output", default="")
     p.add_argument("--segmentation-graph", "--graph-stn-blocks",
                    "--graph-msr-blocks", dest="segmentation_graph",
@@ -1577,6 +1728,11 @@ def main(argv=None) -> int:
             seg = Segmentation.load(seg_file)
         from .output.plot import plot_network, plot_segmentation_graph
         ext = "png" if a.export_png else "pdf"
+        if (a.phased or a.phased_block_view or a.block_number or
+                a.segmentation_graph) and seg is None:
+            print(f"- Error: no segmentation found for {a.network_name}; "
+                  f"run segment first", file=sys.stderr)
+            return 1
         if a.segmentation_graph and seg is not None:
             out = a.output or f"{base}.seg.{ext}"
             plot_segmentation_graph(out, seg)
@@ -1588,6 +1744,13 @@ def main(argv=None) -> int:
         res = None
         initial = None
         res_file = f"{base}.results.pkl"
+        _needs_res = (a.error_ellipses or a.positional_uncertainty or
+                      a.correction_arrows or a.label_corrections)
+        if _needs_res and not os.path.exists(res_file) and \
+                not os.path.exists(f"{in_base}.results.pkl"):
+            print(f"- Error: no adjustment results found for "
+                  f"{a.network_name}; run adjust first", file=sys.stderr)
+            return 1
         if not os.path.exists(res_file):
             res_file = f"{in_base}.results.pkl"
         if os.path.exists(res_file):
@@ -1723,12 +1886,18 @@ def main(argv=None) -> int:
     # does not mistake it for a flag
     _dashval = {"--bounding-box", "--latitude", "--longitude",
                 "--centre-latitude", "--centre-longitude"}
+    # legacy spelling kept out of the parser so the reference's --split
+    # abbreviation stays unambiguous
+    _alias = {"--split-clusters": "--split-gnss-cluster-msrs"}
     k = 0
     while k < len(argv) - 1:
+        argv[k] = _alias.get(argv[k], argv[k])
         if argv[k] in _dashval and argv[k + 1].startswith("-"):
             argv[k] = f"{argv[k]}={argv[k + 1]}"
             del argv[k + 1]
         k += 1
+    if argv:
+        argv[-1] = _alias.get(argv[-1], argv[-1])
     args = parser.parse_args(argv)
     if getattr(args, "tool_project_file", ""):
         # per-tool project-file defaults (every reference tool accepts
@@ -1739,6 +1908,13 @@ def main(argv=None) -> int:
             cur = getattr(args, k, None)
             if cur in (None, "", [], False, 0):
                 setattr(args, k, v)
+    if getattr(args, "multi_thread", False):
+        args.phased = True
+    if hasattr(args, "network_name") and not args.network_name and \
+            args.command in ("reftran", "segment", "adjust", "plot"):
+        print("error: network name required (positional or via "
+              "-p project file)", file=sys.stderr)
+        return 1
     if getattr(args, "quiet", False):
         import contextlib
         import io as _io

@@ -135,3 +135,28 @@ def project_to_args(path: str) -> dict:
                                                 "no")),
     }
     return args
+
+
+def update_dnaproj(path: str, section: str, entries: list,
+                   network_name: str = ""):
+    """Merge one tool's settings into a .dnaproj, creating it if absent —
+    every reference tool writes its settings back into the shared project
+    file after each run (CDnaProjectFile::UpdateSettings*,
+    dnaimportwrapper.cpp:267)."""
+    existing = {}
+    order = []
+    try:
+        existing = read_dnaproj(path)
+        order = list(existing.keys())
+    except (OSError, ValueError):
+        pass
+    if network_name:
+        gen = existing.setdefault("general", [])
+        if not any(k == "network-name" for k, _ in gen):
+            gen.append(("network-name", network_name))
+        if "general" not in order:
+            order.insert(0, "general")
+    existing[section] = list(entries)
+    if section not in order:
+        order.append(section)
+    write_dnaproj(path, {s: existing[s] for s in order})

@@ -312,3 +312,33 @@ def write_sap_file(path: str, net: NetworkData, seg: Segmentation):
                  f"{first_rev[g] + 1:>24}")
     with open(path, "w") as f:
         f.write("\n".join(L) + "\n")
+
+
+def read_seg_block_names(path: str, block_no: int):
+    """Station names (junction + inner) of one block from a text .seg
+    file (the reverse of write_seg_file's block listings; lets
+    `import --seg-file x.seg --import-block N` consume the text format
+    the reference's tools exchange)."""
+    names = []
+    in_block = False
+    mode = None
+    for line in open(path, errors="replace"):
+        s = line.rstrip("\n")
+        if s.startswith(f"Block {block_no}") and not s.startswith(
+                f"Block {block_no}0"):
+            in_block = True
+            continue
+        if not in_block:
+            continue
+        if s.startswith("Junction stations"):
+            mode = "j"
+            continue
+        if s.startswith("Inner stations"):
+            mode = "i"
+            continue
+        if s.startswith("Measurements") or s.startswith("Block "):
+            break
+        if mode and s.startswith("  ") and s.strip() and \
+                not s.startswith("---"):
+            names.append(s.strip())
+    return names

@@ -140,3 +140,38 @@ def test_geoid_cli_reference_matrix(tmp_path, sample_dir):
     d = max(np.abs(x.values - y.values).max()
             for x, y in zip(a.subgrids, b.subgrids))
     assert d == 0.0     # gsb -> asc -> gsb is bit-exact at 6dp values
+
+
+def test_cli_reference_conventions(tmp_path, sample_dir):
+    """Reference CLI conventions: --help-module exits 0; -p project file
+    supplies the network name; text .seg block extraction; segment
+    --seg-file output override; WILL_FAIL-style errors exit nonzero."""
+    import subprocess
+    import sys
+    import os
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def run(*a, rc=0):
+        r = subprocess.run([sys.executable, "-m", "dynadjust_tpu", *a],
+                           capture_output=True, text=True, env=env,
+                           cwd=str(tmp_path))
+        assert (r.returncode == 0) == (rc == 0), (a, r.stdout + r.stderr)
+        return r.stdout
+
+    run("import", "--help-module", "standard")
+    run("adjust", "--help-module", "standard")
+    run("adjust", "--help-module", "cplusplus", rc=1)   # unknown module
+    run("adjust", rc=1)                      # no network name
+    # no -n: network name defaults to the first free networkN
+    out = run("import", f"{sample_dir}/dsg.stn", f"{sample_dir}/dsg.msr")
+    assert "network1" in out
+
+    run("import", "-n", "m", f"{sample_dir}/dsg.stn",
+        f"{sample_dir}/dsg.msr")
+    run("segment", "m", "--min-inner-stns", "2", "--max-block-stns", "3",
+        "--seg-file", str(tmp_path / "custom.seg"))
+    assert (tmp_path / "custom.seg").exists()
+    out = run("import", "-n", "m", f"{sample_dir}/dsg.stn",
+              f"{sample_dir}/dsg.msr", "--seg-file",
+              str(tmp_path / "custom.seg"), "--import-block-stn-msr", "2")
+    assert "block 2" in out
