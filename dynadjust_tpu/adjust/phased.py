@@ -142,6 +142,7 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                   seg_file: str | None = None,
                   seg: Segmentation | None = None,
                   stage_dir: str | None = None,
+                  stage_name: str = "blocks",
                   block1: bool = False) -> AdjustmentResult:
     """stage_dir: when given, per-block normals/AtVinv are offloaded to
     memory-mapped .mtx files between uses instead of held resident —
@@ -161,7 +162,7 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
         else:
             seg = segment_network(net)
     B = seg.block_count
-    stage = _MtxStage(stage_dir, "blocks") if stage_dir else None
+    stage = _MtxStage(stage_dir, stage_name) if stage_dir else None
 
     blocks = [Block(net, opts, seg, b) for b in range(B)]
     for blk in blocks:
@@ -183,8 +184,10 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
     iteration = 0
     max_corr = np.inf
 
+    import time as _time
     for _ in range(opts.max_iterations):
         iteration += 1
+        _t_iter = _time.perf_counter()
         max_corr = 0.0
         max_stn = 0
 
@@ -282,16 +285,24 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                 blk.rigorous_cov = Ninv_c
 
         # ---- convergence & relinearisation -------------------------------
-        for blk in (blocks if not block1 else blocks[:1]):
+        max_dx3, max_blk = np.zeros(3), 1
+        for bno, blk in enumerate(blocks if not block1 else blocks[:1]):
             prev = xyz_all[blk.stations].reshape(-1)
             dx = blk.rigorous_est - prev
             i = int(np.argmax(np.abs(dx)))
             if abs(dx[i]) > abs(max_corr):
                 max_corr = dx[i]
                 max_stn = blk.stations[i // 3]
+                k = 3 * (i // 3)
+                max_dx3, max_blk = dx[k:k + 3], bno + 1
             xyz_all[blk.stations] = blk.rigorous_est.reshape(-1, 3)
+        from ..geodesy.local_frame import rotate_cart_local
+        _enu = rotate_cart_local(max_dx3, net.lat[max_stn],
+                                 net.lon[max_stn])
         it_log.append({"iteration": iteration, "max_corr": float(max_corr),
-                       "station": net.names[max_stn]})
+                       "station": net.names[max_stn], "block": max_blk,
+                       "enu": [float(v) for v in np.ravel(_enu)],
+                       "elapsed": _time.perf_counter() - _t_iter})
 
         converged = abs(max_corr) <= opts.iteration_threshold
         # update geographic coordinates and refill at the new estimates

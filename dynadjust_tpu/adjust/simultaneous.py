@@ -194,6 +194,7 @@ def adjust_simultaneous(net: NetworkData,
 
     for i in range(opts.max_iterations):
         iteration += 1
+        _t_iter = _time.perf_counter()
         compute_inverse = (iteration < 2) or asm.has_non_gps
         rhs = AtVinv @ asm.mmc
         _t0 = _time.perf_counter_ns()
@@ -216,8 +217,16 @@ def adjust_simultaneous(net: NetworkData,
         est = est + dx
         imax = int(np.argmax(np.abs(dx)))
         max_corr = dx[imax]
+        # e,n,up of the largest correction (the reference rotates the
+        # max-correction station's dXYZ to local, dnaadjust.cpp:7404-7429)
+        from ..geodesy.local_frame import rotate_cart_local
+        _si = imax // 3
+        _enu = rotate_cart_local(dx[3 * _si:3 * _si + 3],
+                                 net.lat[_si], net.lon[_si])
         entry = {"iteration": iteration, "max_corr": float(max_corr),
-                 "station": net.names[imax // 3]}
+                 "station": net.names[_si],
+                 "enu": [float(v) for v in np.ravel(_enu)],
+                 "elapsed": _time.perf_counter() - _t_iter}
         if opts.output_iter_stations:
             entry["est"] = est.copy()
         if opts.output_iter_adj_stat:

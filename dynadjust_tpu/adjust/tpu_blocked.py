@@ -162,8 +162,10 @@ def adjust_tpu_blocked(net: NetworkData,
     bs = None
     nested_part = None
 
+    import time as _time
     for _ in range(opts.max_iterations):
         iteration += 1
+        _t_iter = _time.perf_counter()
         block_N, block_rhs = [], []
         for b, blk in enumerate(blocks):
             N, AtVinv = _block_normals(blk)
@@ -204,6 +206,7 @@ def adjust_tpu_blocked(net: NetworkData,
 
         max_corr = 0.0
         max_stn = 0
+        max_dx3, max_blk = np.zeros(3), 1
         for b, blk in enumerate(blocks):
             inner_p, junc_p, junc_g = part[b]
             dx = np.zeros(3 * len(blk.stations))
@@ -214,9 +217,16 @@ def adjust_tpu_blocked(net: NetworkData,
             if len(dx) and abs(dx[i]) > abs(max_corr):
                 max_corr = dx[i]
                 max_stn = blk.stations[i // 3]
+                k = 3 * (i // 3)
+                max_dx3, max_blk = dx[k:k + 3], b + 1
             xyz_all[blk.stations] = blk.est.reshape(-1, 3)
+        from ..geodesy.local_frame import rotate_cart_local
+        _enu = rotate_cart_local(max_dx3, net.lat[max_stn],
+                                 net.lon[max_stn])
         it_log.append({"iteration": iteration, "max_corr": float(max_corr),
-                       "station": net.names[max_stn]})
+                       "station": net.names[max_stn], "block": max_blk,
+                       "enu": [float(v) for v in np.ravel(_enu)],
+                       "elapsed": _time.perf_counter() - _t_iter})
 
         converged = abs(max_corr) <= opts.iteration_threshold
         la, lo, h = cart_to_geo(xyz_all[:, 0], xyz_all[:, 1],

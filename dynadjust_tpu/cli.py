@@ -67,10 +67,16 @@ def _cmd_import(args) -> int:
                 write_dynaml_msr(f"{base}msr.xml", net)
                 print(f"+ Exported DynaML: {base}stn.xml / {base}msr.xml")
         return 0
-    if not args.files and not (
+    # the reference requires files / block / contiguous-network / seg
+    # options on the command line itself — a project file alone is
+    # "Nothing to do" (dnaimportwrapper.cpp:226, import-misc-07 CI test)
+    _pf = getattr(args, "_project_filled", set())
+    _cli_files = bool(args.files) and "files" not in _pf
+    if not _cli_files and not (
             getattr(args, "import_block_stn_msr", 0) or
-            getattr(args, "import_contiguous_stn_msr", -1) >= 0):
-        print("error: no input files", file=sys.stderr)
+            getattr(args, "import_contiguous_stn_msr", -1) >= 0 or
+            getattr(args, "seg_file", "")):
+        print("- Nothing to do - no files specified.", file=sys.stderr)
         return 1
 
     stations, frame, epoch = [], "", ""
@@ -131,8 +137,10 @@ def _cmd_import(args) -> int:
     if getattr(args, "epoch", ""):
         epoch = args.epoch
     if args.reference_frame:
-        from .params.datums import Datum as _Datum
+        from .params.datums import Datum as _Datum, is_known_frame
         try:
+            if not is_known_frame(args.reference_frame):
+                raise ValueError("not in the EPSG frame registry")
             _Datum.from_name(args.reference_frame, epoch or "")
         except (KeyError, ValueError) as e:
             print(f"- Error: {args.reference_frame} is not a recognised "
@@ -189,12 +197,23 @@ def _cmd_import(args) -> int:
                 rec.hscale *= getattr(args, "hscale", 1.0)
                 n += 1
         print(f"+ Applied global VCV scalars to {n} GNSS clusters")
+    discont_pairs = []
     if disconts:
         from .io_formats.discontinuities import apply_discontinuities
-        pairs = apply_discontinuities(stations, measurements, disconts)
-        if pairs:
-            print(f"+ Applied discontinuities: {len(pairs)} station "
-                  f"renames")
+        discont_pairs = apply_discontinuities(stations, measurements,
+                                              disconts)
+        if discont_pairs:
+            print(f"+ Applied discontinuities: {len(discont_pairs)} "
+                  f"station renames")
+
+    def _expand_discont(names):
+        # user-supplied station lists name the original sites; add the
+        # discontinuity-renamed variants (BuildExtractStationsList,
+        # dnainterop.cpp:136-172)
+        out = list(names)
+        for nm in names:
+            out.extend(new for old, new in discont_pairs if old == nm)
+        return out
     if getattr(args, "stn_renaming_file", ""):
         from .io_formats.aux_files import read_renaming_file, apply_renaming
         renames = read_renaming_file(args.stn_renaming_file)
@@ -217,8 +236,8 @@ def _cmd_import(args) -> int:
               f"{len(measurements)} measurement records")
     if getattr(args, "include_stns", "") or getattr(args, "exclude_stns", ""):
         from .network.screening import filter_stations
-        inc = [t for t in args.include_stns.split(",") if t]
-        exc = [t for t in args.exclude_stns.split(",") if t]
+        inc = _expand_discont([t for t in args.include_stns.split(",") if t])
+        exc = _expand_discont([t for t in args.exclude_stns.split(",") if t])
         stations, measurements = filter_stations(
             stations, measurements, inc or None, exc or None,
             split_clusters=getattr(args, "split_clusters", False))
@@ -231,8 +250,10 @@ def _cmd_import(args) -> int:
     if (getattr(args, "include_stns_assoc_msrs", "") or
             getattr(args, "exclude_stns_assoc_msrs", "")):
         from .network.screening import filter_stations_assoc_msrs
-        inc = [t for t in args.include_stns_assoc_msrs.split(",") if t]
-        exc = [t for t in args.exclude_stns_assoc_msrs.split(",") if t]
+        inc = _expand_discont(
+            [t for t in args.include_stns_assoc_msrs.split(",") if t])
+        exc = _expand_discont(
+            [t for t in args.exclude_stns_assoc_msrs.split(",") if t])
         stations, measurements = filter_stations_assoc_msrs(
             stations, measurements, inc or None, exc or None,
             split_clusters=getattr(args, "split_clusters", False))
@@ -289,6 +310,11 @@ def _cmd_import(args) -> int:
             split_clusters=getattr(args, "split_clusters", False))
         print(f"+ Imported {len(stations)} stations, "
               f"{len(measurements)} measurement records from {what}")
+        # the reference writes the extracted data under a modified
+        # network name (<name>.block-N / <name>.network-N), leaving the
+        # source binary files intact (dnaimportwrapper.cpp:414-422)
+        args.network_name += (f".block-{bno}" if bno else
+                              f".network-{args.import_contiguous_stn_msr}")
     if getattr(args, "ignore_insufficient_msrs", False):
         from .network.screening import ignore_insufficient_measurements
         poorly = ignore_insufficient_measurements(stations, measurements)
@@ -567,6 +593,7 @@ def _cmd_geoid(args) -> int:
     grid = NTv2Grid.read(args.grid)
     n = apply_geoid(net, grid, convert_heights=args.convert_stn_hts,
                     method=args.interpolation_method)
+    net.geoid_file = args.grid
     project.save_network(net, args.output_folder, args.network_name)
     project.update_project(args.output_folder, args.network_name, "geoid",
                            {"grid": args.grid,
@@ -784,7 +811,9 @@ def _cmd_adjust(args) -> int:
             return 1
         with open(res_file, "rb") as f:
             res = pickle.load(f)
-    elif args.phased or args.block1_phased:
+    elif args.phased or args.block1_phased or args.staged_adjustment:
+        # --staged-adjustment implies phased mode (the reference's staged
+        # adjustment is a phased variant, dnaadjustwrapper.cpp)
         seg_file = os.path.join(args.output_folder,
                                 f"{args.network_name}.seg.pkl")
         if not os.path.exists(seg_file):
@@ -802,7 +831,8 @@ def _cmd_adjust(args) -> int:
                       or args.output_folder)
         if args.staged_adjustment and \
                 not getattr(args, "create_stage_files", False) and \
-                not os.path.exists(os.path.join(stage_base, "blocks.mtx")):
+                not os.path.exists(os.path.join(
+                    stage_base, f"{args.network_name}.mtx")):
             # stage files from a previous run are required unless
             # --create-stage-files (adjust-no-memmap-02 CI test)
             print("- Error: no stage (.mtx) files found; rerun with "
@@ -825,6 +855,7 @@ def _cmd_adjust(args) -> int:
                 stage_dir=(getattr(args, "stage_path", "")
                            or args.output_folder
                            if args.staged_adjustment else None),
+                stage_name=args.network_name,
                 block1=args.block1_phased)
     else:
         res = adjust_simultaneous(net, opts)
@@ -833,7 +864,8 @@ def _cmd_adjust(args) -> int:
     if getattr(args, "purge_stage_files", False):
         import shutil
         stage_base = (getattr(args, "stage_path", "") or args.output_folder)
-        shutil.rmtree(os.path.join(stage_base, "blocks.mtx"),
+        shutil.rmtree(os.path.join(stage_base,
+                                   f"{args.network_name}.mtx"),
                       ignore_errors=True)
 
     if not args.report_mode:
@@ -852,7 +884,17 @@ def _cmd_adjust(args) -> int:
                                    getattr(args, "multi_thread", False))
               else "phased" if args.phased else "simult")
     adj_path = f"{base}.{suffix}.adj"
+    mode_text = ("sequential phased" if (args.phased or args.block1_phased
+                                         or args.staged_adjustment)
+                 else "simultaneous")
+    from .project import net_path as _net_path
+    _store = _net_path(args.output_folder, args.network_name)
     write_adj(adj_path, net, res, opts, cmdline=" ".join(sys.argv),
+              mode_text=mode_text,
+              n_blocks=(len(res.block_info) if res.block_info else 0),
+              total_time_s=elapsed,
+              stations_file=_store, measurements_file=_store,
+              geoid_file=getattr(net, "geoid_file", ""),
               print_adj_msr=args.output_adj_msr,
               tstat=getattr(args, "output_adj_msr_tstat", False),
               gnss_units=getattr(args, "output_adj_gnss_units", 0),
@@ -993,7 +1035,15 @@ def _apply_cli_constraints(net, spec: str):
 
 
 def _cmd_dynadjust(args) -> int:
-    """Orchestrator: run import → geoid → reftran → segment → adjust."""
+    """Orchestrator: run import → reftran → geoid → segment → adjust
+    (the reference's stage order, dynadjust.cpp:288-427)."""
+    cli_files = bool(args.files)
+    if not getattr(args, "project_file", "") and args.network_name:
+        # the reference loads <network>.dnaproj implicitly from -n
+        # (dynadjust.cpp:250; dynadjust-name-01 CI test)
+        cand = os.path.join(args.output_folder, f"{args.network_name}.dnaproj")
+        if os.path.exists(cand):
+            args.project_file = cand
     if getattr(args, "project_file", ""):
         from .io_formats.dnaproj import project_to_args
         loaded = project_to_args(args.project_file)
@@ -1008,7 +1058,16 @@ def _cmd_dynadjust(args) -> int:
         print("error: network name required (use -n or -p)",
               file=sys.stderr)
         return 1
-    if not args.files:
+    stage_flags = [args.run_import, args.run_reftran, args.run_geoid,
+                   args.run_segment, args.run_adjust]
+    explicit = any(stage_flags)
+    if not explicit and not cli_files:
+        # the reference requires at least one program switch
+        # (dyna-no-programs CI test)
+        print("- Error: no DynAdjust programs specified (use --import, "
+              "--reftran, --geoid, --segment, --adjust)", file=sys.stderr)
+        return 1
+    if not args.files and (not explicit or args.run_import):
         print("error: no input files (use positional files or -p)",
               file=sys.stderr)
         return 1
@@ -1075,36 +1134,42 @@ def _cmd_dynadjust(args) -> int:
 
     log.write(f"{_dt.datetime.now():%Y-%m-%d %H:%M:%S}  dynadjust "
               f"pipeline: network {args.network_name}\n")
-    rc = _stage("import", _cmd_import)
-    if rc:
-        log.close()
-        return rc
-    rc = _stage("geoid", _cmd_geoid, bool(args.grid))
-    if rc:
-        log.close()
-        return rc
-    rc = _stage("reftran", _cmd_reftran)
-    if rc:
-        log.close()
-        return rc
-    rc = _stage("segment", _cmd_segment, args.phased)
-    if rc:
-        log.close()
-        return rc
-    rc = _stage("adjust", _cmd_adjust)
+    # with explicit program switches run exactly those stages; otherwise
+    # (files given directly) run the full pipeline
+    stages = [
+        ("import", _cmd_import,
+         args.run_import if explicit else True),
+        ("reftran", _cmd_reftran,
+         args.run_reftran if explicit else True),
+        ("geoid", _cmd_geoid,
+         args.run_geoid if explicit else bool(args.grid)),
+        ("segment", _cmd_segment,
+         args.run_segment if explicit else args.phased),
+        ("adjust", _cmd_adjust,
+         args.run_adjust if explicit else True),
+    ]
+    rc = 0
+    for name, fn, enabled in stages:
+        rc = _stage(name, fn, enabled)
+        if rc:
+            break
     log.close()
     return rc
 
 
+# the reference's option-group captions (dnaoptions-interface.hpp:32-58);
+# --help-module matches any caption by case-insensitive substring
 _HELP_MODULES = (
     "Standard options", "Output options", "Export options",
     "Generic options", "Reference frame options",
     "Data screening options", "GNSS variance matrix scaling options",
     "Network simulation options", "Adjustment mode options",
     "Phased adjustment options", "Configuration options",
-    "Stage adjustment options", "Staged adjustment options",
-    "Plot options", "Segmentation options", "Interpolation options",
-    "NTv2 grid options", "Reference options",
+    "Stage adjustment options", "NTv2 creation options",
+    "Interpolation options", "Interactive interpolation options",
+    "Text file interpolation options", "Transformation options",
+    "Data configuration options", "Title block options",
+    "Mapping options",
 )
 
 
@@ -1576,6 +1641,18 @@ def main(argv=None) -> int:
     p = sub.add_parser("dynadjust", help="run the full pipeline")
     p.add_argument("-n", "--network-name", default="")
     p.add_argument("files", nargs="*")
+    # program switches (dynadjust.cpp:288-427; stage order import →
+    # reftran → geoid → segment → adjust)
+    p.add_argument("--import", dest="run_import", action="store_true",
+                   help="run the import stage")
+    p.add_argument("--reftran", dest="run_reftran", action="store_true",
+                   help="run the reference frame transformation stage")
+    p.add_argument("--geoid", dest="run_geoid", action="store_true",
+                   help="run the geoid interpolation stage")
+    p.add_argument("--segment", dest="run_segment", action="store_true",
+                   help="run the segmentation stage")
+    p.add_argument("--adjust", dest="run_adjust", action="store_true",
+                   help="run the adjustment stage")
     p.add_argument("-p", "--project-file", default="",
                    help=".dnaproj project file supplying all settings "
                         "(CDnaProjectFile layout)")
@@ -1648,6 +1725,15 @@ def main(argv=None) -> int:
                         "(PLOT_BLOCKS, dnaplotwrapper.cpp:375)")
     p.add_argument("--omit-title-block", action="store_true")
     p.add_argument("--title", default="")
+    p.add_argument("--org-unit-name", default="",
+                   help="organisational unit in the title block "
+                        "(TITLEBLOCK_NAME)")
+    p.add_argument("--org-subunit-name", default="",
+                   help="organisational sub-unit in the title block "
+                        "(TITLEBLOCK_SUBNAME)")
+    p.add_argument("--plate-boundary-file", default="",
+                   help="tectonic plate boundaries (.dig) to overlay "
+                        "(TECTONIC_PLATE_BDY_FILE)")
     p.add_argument("--alternate-name", action="store_true",
                    help="plot station descriptions as labels "
                         "(PLOT_ALT_NAME, dnaplot.cpp:2495)")
@@ -1701,7 +1787,17 @@ def main(argv=None) -> int:
         if len(parts) != 4:
             raise SystemExit("- Error: bounding box must be "
                              "lat1,lon1,lat2,lon2")
-        return tuple(float(_np.degrees(dms_to_rad(v))) for v in parts)
+        lat1, lon1, lat2, lon2 = (
+            float(_np.degrees(dms_to_rad(v))) for v in parts)
+        # upper-left then lower-right: lat1 must be north of lat2 and
+        # lon1 west of lon2 (plot-box-ew / plot-box-ns CI tests)
+        if lat1 <= lat2:
+            raise SystemExit("- Error: bounding box latitudes must run "
+                             "north to south (upper-left, lower-right)")
+        if lon1 >= lon2:
+            raise SystemExit("- Error: bounding box longitudes must run "
+                             "west to east (upper-left, lower-right)")
+        return (lat1, lon1, lat2, lon2)
 
     def _copy_net_with_adjusted(net, res):
         import copy
@@ -1787,6 +1883,15 @@ def main(argv=None) -> int:
             print(f"+ Wrote {len(outs)} block maps "
                   f"({outs[0]} .. {outs[-1]})")
             return 0
+        plates = None
+        if a.plate_boundary_file:
+            if not os.path.exists(a.plate_boundary_file):
+                print(f"- Error: plate boundary file "
+                      f"'{a.plate_boundary_file}' does not exist",
+                      file=sys.stderr)
+                return 1
+            from .reftran.plates import read_plate_boundaries
+            plates = read_plate_boundaries(a.plate_boundary_file)
         out = a.output or f"{base}.{ext}"
         plot_network(
             out, net, res=res, seg=seg,
@@ -1810,7 +1915,9 @@ def main(argv=None) -> int:
             alternate_name=a.alternate_name,
             centre=_plot_centre(a, net),
             area_radius_m=a.area_radius,
-            bounding_box=_plot_bbox(a.bounding_box))
+            bounding_box=_plot_bbox(a.bounding_box),
+            org_unit=a.org_unit_name, org_subunit=a.org_subunit_name,
+            plate_boundaries=plates)
         print(f"+ Wrote {out}")
         return 0
     p.set_defaults(func=_cmd_plot)
@@ -1892,8 +1999,13 @@ def main(argv=None) -> int:
     k = 0
     while k < len(argv) - 1:
         argv[k] = _alias.get(argv[k], argv[k])
-        if argv[k] in _dashval and argv[k + 1].startswith("-"):
-            argv[k] = f"{argv[k]}={argv[k + 1]}"
+        # boost::program_options allows unambiguous prefixes
+        # (e.g. --bounding for --bounding-box), so match prefixes too
+        tok = argv[k]
+        is_dashval = len(tok) > 3 and tok.startswith("--") and any(
+            full.startswith(tok) for full in _dashval)
+        if is_dashval and argv[k + 1].startswith("-"):
+            argv[k] = f"{tok}={argv[k + 1]}"
             del argv[k + 1]
         k += 1
     if argv:
@@ -1904,10 +2016,13 @@ def main(argv=None) -> int:
         # `-p project.dnaproj`): fill unset args from the project
         from .io_formats.dnaproj import project_to_args
         loaded = project_to_args(args.tool_project_file)
+        filled = set()
         for k, v in loaded.items():
             cur = getattr(args, k, None)
             if cur in (None, "", [], False, 0):
                 setattr(args, k, v)
+                filled.add(k)
+        args._project_filled = filled
     if getattr(args, "multi_thread", False):
         args.phased = True
     if hasattr(args, "network_name") and not args.network_name and \

@@ -109,6 +109,7 @@ class GpsCluster:
     obs: list = field(default_factory=list)    # list[GpsObs]
     cluster_id: int = 0
     obs_epoch: str = ""         # epoch of observation (v1.2 metadata)
+    source: str = ""            # provenance tag (<Source>, issue #317)
 
 
 @dataclass
@@ -125,6 +126,7 @@ class Measurement:
     targ_height: float = 0.0
     epoch: str = ""
     obs_epoch: str = ""         # epoch of observation (v1.2 metadata)
+    source: str = ""            # provenance tag (<Source>, issue #317)
 
 
 @dataclass
@@ -139,6 +141,7 @@ class DirectionSet:
     # directions: list of (target, value_rad, sd_rad, ignored)
     epoch: str = ""
     obs_epoch: str = ""         # epoch of observation (v1.2 metadata)
+    source: str = ""            # provenance tag (<Source>, issue #317)
 
 
 def _ffld(line: str, layout: dict, name: str) -> float:

@@ -69,6 +69,7 @@ def _is_ignored(el) -> bool:
 def _parse_measurement(el, frame, epoch, cluster_id):
     mtype = _txt(el, "Type").upper()
     ignore = _is_ignored(el)
+    source = _txt(el, "Source", "")
     m_frame = _txt(el, "ReferenceFrame", frame)
     m_epoch = _txt(el, "Epoch", epoch)
     obs_epoch = _txt(el, "EpochOfObservation", "")
@@ -82,7 +83,7 @@ def _parse_measurement(el, frame, epoch, cluster_id):
             lscale=_num(el, "Lscale", 1.0) or 1.0,
             hscale=_num(el, "Hscale", 1.0) or 1.0,
             epsg_frame=m_frame, epoch=m_epoch, cluster_id=cluster_id,
-            obs_epoch=obs_epoch)
+            obs_epoch=obs_epoch, source=source)
         first = _txt(el, "First")
         second = _txt(el, "Second")
         tag = "GPSBaseline" if mtype in ("G", "X") else "Clusterpoint"
@@ -121,7 +122,7 @@ def _parse_measurement(el, frame, epoch, cluster_id):
             ignore=ignore, first=_txt(el, "First"), ro=_txt(el, "Second"),
             ro_value=float(dms_to_rad(_num(el, "Value"))),
             ro_sd=_num(el, "StdDev") * _SEC_TO_RAD, epoch=m_epoch,
-            obs_epoch=obs_epoch)
+            obs_epoch=obs_epoch, source=source)
         for d_el in el.findall("Directions"):
             ds.directions.append((
                 _txt(d_el, "Target"),
@@ -133,7 +134,7 @@ def _parse_measurement(el, frame, epoch, cluster_id):
 
     m = Measurement(mtype=mtype, ignore=ignore, first=_txt(el, "First"),
                     second=_txt(el, "Second"), third=_txt(el, "Third"),
-                    epoch=m_epoch, obs_epoch=obs_epoch)
+                    epoch=m_epoch, obs_epoch=obs_epoch, source=source)
     if mtype in ANGULAR_TYPES:
         m.value = float(dms_to_rad(_num(el, "Value")))
         m.sd = _num(el, "StdDev") * _SEC_TO_RAD
@@ -219,6 +220,8 @@ def write_dynaml_msr(path: str, net, comment: str = ""):
         if isinstance(rec, GpsCluster):
             L.append("  <DnaMeasurement>")
             L.append(f"    <Type>{rec.mtype}</Type>")
+            L.append(f"    <Source>{getattr(rec, 'source', '')}"
+                     f"</Source>")
             L.append(f"    <Ignore>{ig(rec)}</Ignore>")
             L.append(f"    <ReferenceFrame>{rec.epsg_frame}"
                      f"</ReferenceFrame>")
@@ -270,6 +273,8 @@ def write_dynaml_msr(path: str, net, comment: str = ""):
         elif isinstance(rec, DirectionSet):
             L.append("  <DnaMeasurement>")
             L.append("    <Type>D</Type>")
+            L.append(f"    <Source>{getattr(rec, 'source', '')}"
+                     f"</Source>")
             L.append(f"    <Ignore>{ig(rec)}</Ignore>")
             L.append(f"    <First>{rec.first}</First>")
             L.append(f"    <Second>{rec.ro}</Second>")
@@ -292,6 +297,8 @@ def write_dynaml_msr(path: str, net, comment: str = ""):
         elif isinstance(rec, Measurement):
             L.append("  <DnaMeasurement>")
             L.append(f"    <Type>{rec.mtype}</Type>")
+            L.append(f"    <Source>{getattr(rec, 'source', '')}"
+                     f"</Source>")
             L.append(f"    <Ignore>{ig(rec)}</Ignore>")
             L.append(f"    <First>{rec.first}</First>")
             if rec.second:

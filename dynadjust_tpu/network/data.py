@@ -48,6 +48,7 @@ class NetworkData:
 
     # progress flags, mirroring binary_file_meta_t reduced/reftran/geoid
     geoid_applied: bool = False
+    geoid_file: str = ""        # NTv2 grid used (printed in .adj header)
     reftran_applied: bool = False
     # per-station source frame/epoch ("" = the project frame) — set by
     # SINEX import; reftran transforms each (frame, epoch) group

@@ -206,6 +206,12 @@ def find_nearby_stations(stations: list, tolerance_m: float = 30.0) -> list:
             pts.append((float(x), float(y), float(z)))
         elif ct == "XYZ":
             pts.append((s.p1, s.p2, s.p3))
+        elif ct == "UTM":
+            from ..geodesy.projections import grid_to_geo
+            zone = int((s.hemi_zone or "0").lstrip("SNsn") or 0)
+            la, lo = grid_to_geo(s.p1, s.p2, zone)
+            x, y, z = geo_to_cart(float(la), float(lo), s.p3)
+            pts.append((float(x), float(y), float(z)))
         else:
             pts.append((np.nan, np.nan, np.nan))
     pts = np.asarray(pts)

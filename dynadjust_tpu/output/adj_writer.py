@@ -555,19 +555,30 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
               stn_prec_m: int = 4, stn_prec_s: int = 5,
               stn_angular: str = "dms", stn_file_order: bool = False,
               output_stn_blocks: bool = False,
-              output_msr_blocks: bool = False, comments: str = ""):
+              output_msr_blocks: bool = False, comments: str = "",
+              mode_text: str = "simultaneous", n_blocks: int = 0,
+              total_time_s: float = 0.0, stations_file: str = "",
+              measurements_file: str = ""):
+    # header layout is line-for-line the reference's .adj prelude
+    # (gnss.simult.adj.expected:1-53) so dnadiff --skip-headers aligns
     now = datetime.datetime.now()
     L = []
     L.append(OUTPUTLINE)
     L.append("DYNADJUST-TPU ADJUSTMENT OUTPUT FILE")
     L.append("")
     L.append(f"{'Version:':<{PRINT_VAR_PAD}}0.1.0")
+    import platform
+    L.append(f"{'Build:':<{PRINT_VAR_PAD}}Python "
+             f"{platform.python_version()} (TPU-native, JAX/XLA)")
     L.append(f"{'File created:':<{PRINT_VAR_PAD}}"
              f"{now.strftime('%A, %d %B %Y, %H:%M:%S')}")
     L.append(f"{'File name:':<{PRINT_VAR_PAD}}{path}")
     L.append("")
     L.append(f"{'Command line arguments:':<{PRINT_VAR_PAD}}{cmdline}")
     L.append("")
+    L.append(f"{'Stations file:':<{PRINT_VAR_PAD}}{stations_file}")
+    L.append(f"{'Measurements file:':<{PRINT_VAR_PAD}}"
+             f"{measurements_file}")
     L.append(f"{'Reference frame:':<{PRINT_VAR_PAD}}{net.frame}")
     L.append(f"{'Epoch:':<{PRINT_VAR_PAD}}{net.epoch}")
     if geoid_file:
@@ -582,6 +593,12 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
              f"{opts.max_iterations}")
     L.append(f"{'Test confidence interval:':<{PRINT_VAR_PAD}}"
              f"{opts.confidence_interval:.1f}%")
+    L.append(f"{'Uncertainties SD(e,n,up):':<{PRINT_VAR_PAD}}"
+             f"68.3% (1 sigma)")
+    L.append(f"{'Station coordinate types:':<{PRINT_VAR_PAD}}"
+             f"{stn_coord_types}")
+    L.append(f"{'Stations printed in blocks:':<{PRINT_VAR_PAD}}"
+             f"{'Yes' if output_stn_blocks else 'No'}")
     if stn_corr:
         L.append(f"{'Station coordinate corrections:':<{PRINT_VAR_PAD}}"
                  "Yes")
@@ -599,10 +616,60 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
             L.append(f"{var:<{PRINT_VAR_PAD}}{line}")
     L.append(OUTPUTLINE)
     L.append("")
+    # progress block (dnaadjust.cpp:200,309,10339; line-count parity
+    # with the golden headers)
+    L.append("+ Initialising adjustment")
+    L.append("+ Loading network files")
+    L.append("+ Allocating memory")
+    L.append("")
+    prep = "+ Preparing for adjustment"
+    if n_blocks:
+        prep += f" ({n_blocks} block{'s' if n_blocks != 1 else ''})"
+    L.append(prep + "...  done.")
+    L.append(f"+ Commencing {mode_text} adjustment")
+    L.append("")
+    L.append("")
+
+    def _fmt_hms(t):
+        # boost::posix_time duration style: 00:00:00.009000
+        h, rem = divmod(int(t), 3600)
+        m, s = divmod(rem, 60)
+        frac = t - int(t)
+        out = f"{h:02d}:{m:02d}:{s:02d}"
+        if frac >= 0.5e-6:
+            out += f".{int(round(frac * 1e6)):06d}"
+        return out
+
+    def _fmt_elapsed(t):
+        if "phased" in mode_text:
+            return f"{t * 1000:.3f}ms"
+        return _fmt_hms(t)
+
+    def _fmt_enu(enu):
+        # precision graded by the largest component
+        # (dnaadjust.cpp:7416-7427)
+        e, n, u = enu
+        mx = max(abs(e), abs(n), abs(u))
+        if mx > 0.000999:
+            return f"{e:.3f}, {n:.3f}, {u:.3f}"
+        if mx > 0.00009:
+            return f"{e:.4f}, {n:.4f}, {u:.4f}"
+        return f"{e:.1e}, {n:.1e}, {u:.1e}"
 
     for entry in res.iteration_log:
         L.append(OUTPUTLINE)
         L.append(f"{'ITERATION':<{PRINT_VAR_PAD}}{entry['iteration']}")
+        L.append("")
+        L.append(f"{'Elapsed time':<{PRINT_VAR_PAD}}"
+                 f"{_fmt_elapsed(entry.get('elapsed', 0.0))}")
+        where = (f"Block {entry['block']}, station {entry['station']}"
+                 if "block" in entry else f"Station {entry['station']}")
+        L.append(f"{'Maximum station correction':<{PRINT_VAR_PAD}}{where}")
+        if "enu" in entry:
+            L.append(f"{'':{PRINT_VAR_PAD}}{_fmt_enu(entry['enu'])} "
+                     f"(e, n, up)")
+        else:
+            L.append(f"{'':{PRINT_VAR_PAD}}{entry['max_corr']:.6g} (max)")
         L.append("")
         if "est" in entry:
             # per-iteration adjusted stations (--output-iter-adj-stn)
@@ -638,14 +705,12 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
             L.extend(measurement_lines(net, fake,
                                        angular_style=angular_style))
             L.append("")
-        L.append(f"{'Maximum station correction':<{PRINT_VAR_PAD}}"
-                 f"Station {entry['station']}")
-        L.append(f"{'':{PRINT_VAR_PAD}}{entry['max_corr']:.6g} (max)")
         L.append("")
 
-    L.append("")
     L.append(OUTPUTLINE)
     L.append(f"{'SOLUTION':<{PRINT_VAR_PAD}}{res.status}")
+    L.append(f"{'Total time':<{PRINT_VAR_PAD}}"
+             f"{_fmt_elapsed(total_time_s)}")
     L.append("")
     L.append(f"{'Number of unknown parameters':<{PRINT_VAR_PAD}}"
              f"{res.unknown_count}")

@@ -25,7 +25,9 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
                  block_number: int = 0, omit_title_block: bool = False,
                  ellipse_magnify: float = 1.0, arrow_magnify: float = 1.0,
                  alternate_name: bool = False, centre=None,
-                 area_radius_m: float = 5000.0, bounding_box=None):
+                 area_radius_m: float = 5000.0, bounding_box=None,
+                 org_unit: str = "", org_subunit: str = "",
+                 plate_boundaries=None):
     """Write a network map (PDF/PNG by extension).
 
     show_corrections: arrows from initial to adjusted positions (the
@@ -197,11 +199,23 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
         lat1, lon1, lat2, lon2 = bounding_box
         ax.set_xlim(min(lon1, lon2), max(lon1, lon2))
         ax.set_ylim(min(lat1, lat2), max(lat1, lat2))
+    if plate_boundaries:
+        # tectonic plate boundary overlay (--plate-boundary-file;
+        # the reference draws these via GMT, dnaplot.hpp:156)
+        for _pid, poly in plate_boundaries:
+            ax.plot(poly[:, 0], poly[:, 1], color="0.6", lw=0.5,
+                    zorder=0)
     ax.set_xlabel("Longitude (°)")
     ax.set_ylabel("Latitude (°)")
     if not omit_title_block:
         ax.set_title(title or f"Network {getattr(net, 'frame', '')} "
                      f"({net.nstations} stations)")
+        if org_unit or org_subunit:
+            # organisational unit names in the title block
+            # (TITLEBLOCK_NAME/SUBNAME, dnaoptions-interface.hpp:276-277)
+            sub = " — ".join(s for s in (org_unit, org_subunit) if s)
+            ax.text(0.5, 1.05, sub, transform=ax.transAxes,
+                    ha="center", fontsize=8)
     ax.set_aspect(1.0 / np.cos(np.radians(lat.mean())))
     fig.tight_layout()
     fig.savefig(path, dpi=150)

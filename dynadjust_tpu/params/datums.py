@@ -48,7 +48,23 @@ _STATIC_REFERENCE_EPOCH = {
 
 def canonical_frame(name: str) -> str:
     key = name.strip().upper()
-    return _ALIASES.get(key, key)
+    key = _ALIASES.get(key, key)
+    # realisation spellings: "WGS84 (G730)" -> WGS84_G730,
+    # "WGS84 (ensemble)" -> WGS84 (the reference's frame labels,
+    # imp-frame-misc-18..27 CI tests)
+    if key.startswith("WGS84 (") and key.endswith(")"):
+        inner = key[7:-1].strip()
+        key = "WGS84" if inner == "ENSEMBLE" else f"WGS84_{inner}"
+    return key
+
+
+# every frame label the reference recognises (dnaepsg.hpp registry);
+# used to reject unknown -r labels (import-no-frame CI test)
+KNOWN_FRAMES = _DYNAMIC_FRAMES | {"GDA94", "GDA2020", "AGD66", "AGD84"}
+
+
+def is_known_frame(name: str) -> bool:
+    return canonical_frame(name) in KNOWN_FRAMES
 
 
 def is_dynamic_frame(name: str) -> bool:
