@@ -99,10 +99,41 @@ def _cmd_import(args) -> int:
                 p3=float(src_net.height[i]),
                 description=src_net.descriptions[i]))
         measurements = list(src_net.measurements)
+    _bst_names = []
     for path in args.files:
         if path.endswith(".stn"):
             stns, frame, epoch = read_dna_stn(path)
             stations.extend(stns)
+        elif path.endswith(".bst"):
+            # reference binary station file (raw station_t records)
+            from .io_formats.dna import Station
+            from .io_formats.binary import (read_bst, frame_from_epsg,
+                                            _cstr as _bs)
+            from .geodesy.conversions import rad_to_dms
+            rows_b, meta_b = read_bst(path)
+            for s in rows_b:
+                nm = _bs(s["stationName"])
+                _bst_names.append(nm)
+                stations.append(Station(
+                    name=nm,
+                    constraints=_bs(s["stationConst"]) or "FFF",
+                    coord_type="LLh",
+                    p1=float(rad_to_dms(s["currentLatitude"])),
+                    p2=float(rad_to_dms(s["currentLongitude"])),
+                    p3=float(s["currentHeight"]),
+                    description=_bs(s["description"])))
+            frame = frame or frame_from_epsg(meta_b["epsg"])
+            epoch = epoch or meta_b["epoch"]
+        elif path.endswith(".bms"):
+            # reference binary measurement file; station indices refer
+            # to the .bst listed before it
+            from .io_formats.binary import read_bms, records_from_rows
+            if not _bst_names:
+                print("- Error: a .bms file requires its .bst station "
+                      "file to be listed first", file=sys.stderr)
+                return 1
+            rows_m, _ = read_bms(path)
+            measurements.extend(records_from_rows(rows_m, _bst_names))
         elif path.endswith(".msr"):
             recs, mframe, mepoch = read_dna_msr(path)
             measurements.extend(recs)
@@ -459,6 +490,13 @@ def _cmd_import(args) -> int:
         base = os.path.join(args.output_folder, args.network_name)
         export_discontinuities(f"{base}.discont.txt", disconts)
         print(f"+ Exported discontinuity info: {base}.discont.txt")
+    if getattr(args, "export_bst_bms", False):
+        # reference-compatible binary station/measurement files
+        from .io_formats.binary import write_bst, write_bms
+        base = os.path.join(args.output_folder, args.network_name)
+        write_bst(f"{base}.bst", net)
+        write_bms(f"{base}.bms", net)
+        print(f"+ Exported binary files: {base}.bst / {base}.bms")
     if getattr(args, "output_msr_to_stn", False):
         from .output.adj_writer import msr_to_stn_lines
         sort = {0: "name", 1: "count", 2: "file_order"}.get(
@@ -1508,6 +1546,10 @@ def main(argv=None) -> int:
     p.add_argument("--search-nearby-stn", action="store_true")
     p.add_argument("--export-dna", action="store_true",
                    help="re-export parsed data as DNA .stn/.msr")
+    p.add_argument("--export-bst-bms", action="store_true",
+                   help="export reference-compatible binary station/"
+                        "measurement files (<name>.bst/<name>.bms, raw "
+                        "station_t/measurement_t records)")
     p.add_argument("--override-input-ref-frame", action="store_true",
                    help="relabel all input data with -r without "
                         "transforming")
@@ -1932,6 +1974,24 @@ def main(argv=None) -> int:
         from . import project
         from collections import Counter
         from .io_formats.dna import GpsCluster, DirectionSet
+        if a.network_name.endswith((".bst", ".bms")):
+            # reference binary file: dump its binary_file_meta_t header
+            # (the metadata utility's role, SURVEY §2.1)
+            from .io_formats.binary import read_bst, read_bms
+            reader = read_bst if a.network_name.endswith(".bst") else \
+                read_bms
+            _, meta = reader(a.network_name)
+            PAD = 35
+            print(f"{'File:':<{PAD}}{a.network_name}")
+            for k in ("bin_count", "reduced", "modified_by", "epsg",
+                      "epoch", "observation_epoch", "reftran", "geoid"):
+                print(f"{k + ':':<{PAD}}{meta[k]}")
+            for (fn, ep, e1, e2, ft, dt) in meta["input_files"]:
+                print(f"{'input file:':<{PAD}}{fn} (epsg {ep}, "
+                      f"epoch {e1}, type {ft}/{dt})")
+            for fn in meta["source_files"]:
+                print(f"{'source file:':<{PAD}}{fn}")
+            return 0
         net = project.load_network(getattr(a, 'input_folder', '') or
                                    a.output_folder, a.network_name)
         PAD = 35
