@@ -491,12 +491,16 @@ def _cmd_import(args) -> int:
         export_discontinuities(f"{base}.discont.txt", disconts)
         print(f"+ Exported discontinuity info: {base}.discont.txt")
     if getattr(args, "export_bst_bms", False):
-        # reference-compatible binary station/measurement files
-        from .io_formats.binary import write_bst, write_bms
+        # reference-compatible binary files (the full set the reference
+        # import writes: bst/bms/asl/aml/map)
+        from .io_formats.binary import (write_bst, write_bms,
+                                        write_asl_aml, write_map)
         base = os.path.join(args.output_folder, args.network_name)
         write_bst(f"{base}.bst", net)
         write_bms(f"{base}.bms", net)
-        print(f"+ Exported binary files: {base}.bst / {base}.bms")
+        write_asl_aml(f"{base}.asl", f"{base}.aml", net)
+        write_map(f"{base}.map", net)
+        print(f"+ Exported binary files: {base}.bst/.bms/.asl/.aml/.map")
     if getattr(args, "output_msr_to_stn", False):
         from .output.adj_writer import msr_to_stn_lines
         sort = {0: "name", 1: "count", 2: "file_order"}.get(

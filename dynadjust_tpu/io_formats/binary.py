@@ -594,3 +594,106 @@ def network_from_binary(bst_path: str, bms_path: str):
         rows, _ = read_bms(bms_path)
         net.measurements = records_from_rows(rows, names)
     return net
+
+
+# ---------------------------------------------------------------------------
+# .asl / .aml / .map (binary association and name-map files)
+# ---------------------------------------------------------------------------
+# Formats (all little-endian, behind the 60-byte info header):
+# .asl  u64 count; per station: u32 assocMsrCount, u32 amlStnIndex,
+#       u16 validity           (operator<<, dnatemplatestnmsrfuncs.hpp:903)
+# .aml  u64 count; u32 bms-row index per entry (aml_file.cpp:120-129)
+# .map  u32 count; per entry: char[31] station name, u32 index
+#       (map_file.cpp WriteFile)
+
+STN_NAME_WIDTH = 31
+VALID_STATION, INVALID_STATION = 1, 0
+
+
+def _associations_with_ignored(net):
+    """Per-station associated measurement record indices, INCLUDING
+    ignored measurements (assocMsrCount semantics, dnastation.hpp:136)."""
+    from ..network.screening import stations_of_record
+    assoc = {i: [] for i in range(net.nstations)}
+    for m, rec in enumerate(net.measurements):
+        for name in stations_of_record(rec):
+            i = net.name_to_idx.get(name)
+            if i is not None:
+                assoc[i].append(m)
+    return assoc
+
+
+def record_row_starts(net) -> list:
+    """First .bms row index of each measurement record (mirrors the
+    flattening of measurement_rows)."""
+    from .dna import GpsCluster, DirectionSet
+    starts, k = [], 0
+    for rec in net.measurements:
+        starts.append(k)
+        if isinstance(rec, GpsCluster):
+            k += sum(3 + 3 * len(ob.covs) for ob in rec.obs)
+        elif isinstance(rec, DirectionSet):
+            k += 1 + len(rec.directions)
+        else:
+            k += 1
+    return starts
+
+
+def write_asl_aml(asl_path: str, aml_path: str, net) -> None:
+    assoc = _associations_with_ignored(net)
+    starts = record_row_starts(net)
+    aml_entries = []
+    with open(asl_path, "wb") as f:
+        _write_header(f)
+        f.write(np.uint64(net.nstations).tobytes())
+        for i in range(net.nstations):
+            n = len(assoc[i])
+            f.write(np.uint32(n).tobytes())
+            f.write(np.uint32(len(aml_entries)).tobytes())
+            f.write(np.uint16(VALID_STATION if n else
+                              INVALID_STATION).tobytes())
+            aml_entries.extend(starts[m] for m in assoc[i])
+    with open(aml_path, "wb") as f:
+        _write_header(f)
+        f.write(np.uint64(len(aml_entries)).tobytes())
+        f.write(np.asarray(aml_entries, dtype="<u4").tobytes())
+
+
+def read_asl(path: str):
+    """-> structured array (assocMsrCount, amlStnIndex, validity)."""
+    dt = np.dtype([("assocMsrCount", "<u4"), ("amlStnIndex", "<u4"),
+                   ("validity", "<u2")])
+    with open(path, "rb") as f:
+        _read_header(f)
+        n = int(np.frombuffer(f.read(8), "<u8")[0])
+        return np.frombuffer(f.read(dt.itemsize * n), dtype=dt)
+
+
+def read_aml(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        _read_header(f)
+        n = int(np.frombuffer(f.read(8), "<u8")[0])
+        return np.frombuffer(f.read(4 * n), dtype="<u4")
+
+
+def write_map(path: str, net) -> None:
+    with open(path, "wb") as f:
+        _write_header(f)
+        f.write(np.uint32(net.nstations).tobytes())
+        # name-sorted, as the reference's station map is
+        for nm in sorted(net.names):
+            f.write(nm.encode()[:STN_NAME_WIDTH - 1]
+                    .ljust(STN_NAME_WIDTH, b"\0"))
+            f.write(np.uint32(net.name_to_idx[nm]).tobytes())
+
+
+def read_map(path: str) -> list:
+    out = []
+    with open(path, "rb") as f:
+        _read_header(f)
+        n = int(np.frombuffer(f.read(4), "<u4")[0])
+        for _ in range(n):
+            nm = _cstr(f.read(STN_NAME_WIDTH))
+            i = int(np.frombuffer(f.read(4), "<u4")[0])
+            out.append((nm, i))
+    return out

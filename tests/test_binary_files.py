@@ -124,3 +124,31 @@ def test_cli_binary_import_and_metadata(sample_dir, tmp_path):
     run("import", "-n", "gb2", "gb.bst", "gb.bms")
     out = run("adjust", "gb2", "--scale-normals-to-unity")
     assert "Converged" in out
+
+
+def test_asl_aml_map_roundtrip(gnss_net, tmp_path):
+    from dynadjust_tpu.io_formats.binary import (
+        write_asl_aml, write_map, read_asl, read_aml, read_map,
+        record_row_starts)
+    asl_p, aml_p = str(tmp_path / "g.asl"), str(tmp_path / "g.aml")
+    write_asl_aml(asl_p, aml_p, gnss_net)
+    asl = read_asl(asl_p)
+    aml = read_aml(aml_p)
+    assert len(asl) == gnss_net.nstations
+    # AML segment boundaries must be consistent with per-station counts
+    assert asl["amlStnIndex"][0] == 0
+    np.testing.assert_array_equal(
+        asl["amlStnIndex"][1:],
+        np.cumsum(asl["assocMsrCount"])[:-1])
+    assert len(aml) == int(asl["assocMsrCount"].sum())
+    # every AML entry is a valid first row of a measurement record
+    starts = set(record_row_starts(gnss_net))
+    assert all(int(x) in starts for x in aml)
+
+    map_p = str(tmp_path / "g.map")
+    write_map(map_p, gnss_net)
+    pairs = read_map(map_p)
+    assert len(pairs) == gnss_net.nstations
+    for nm, i in pairs:
+        assert gnss_net.names[i] == nm
+    assert [nm for nm, _ in pairs] == sorted(gnss_net.names)
