@@ -42,6 +42,36 @@ PRINT_VAR_PAD = 35
 OUTPUTLINE = "-" * 80
 
 
+def format_elapsed_hms(t: float) -> str:
+    """boost::posix_time duration style: 00:00:00.009000 (fraction
+    omitted when zero) — formatElapsedTime parity
+    (tests/test_format_elapsed_time.cpp)."""
+    h, rem = divmod(int(t), 3600)
+    m, s = divmod(rem, 60)
+    frac = t - int(t)
+    out = f"{h:02d}:{m:02d}:{s:02d}"
+    if frac >= 0.5e-6:
+        out += f".{int(round(frac * 1e6)):06d}"
+    return out
+
+
+def format_elapsed_ms(t: float) -> str:
+    """Millisecond style used by the phased printers: 7.151ms."""
+    return f"{t * 1000:.3f}ms"
+
+
+def format_elapsed_time(t: float) -> str:
+    """FormatElapsedTime parity (tests/test_format_elapsed_time.cpp):
+    <1 s -> N.NNNms; <60 s -> N.NNNs; otherwise HH:MM:SS."""
+    if t < 1.0:
+        return f"{t * 1000:.3f}ms"
+    if t < 60.0:
+        return f"{t:.3f}s"
+    h, rem = divmod(int(t), 3600)
+    m, s = divmod(rem, 60)
+    return f"{h:02d}:{m:02d}:{s:02d}"
+
+
 def format_dms(rad: float, dec_places: int = 5, add4: bool = True) -> str:
     """Packed-DMS string of a radians value; dec_places is the seconds
     precision (total decimals = 4 + dec_places when add4)."""
@@ -630,20 +660,10 @@ def write_adj(path: str, net: NetworkData, res, opts, cmdline: str = "",
     L.append("")
     L.append("")
 
-    def _fmt_hms(t):
-        # boost::posix_time duration style: 00:00:00.009000
-        h, rem = divmod(int(t), 3600)
-        m, s = divmod(rem, 60)
-        frac = t - int(t)
-        out = f"{h:02d}:{m:02d}:{s:02d}"
-        if frac >= 0.5e-6:
-            out += f".{int(round(frac * 1e6)):06d}"
-        return out
-
     def _fmt_elapsed(t):
         if "phased" in mode_text:
-            return f"{t * 1000:.3f}ms"
-        return _fmt_hms(t)
+            return format_elapsed_ms(t)
+        return format_elapsed_hms(t)
 
     def _fmt_enu(enu):
         # precision graded by the largest component
@@ -850,7 +870,10 @@ def msr_to_stn_lines(net: NetworkData, sort: str = "name") -> list:
         order.sort(key=lambda i: sum(counts[i].values()))
     elif sort == "count_desc":
         order.sort(key=lambda i: -sum(counts[i].values()))
-    # file_order: as built
+    elif sort == "file_order" and net.station_file_order:
+        # original input-file position (station_t.fileOrder,
+        # CompareStnFileOrder in test_msr_to_stn_sort.cpp)
+        order.sort(key=lambda i: net.station_file_order[i])
 
     lines = ["", "Measurements to Station ",
              "------------------------------------------", ""]
