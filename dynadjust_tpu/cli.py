@@ -1928,6 +1928,15 @@ def main(argv=None) -> int:
                 outs.append(out_b)
             print(f"+ Wrote {len(outs)} block maps "
                   f"({outs[0]} .. {outs[-1]})")
+            if ext == "pdf":
+                # aggregate per-block pages into one document (the
+                # reference pdfunites its GMT block plots,
+                # dnaplot.hpp:111 CreateGMTPlot aggregation)
+                from .output.plot import aggregate_pdfs
+                combined = f"{base}.blocks.pdf"
+                aggregate_pdfs(combined, net, seg, res=res,
+                               title=a.title or a.network_name)
+                print(f"+ Wrote {combined}")
             return 0
         plates = None
         if a.plate_boundary_file:

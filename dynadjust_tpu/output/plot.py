@@ -250,3 +250,40 @@ def plot_segmentation_graph(path: str, seg, title=None):
     fig.savefig(path, dpi=150)
     plt.close(fig)
     return path
+
+
+def aggregate_pdfs(path: str, net, seg, res=None, title=None):
+    """One multi-page PDF with a page per segmentation block (the
+    reference aggregates its per-block GMT plots into a single PDF;
+    dnaplot.hpp:111-116)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.backends.backend_pdf import PdfPages
+
+    lat = np.degrees(net.lat)
+    lon = np.degrees(net.lon)
+    with PdfPages(path) as pdf:
+        for b in range(seg.block_count):
+            in_block = set(seg.inner_stations[b]) | \
+                set(seg.junction_stations[b])
+            fig, ax = plt.subplots(figsize=(11, 8.5))
+            idx = sorted(in_block)
+            inner = [i for i in idx if i not in set(seg.junction_stations[b])]
+            junc = sorted(set(seg.junction_stations[b]))
+            ax.plot(lon[inner], lat[inner], "o", ms=3, color="#1f77b4",
+                    label="inner")
+            if junc:
+                ax.plot(lon[junc], lat[junc], "s", ms=4, color="#d62728",
+                        label="junction")
+            ax.set_title(f"{title or ''} block {b + 1} "
+                         f"({len(inner)} inner, {len(junc)} junction)")
+            ax.set_xlabel("Longitude (°)")
+            ax.set_ylabel("Latitude (°)")
+            ax.legend(loc="best", fontsize=8)
+            if len(idx):
+                ax.set_aspect(1.0 / np.cos(np.radians(lat[idx].mean())))
+            fig.tight_layout()
+            pdf.savefig(fig)
+            plt.close(fig)
+    return path
