@@ -406,9 +406,11 @@ def _block_normals(blk: Block):
     return AtVinv @ A, AtVinv
 
 
-def _add_constraints(N, blk: Block, first_set):
+def _add_constraints(N, blk: Block, first_set, skip=()):
+    """skip: stations whose constraint weights are handled elsewhere
+    (constraint elimination replaces their huge-weight diagonal)."""
     for g in first_set:
-        if g not in blk.asm.local:
+        if g not in blk.asm.local or g in skip:
             continue
         l = 3 * blk.asm.local[g]
         li = blk.asm.local[g]

@@ -112,7 +112,9 @@ def adjust_tpu_blocked(net: NetworkData,
     that many super-blocks) — the national-scale junction path.  staged
     additionally stages the level-1 factor pools in host RAM and streams
     them through the chip (networks whose factors exceed HBM)."""
-    from ..parallel.schur import build_block_system, DeviceSchurFactors
+    from ..parallel.schur import (build_block_system, DeviceSchurFactors,
+                                  schur_solve_device_refined)
+    from .constraint_elim import ConstraintBasis
 
     opts = options or AdjustmentOptions()
     t0 = time.time()
@@ -154,6 +156,12 @@ def adjust_tpu_blocked(net: NetworkData,
         blk.asm.fill(blk.est, apply_reductions=True)
         blk.Wc = blk.asm.constraint_weights()
 
+    # hard constraints are eliminated from the parameter space (see
+    # constraint_elim.py) — the huge-weight formulation conditions the
+    # scaled normals at ~1e8+, past f32+refinement; elimination brings
+    # real networks inside the MXU-f32 envelope
+    basis = ConstraintBasis(net, opts)
+
     status = "Converged"
     it_log = []
     iteration = 0
@@ -169,9 +177,12 @@ def adjust_tpu_blocked(net: NetworkData,
         block_N, block_rhs = [], []
         for b, blk in enumerate(blocks):
             N, AtVinv = _block_normals(blk)
-            _add_constraints(N, blk, first_fwd[b])
+            rhs = AtVinv @ blk.asm.mmc
+            _add_constraints(N, blk, first_fwd[b], skip=basis.proj)
+            basis.transform_block(blk.stations, blk.asm.local, N, rhs,
+                                  first_fwd[b])
             block_N.append(N)
-            block_rhs.append(AtVinv @ blk.asm.mmc)
+            block_rhs.append(rhs)
         bs = build_block_system(block_N, block_rhs,
                                 [p[0] for p in part],
                                 [p[1] for p in part],
@@ -179,30 +190,28 @@ def adjust_tpu_blocked(net: NetworkData,
         # re-factor when geometry changed (non-GPS present) or first pass
         refactor = factors is None or any(blk.asm.has_non_gps
                                           for blk in blocks)
+        # with constraints eliminated the scaled systems condition at
+        # ~1e4-1e6: f32 MXU factorization + f64 residual refinement
+        # reaches f64-level solutions (no inv64/f64 fallback needed)
         if super_blocks > 0:
             from ..parallel.schur import (build_nested_partition,
-                                          NestedSchurFactors,
-                                          StreamedNestedSchurFactors)
+                                          schur_solve_nested_factored)
             if nested_part is None:
                 block_super = (np.arange(B, dtype=np.int64) *
                                min(super_blocks, B)) // B
                 nested_part = build_nested_partition(bs, block_super)
+            if not refactor:
+                factors.bs = bs
+            xi, xj, factors = schur_solve_nested_factored(
+                bs, nested_part, dtype=np.float32,
+                factors=(None if refactor else factors),
+                streamed=staged)
+        else:
             if refactor:
-                cls = (StreamedNestedSchurFactors if staged
-                       else NestedSchurFactors)
-                # f64 factorization: real networks (angular weights +
-                # constraints) exceed what f32+refinement recovers
-                factors = cls(bs, nested_part, dtype=np.float64)
+                factors = DeviceSchurFactors(bs, method="inv")
             else:
                 factors.bs = bs
-            xi, xj = factors.solve(bs.bi, bs.bj)
-        elif refactor:
-            # f64 factorization (see above)
-            factors = DeviceSchurFactors(bs, method="inv64")
-            xi, xj = factors.solve(bs.bi, bs.bj, refine=2)
-        else:
-            factors.bs = bs
-            xi, xj = factors.solve(bs.bi, bs.bj, refine=2)
+            xi, xj = schur_solve_device_refined(bs, factors)
 
         max_corr = 0.0
         max_stn = 0
@@ -256,6 +265,14 @@ def adjust_tpu_blocked(net: NetworkData,
     outliers = 0
     pelzer_sum, pelzer_n = 0.0, 0
     stats_rows = []
+    # one-time f64 Newton refinement of the f32 factors for variance
+    # extraction (solve-path refinement handles the estimates; the
+    # covariances need refined inverses)
+    if super_blocks == 0:
+        cov_factors = factors.newton_factors()
+    else:
+        cov_factors = None
+        factors.newton_refine_cov()
     S = net.nstations
     cov = np.zeros((3 * S, 3 * S))
     for b, blk in enumerate(blocks):
@@ -266,8 +283,11 @@ def adjust_tpu_blocked(net: NetworkData,
                 inner_p, junc_p, bs.jmap[b])
         else:
             cov_b = _block_cov_from_factors(
-                factors.factors, b, len(inner_p), len(junc_p),
+                cov_factors, b, len(inner_p), len(junc_p),
                 inner_p, junc_p, bs.jmap[b], bs.jmask[b])
+        # eliminated constrained directions carry a unit pin in the
+        # factored system; project them out so they report zero variance
+        basis.project_cov(blk.stations, blk.asm.local, cov_b)
         rows, c2, outl, ps, pn = _measurement_stats(
             blk.asm, net, cov_b, blk.est, crit)
         stats_rows.extend(rows)

@@ -469,6 +469,53 @@ def _schur_factor_inv64_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
     return Ainv, Y, Sinv, di, dj, djg, Nij_s
 
 
+@partial(jax.jit, static_argnames=("nj_total", "rounds"))
+def _newton_refine_factors_jit(Ainv, Y, Sinv, di, dj, djg, Nij_s,
+                               Nii64, Nij64, Njj64, jmap, jmask64,
+                               nj_total, rounds=1):
+    """f64 Newton-Schulz rounds on the explicit f32 Schur inverses.
+
+    X <- X (2I - N X) squares the relative error per round
+    (~kappa*eps32 -> (kappa*eps32)^2), giving f64-quality covariance
+    factors from the f32 MXU factorization — the variance-extraction
+    counterpart of the rhs refinement in the solve path (the reference
+    computes dpotri in f64 once, dnamatrix_contiguous.cpp:996-1006; here
+    the one-time cost is two batched f64 matmul rounds instead of an f64
+    factorization).  Returns a refined (Ainv, Y, Sinv, di, dj, djg,
+    Nij_s) tuple, all f64."""
+    di64 = di.astype(jnp.float64)
+    dj64 = dj.astype(jnp.float64)
+    Nii_s = Nii64 * di64[:, :, None] * di64[:, None, :]
+    Nij_s64 = Nij64 * di64[:, :, None] * dj64[:, None, :]
+    Njj_s64 = Njj64 * dj64[:, :, None] * dj64[:, None, :]
+
+    A = Ainv.astype(jnp.float64)
+    eye2 = 2.0 * jnp.eye(A.shape[1], dtype=jnp.float64)
+    for _ in range(rounds):
+        A = jnp.einsum("bij,bjk->bik",
+                       A, eye2 - jnp.einsum("bij,bjk->bik", Nii_s, A))
+        A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    Y64 = jnp.einsum("bij,bjk->bik", A, Nij_s64)
+
+    # rebuild the junction Schur complement in f64 from the refined A
+    S_b = Njj_s64 - jnp.einsum("bki,bkj->bij", Nij_s64, Y64)
+    S_b = S_b * jmask64[:, :, None] * jmask64[:, None, :]
+    S = jnp.zeros((nj_total, nj_total), dtype=jnp.float64)
+    nj = jmap.shape[1]
+    idx_i = jnp.repeat(jmap[:, :, None], nj, axis=2).reshape(-1)
+    idx_j = jnp.repeat(jmap[:, None, :], nj, axis=1).reshape(-1)
+    S = S.at[idx_i, idx_j].add(S_b.reshape(-1))
+    diag = jnp.diag(S)
+    S = S + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
+
+    Si = Sinv.astype(jnp.float64)
+    eye2j = 2.0 * jnp.eye(nj_total, dtype=jnp.float64)
+    for _ in range(rounds):
+        Si = Si @ (eye2j - S @ Si)
+        Si = 0.5 * (Si + Si.T)
+    return (A, Y64, Si, di64, dj64, djg.astype(jnp.float64), Nij_s64)
+
+
 def _schur_apply_inv_core(Ainv, Y, Sinv, di, dj, djg, Nij_s, bi, bj,
                           jmap, jmask, nj_total, axis=None):
     """Solve with explicit inverses — matmuls only (MXU)."""
@@ -759,6 +806,19 @@ class DeviceSchurFactors:
         return (np.asarray(xi, dtype=np.float64)[:self.B_real],
                 np.asarray(xj, dtype=np.float64)[:self.bs.nj_global])
 
+    def newton_factors(self, rounds: int = 2):
+        """f64 Newton-refined covariance factors (one-time, for the
+        variance-extraction stage after convergence).  For 'inv64' the
+        factors are already f64-exact."""
+        if self.method == "inv64":
+            return self.factors
+        if self.method != "inv" or self.mesh is not None:
+            raise ValueError("newton_factors requires method='inv' "
+                             "(single-device)")
+        return _newton_refine_factors_jit(
+            *self.factors, self.Nii64, self.Nij64, self.Njj64,
+            self.jmap, self.jmask64, self.nj_total, rounds)
+
 
 def schur_solve_device(bs: BlockSystem, refine: int = 2,
                        dtype=np.float32, factors: DeviceSchurFactors = None):
@@ -768,6 +828,42 @@ def schur_solve_device(bs: BlockSystem, refine: int = 2,
         factors = DeviceSchurFactors(bs, dtype)
     xi, xj = factors.solve(bs.bi, bs.bj, refine)
     return xi, xj, factors
+
+
+def schur_solve_device_refined(bs: BlockSystem,
+                               factors: DeviceSchurFactors,
+                               refine: int = 2, max_refine: int = 12,
+                               tol: float = 1e-13):
+    """Residual-driven mixed-precision solve on f32 device factors.
+
+    Each device dispatch runs `refine` in-jit f64 refinement rounds; the
+    host loop then measures the true f64 residual and re-applies the
+    factors to it until the relative residual converges (or stalls) —
+    the flat-path counterpart of schur_solve_nested_factored's loop.
+    This is what lets real (eliminated-constraint) networks at scaled
+    condition ~1e6 reach f64-level solutions from f32 MXU factors."""
+    xi, xj = factors.solve(bs.bi, bs.bj, refine)
+    rhs_j_global = _gather_rhs_junction(bs)
+    gi, gg = _owner_indices(bs.jmap, bs.jmask)
+    rhs_scale = max(float(np.abs(bs.bi).max()),
+                    float(np.abs(rhs_j_global).max()), 1e-30)
+    prev_rel = np.inf
+    for _ in range(max_refine):
+        yi, yj = _block_matvec(bs, xi, xj)
+        ri = (bs.bi * bs.imask) - yi
+        rj = rhs_j_global - yj
+        rel = max(float(np.abs(ri).max()),
+                  float(np.abs(rj).max())) / rhs_scale
+        if rel < tol or rel >= 0.5 * prev_rel:
+            break
+        prev_rel = rel
+        rj_b = np.zeros_like(bs.bj).reshape(-1)
+        rj_b[gi] = rj[gg]
+        di_, dj_ = factors.solve(ri, rj_b.reshape(bs.bj.shape),
+                                 refine=refine)
+        xi = xi + di_
+        xj = xj + dj_
+    return xi, xj
 
 
 # ---------------------------------------------------------------------------
@@ -1597,6 +1693,122 @@ class StreamedNestedSchurFactors:
 # nested a-posteriori covariance extraction (for adjusted-measurement stats)
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("rounds",))
+def _newton_l1_chunk(Nii_c, Nij_c, Njj_c, di_c, dj_c, Ainv_c, rounds=2):
+    """f64 Newton-Schulz on one host-resident chunk of level-1 inverses:
+    returns (refined Ainv, Y = Ainv·Nij, Schur piece S) all f64.  The
+    covariance counterpart of the solve path's rhs refinement — see
+    _newton_refine_factors_jit."""
+    Nii_c = Nii_c * di_c[:, :, None] * di_c[:, None, :]
+    Nij_c = Nij_c * di_c[:, :, None] * dj_c[:, None, :]
+    Njj_c = Njj_c * dj_c[:, :, None] * dj_c[:, None, :]
+    A = Ainv_c.astype(jnp.float64)
+    eye2 = 2.0 * jnp.eye(Nii_c.shape[1], dtype=jnp.float64)
+    for _ in range(rounds):
+        A = jnp.einsum("bij,bjk->bik",
+                       A, eye2 - jnp.einsum("bij,bjk->bik", Nii_c, A))
+        A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    Y = jnp.einsum("bij,bjk->bik", A, Nij_c)
+    S_c = Njj_c - jnp.einsum("bki,bkj->bij", Nij_c, Y)
+    return A, Y, S_c
+
+
+@partial(jax.jit, static_argnames=("rounds",))
+def _newton_l2_one(Nii2, Nij2, i2mask, A2inv32, k, rounds=2):
+    """f64 Newton-Schulz on ONE level-2 inverse (same pinning as
+    _nested_l2_factor_one); returns (A2inv, Y2, S2) f64."""
+    Nii2b = jax.lax.dynamic_slice_in_dim(Nii2, k, 1)[0]
+    Nij2b = jax.lax.dynamic_slice_in_dim(Nij2, k, 1)[0]
+    mask_b = jax.lax.dynamic_slice_in_dim(i2mask, k, 1)[0]
+    eye = jnp.eye(Nii2b.shape[0], dtype=jnp.float64)
+    Nii2b = Nii2b + eye * (1.0 - mask_b)[None, :]
+    A2 = jax.lax.dynamic_slice_in_dim(A2inv32, k, 1)[0].astype(jnp.float64)
+    eye2 = 2.0 * eye
+    for _ in range(rounds):
+        A2 = A2 @ (eye2 - Nii2b @ A2)
+        A2 = 0.5 * (A2 + A2.T)
+    Y2b = A2 @ Nij2b
+    S2b = - jnp.einsum("ki,kj->ij", Nij2b, Y2b)
+    return A2, Y2b, S2b
+
+
+@partial(jax.jit, static_argnames=("nsj_total", "rounds"))
+def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, rounds=2):
+    """Assemble the f64 super-junction system and Newton-refine its
+    inverse from the f32 one."""
+    S2_b = (Njj2 + S2_b) * j2mask[:, :, None] * j2mask[:, None, :]
+    S2, _ = _scatter_junction(S2_b, jnp.zeros_like(S2_b[..., 0]), j2map,
+                              nsj_total)
+    diag = jnp.diag(S2)
+    S2 = S2 + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
+    Si = Sinv32.astype(jnp.float64)
+    eye2 = 2.0 * jnp.eye(nsj_total, dtype=jnp.float64)
+    for _ in range(rounds):
+        Si = Si @ (eye2 - S2 @ Si)
+        Si = 0.5 * (Si + Si.T)
+    return Si
+
+
+def _nested_newton_refine_cov(self, rounds: int = 2):
+    """One-time f64 Newton refinement of the nested f32 factors for the
+    variance-extraction stage: level-1 inverses are refined chunk-by-chunk
+    (host-streamed, so HBM holds one f64 chunk at a time), the level-2
+    systems are re-assembled in f64 from the refined pieces, and the
+    level-2/3 inverses are refined against them.  After this call
+    level1_block/junction_cov return f64-quality covariances.  No-op when
+    the factors are already f64."""
+    if self.dtype == np.float64 or getattr(self, "_cov_l1_h", None):
+        return
+    bs, part = self.bs, self.part
+    B, ni = bs.Nii.shape[:2]
+    if hasattr(self, "Ainv_h"):                      # streamed layout
+        di_h, dj_h = self.di_h, self.dj_h
+        ainv_src = lambda s: self.Ainv_h[s]
+        a2_src = self.l2_factors
+    else:
+        Ainv, Y, A2inv, Y2, Sinv, di, dj, djg = self.factors
+        di_h, dj_h = np.asarray(di), np.asarray(dj)
+        ainv_src = lambda s: np.asarray(Ainv[s])
+        a2_src = (A2inv, Y2, Sinv)
+
+    C = next(c for c in range(min(16, B), 0, -1) if B % c == 0)
+    Ah = np.empty((B, ni, ni))
+    Yh = np.empty((B, ni, bs.Njj.shape[1]))
+    Nii2 = jnp.zeros((part.SB, part.ni2, part.ni2), dtype=jnp.float64)
+    Nij2 = jnp.zeros((part.SB, part.ni2, part.nj2), dtype=jnp.float64)
+    Njj2 = jnp.zeros((part.SB, part.nj2, part.nj2), dtype=jnp.float64)
+    jmask64 = bs.jmask.astype(np.float64)
+    sbb = jnp.asarray(part.sb_of_block)
+    l2s = jnp.asarray(part.l2slot)
+    for k in range(B // C):
+        s = slice(k * C, (k + 1) * C)
+        A_c, Y_c, S_c = _newton_l1_chunk(
+            jnp.asarray(bs.Nii[s]), jnp.asarray(bs.Nij[s]),
+            jnp.asarray(bs.Njj[s]),
+            jnp.asarray(di_h[s], dtype=jnp.float64),
+            jnp.asarray(dj_h[s], dtype=jnp.float64),
+            jnp.asarray(ainv_src(s)), rounds=rounds)
+        Ah[s] = np.asarray(A_c)
+        Yh[s] = np.asarray(Y_c)
+        Nii2, Nij2, Njj2 = _l2_accumulate(
+            Nii2, Nij2, Njj2, S_c, jnp.asarray(jmask64[s]),
+            sbb[s], l2s[s], SB=part.SB, ni2=part.ni2, nj2=part.nj2)
+
+    i2m = jnp.asarray(part.i2mask, dtype=jnp.float64)
+    A2_32 = jnp.asarray(a2_src[0])
+    parts2 = [_newton_l2_one(Nii2, Nij2, i2m, A2_32, k, rounds=rounds)
+              for k in range(part.SB)]
+    A2h = np.stack([np.asarray(p[0]) for p in parts2])
+    Y2h = np.stack([np.asarray(p[1]) for p in parts2])
+    S2_b = jnp.stack([p[2] for p in parts2])
+    Sinv64 = _newton_l3(S2_b, Njj2,
+                        jnp.asarray(part.j2mask, dtype=jnp.float64),
+                        jnp.asarray(part.j2map), jnp.asarray(a2_src[2]),
+                        nsj_total=self.nsj_total, rounds=rounds)
+    self._cov_l1_h = (Ah, Yh)
+    self._l2_host = (A2h, Y2h, np.asarray(Sinv64))
+
+
 def nested_junction_cov(part: NestedPartition, A2inv, Y2, Sinv, gsel):
     """Scaled a-posteriori covariance over global junction params `gsel`.
 
@@ -1643,6 +1855,9 @@ def nested_junction_cov(part: NestedPartition, A2inv, Y2, Sinv, gsel):
 
 def _resident_level1_block(self, b):
     Ainv, Y, A2inv, Y2, Sinv, di, dj, djg = self.factors
+    if getattr(self, "_cov_l1_h", None):
+        Ah, Yh = self._cov_l1_h
+        return Ah[b], Yh[b], np.asarray(di[b], dtype=np.float64)
     return (np.asarray(Ainv[b], dtype=np.float64),
             np.asarray(Y[b], dtype=np.float64),
             np.asarray(di[b], dtype=np.float64))
@@ -1665,9 +1880,13 @@ def _resident_djg_np(self):
 NestedSchurFactors.level1_block = _resident_level1_block
 NestedSchurFactors.junction_cov = _resident_junction_cov
 NestedSchurFactors.djg_np = property(_resident_djg_np)
+NestedSchurFactors.newton_refine_cov = _nested_newton_refine_cov
 
 
 def _streamed_level1_block(self, b):
+    if getattr(self, "_cov_l1_h", None):
+        Ah, Yh = self._cov_l1_h
+        return Ah[b], Yh[b], np.asarray(self.di_h[b], dtype=np.float64)
     return (np.asarray(self.Ainv_h[b], dtype=np.float64),
             np.asarray(self.Y_h[b], dtype=np.float64),
             np.asarray(self.di_h[b], dtype=np.float64))
@@ -1690,3 +1909,4 @@ def _streamed_djg_np(self):
 StreamedNestedSchurFactors.level1_block = _streamed_level1_block
 StreamedNestedSchurFactors.junction_cov = _streamed_junction_cov
 StreamedNestedSchurFactors.djg_np = property(_streamed_djg_np)
+StreamedNestedSchurFactors.newton_refine_cov = _nested_newton_refine_cov
