@@ -112,6 +112,7 @@ class Assembler:
         self.A = np.zeros((self.nrows, n))
         self.mmc = np.zeros(self.nrows)
         self._built = False
+        self._vector_plan = None
         # current geographic coordinates, refreshed from the estimates at
         # each fill (UpdateGeographicCoords, dnaadjust.cpp:8734) so
         # local-frame reductions and partials track the estimates
@@ -313,11 +314,11 @@ class Assembler:
             self.cur_lon[idx] = lo
             self.cur_h[idx] = h
 
-        for it in self.scalar_items:
-            self._fill_scalar(it, est, apply_reductions)
-        for ds in self.dirn_sets:
-            for it in ds.angles:
-                self._fill_scalar(it, est, apply_reductions)
+        if self.scalar_items or self.dirn_sets:
+            if self._vector_plan is None:
+                from .vector_fill import VectorPlan
+                self._vector_plan = VectorPlan(self)
+            self._vector_plan.fill(est, apply_reductions)
         if rebuild_design:
             # GPS design entries are constant (±1) but must be rewritten
             # whenever the design matrix is re-zeroed for relinearisation
@@ -700,6 +701,49 @@ class Assembler:
             yield ds.row0, ds.vinv
         for g in self.gps_items:
             yield g.row0, g.vinv
+
+    def _compile_weight_plan(self):
+        """Columnar weight-application plan: scalar rows carry a diagonal
+        1/var vector; direction sets and GPS clusters are bucketed by
+        V⁻¹ block size into batched (m, k, k) stacks so AᵀV⁻¹ is a few
+        batched matmuls instead of a per-measurement Python loop (the
+        vectorised UpdateAtVinv, dnaadjust.cpp:1285-1833)."""
+        ns = len(self.scalar_items)
+        self._w_rows = np.fromiter((it.row for it in self.scalar_items),
+                                   np.int64, ns)
+        self._w_diag = np.fromiter((1.0 / it.var for it in
+                                    self.scalar_items), np.float64, ns)
+        buckets = {}
+        for obj in list(self.dirn_sets) + list(self.gps_items):
+            V = obj.vinv
+            b = buckets.setdefault(V.shape[0], ([], []))
+            b[0].append(obj.row0)
+            b[1].append(V)
+        # store Vᵀ stacks: AtVinv columns are A_blkᵀ @ V, i.e. the rows of
+        # the transposed product Vᵀ @ A_blk — identical values to the
+        # per-block loop (V is an inverse of a symmetric matrix, which is
+        # only symmetric to roundoff, so the transpose matters for exact
+        # parity)
+        self._w_buckets = [
+            (np.asarray(r0s, dtype=np.int64),
+             np.ascontiguousarray(np.stack(Vs).transpose(0, 2, 1)))
+            for r0s, Vs in buckets.values()]
+
+    def atvinv(self) -> np.ndarray:
+        """AᵀV⁻¹ (n, nrows), built with batched matmuls (see
+        _compile_weight_plan).  The returned array is a transposed view
+        of a row-major (nrows, n) buffer."""
+        if not hasattr(self, "_w_rows"):
+            self._compile_weight_plan()
+        A = self.A
+        VAT = np.empty_like(A)
+        if len(self._w_rows):
+            VAT[self._w_rows] = A[self._w_rows] * self._w_diag[:, None]
+        for r0s, VT in self._w_buckets:
+            k = VT.shape[1]
+            idx = r0s[:, None] + np.arange(k)
+            VAT[idx] = VT @ A[idx]
+        return VAT.T
 
     def build_vinv(self) -> np.ndarray:
         Vinv = np.zeros((self.nrows, self.nrows))

@@ -396,13 +396,10 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
 
 
 def _block_normals(blk: Block):
-    """Measurement-only normals and AtVinv for one block."""
+    """Measurement-only normals and AtVinv for one block (batched
+    weight application — Assembler.atvinv)."""
     A = blk.asm.A
-    n = A.shape[1]
-    AtVinv = np.zeros((n, blk.asm.nrows))
-    for r0, w in blk.asm.weight_blocks():
-        k = w.shape[0]
-        AtVinv[:, r0:r0 + k] = A[r0:r0 + k].T @ w
+    AtVinv = blk.asm.atvinv()
     return AtVinv @ A, AtVinv
 
 

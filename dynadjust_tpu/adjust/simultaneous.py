@@ -136,16 +136,11 @@ def _solve_normals(N, AtVinv_m, scale_to_unity: bool,
     return Ninv, dx
 
 
-def _form_normals(A, Vinv_blocks, Wc, nrows):
-    """N = AᵀV⁻¹A + per-station 3x3 constraint blocks; AtVinv = AᵀV⁻¹.
-
-    Vinv_blocks: iterable of (row0, block) covering all design rows."""
-    n = A.shape[1]
-    AtVinv = np.zeros((n, nrows))
-    for r0, blk in Vinv_blocks:
-        k = blk.shape[0]
-        AtVinv[:, r0:r0 + k] = A[r0:r0 + k].T @ blk
-    N = AtVinv @ A
+def _form_normals(asm, Wc):
+    """N = AᵀV⁻¹A + per-station 3x3 constraint blocks; AtVinv = AᵀV⁻¹
+    (batched weight application — Assembler.atvinv)."""
+    AtVinv = asm.atvinv()
+    N = AtVinv @ asm.A
     for i in range(Wc.shape[0]):
         N[3 * i:3 * i + 3, 3 * i:3 * i + 3] += Wc[i]
     return N, AtVinv
@@ -177,7 +172,7 @@ def adjust_simultaneous(net: NetworkData,
     initial_xyz = est.reshape(-1, 3).copy()
     asm.fill(est, apply_reductions=True)
     Wc = asm.constraint_weights()
-    N, AtVinv = _form_normals(asm.A, asm.weight_blocks(), Wc, asm.nrows)
+    N, AtVinv = _form_normals(asm, Wc)
 
     unknown_count = asm.unknown_params()
     m_count = asm.measurement_count()
@@ -268,8 +263,7 @@ def adjust_simultaneous(net: NetworkData,
         if asm.has_non_gps:
             _update_geographic(net, est)
             asm.fill(est)
-            N, AtVinv = _form_normals(asm.A, asm.weight_blocks(), Wc,
-                                      asm.nrows)
+            N, AtVinv = _form_normals(asm, Wc)
         else:
             asm.fill(est)
         prof["update_normals_ns"] += _time.perf_counter_ns() - _t0
@@ -338,6 +332,10 @@ def _measurement_stats(asm: Assembler, net: NetworkData, Ninv: np.ndarray,
     """Adjusted measurement corrections, precisions, N-stats, chi-square.
 
     Parity: ComputePrecisionAdjMsrs + UpdateMsrRecords + ComputeChiSquare."""
+    if getattr(asm, "_vector_plan", None) is not None:
+        # reductions live in the vectorised bucket arrays; write them back
+        # to the work items the reporting path reads
+        asm._vector_plan.sync_items()
     A, mmc = asm.A, asm.mmc
     # diag(A Ninv Aᵀ) gives the adjusted-measurement variance per row
     ANi = A @ Ninv
