@@ -77,8 +77,14 @@ class AdjustmentResult:
     lat: np.ndarray
     lon: np.ndarray
     height: np.ndarray              # ellipsoidal
-    cov_xyz: np.ndarray             # (3S, 3S) a-posteriori covariance
+    cov_xyz: np.ndarray             # (3S, 3S) a-posteriori covariance, or
+                                    # None at national scale (see cov_stn)
     msr_stats: list = field(default_factory=list)
+    # (S, 3, 3) per-station covariance blocks — the O(S) storage the
+    # blocked paths always populate; the dense cov_xyz is only
+    # materialised for small networks (the reference likewise extracts
+    # per-block variances in phased mode, dnaadjust.cpp:6770)
+    cov_stn: np.ndarray = None
     iteration_log: list = field(default_factory=list)
     # phased mode: [(block_no, inner_names, junction_names, msr_count)]
     block_info: list = None
@@ -87,6 +93,19 @@ class AdjustmentResult:
     initial_xyz: np.ndarray = None
     oscillation: list = field(default_factory=list)
     elapsed: float = 0.0
+
+    def station_cov(self, i: int) -> np.ndarray:
+        """(3,3) cartesian covariance of station i."""
+        if self.cov_stn is not None:
+            return self.cov_stn[i]
+        return self.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
+
+    def add_station_cov(self, i: int, V: np.ndarray) -> None:
+        """Add a (3,3) block to station i's covariance (Type B)."""
+        if self.cov_stn is not None:
+            self.cov_stn[i] += V
+        if self.cov_xyz is not None:
+            self.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3] += V
 
 
 def _chi2_limits(dof: float, confidence: float):

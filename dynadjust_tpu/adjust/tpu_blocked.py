@@ -171,9 +171,14 @@ def adjust_tpu_blocked(net: NetworkData,
     nested_part = None
 
     import time as _time
+    import os as _os
+    prof = ({"fill": 0.0, "normals": 0.0, "build": 0.0, "factor": 0.0,
+             "solve": 0.0, "update": 0.0}
+            if _os.environ.get("DTA_PROFILE") else None)
     for _ in range(opts.max_iterations):
         iteration += 1
         _t_iter = _time.perf_counter()
+        _t = _time.perf_counter()
         block_N, block_rhs = [], []
         for b, blk in enumerate(blocks):
             N, AtVinv = _block_normals(blk)
@@ -183,13 +188,19 @@ def adjust_tpu_blocked(net: NetworkData,
                                   first_fwd[b])
             block_N.append(N)
             block_rhs.append(rhs)
+        if prof is not None:
+            prof["normals"] += _time.perf_counter() - _t
+            _t = _time.perf_counter()
         bs = build_block_system(block_N, block_rhs,
                                 [p[0] for p in part],
                                 [p[1] for p in part],
                                 [p[2] for p in part])
+        if prof is not None:
+            prof["build"] += _time.perf_counter() - _t
         # re-factor when geometry changed (non-GPS present) or first pass
         refactor = factors is None or any(blk.asm.has_non_gps
                                           for blk in blocks)
+        _t = _time.perf_counter()
         # with constraints eliminated the scaled systems condition at
         # ~1e4-1e6: f32 MXU factorization + f64 residual refinement
         # reaches f64-level solutions (no inv64/f64 fallback needed)
@@ -212,6 +223,9 @@ def adjust_tpu_blocked(net: NetworkData,
             else:
                 factors.bs = bs
             xi, xj = schur_solve_device_refined(bs, factors)
+        if prof is not None:
+            prof["solve"] += _time.perf_counter() - _t
+            _t = _time.perf_counter()
 
         max_corr = 0.0
         max_stn = 0
@@ -237,6 +251,9 @@ def adjust_tpu_blocked(net: NetworkData,
                        "enu": [float(v) for v in np.ravel(_enu)],
                        "elapsed": _time.perf_counter() - _t_iter})
 
+        if prof is not None:
+            prof["update"] += _time.perf_counter() - _t
+            _t = _time.perf_counter()
         converged = abs(max_corr) <= opts.iteration_threshold
         la, lo, h = cart_to_geo(xyz_all[:, 0], xyz_all[:, 1],
                                 xyz_all[:, 2], net.datum.ellipsoid)
@@ -244,12 +261,21 @@ def adjust_tpu_blocked(net: NetworkData,
         for blk in blocks:
             blk.est = xyz_all[blk.stations].reshape(-1).copy()
             blk.asm.fill(blk.est)
+        if prof is not None:
+            prof["fill"] += _time.perf_counter() - _t
         if converged:
             break
     else:
         status = "Failed to converge"
     if abs(max_corr) > opts.iteration_threshold:
         status = "Failed to converge"
+    if prof is not None:
+        import sys as _sys
+        tot = sum(prof.values())
+        print("DTA_PROFILE per-phase (s, over {} iters): ".format(iteration) +
+              "  ".join(f"{k}={v:.3f} ({100*v/max(tot,1e-12):.0f}%)"
+                        for k, v in prof.items()),
+              file=_sys.stderr, flush=True)
 
     # ---- statistics from the factored covariances -------------------------
     crit = _critical_value(opts.confidence_interval)
@@ -274,7 +300,14 @@ def adjust_tpu_blocked(net: NetworkData,
         cov_factors = None
         factors.newton_refine_cov()
     S = net.nstations
-    cov = np.zeros((3 * S, 3 * S))
+    # O(S) covariance storage: per-station 3x3 blocks always; the dense
+    # (3S,3S) matrix only for small networks (needed by SINEX full-VCV
+    # export and --output-all-covariances) — it would be 4.5 TB at 250k
+    # stations (the reference likewise stores per-block variances only in
+    # phased mode, dnaadjust.cpp:6770)
+    dense_max = int(_os.environ.get("DTA_DENSE_COV_MAX_STN", "5000"))
+    cov = np.zeros((3 * S, 3 * S)) if S <= dense_max else None
+    cov_stn = np.zeros((S, 3, 3))
     for b, blk in enumerate(blocks):
         inner_p, junc_p, junc_g = part[b]
         if super_blocks > 0:
@@ -297,8 +330,9 @@ def adjust_tpu_blocked(net: NetworkData,
         pelzer_n += pn
         for g in blk.stations:
             l = blk.asm.local[g]
-            cov[3 * g:3 * g + 3, 3 * g:3 * g + 3] = \
-                cov_b[3 * l:3 * l + 3, 3 * l:3 * l + 3]
+            cov_stn[g] = cov_b[3 * l:3 * l + 3, 3 * l:3 * l + 3]
+            if cov is not None:
+                cov[3 * g:3 * g + 3, 3 * g:3 * g + 3] = cov_stn[g]
 
     stats_rows.sort(key=lambda r: r.rec_idx)
     dof = m_count - unknown_count
@@ -326,5 +360,6 @@ def adjust_tpu_blocked(net: NetworkData,
         global_pelzer=float(global_pelzer), potential_outliers=outliers,
         critical_value=float(crit), xyz=xyz_all.copy(),
         lat=net.lat.copy(), lon=net.lon.copy(), height=net.height.copy(),
-        cov_xyz=cov, msr_stats=stats_rows, iteration_log=it_log,
-        block_info=block_info, initial_xyz=initial_xyz, elapsed=time.time() - t0)
+        cov_xyz=cov, cov_stn=cov_stn, msr_stats=stats_rows,
+        iteration_log=it_log, block_info=block_info,
+        initial_xyz=initial_xyz, elapsed=time.time() - t0)

@@ -114,7 +114,7 @@ def apply_type_b(net, res, typeb_list, global_tb=None):
         v_local = np.diag([tb.sd_e ** 2, tb.sd_n ** 2, tb.sd_up ** 2])
         v_cart = propagate_variance_local_cart(v_local, res.lat[i],
                                                res.lon[i])
-        res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3] += v_cart
+        res.add_station_cov(i, v_cart)
         n += 1
     return n
 

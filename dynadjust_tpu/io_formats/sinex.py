@@ -158,7 +158,7 @@ def write_sinex(path: str, net, res, agency: str = "DTA"):
     for i in range(S):
         code = net.names[i][:4].ljust(4)
         for comp, t in enumerate(("STAX", "STAY", "STAZ")):
-            sd = np.sqrt(res.cov_xyz[3 * i + comp, 3 * i + comp])
+            sd = np.sqrt(res.station_cov(i)[comp, comp])
             L.append(f" {idx:5d} {t:<6} {code}  A    1 "
                      f"{yy:02d}:{doy:03d}:00000 m    1 "
                      f"{res.xyz[i][comp]: .14E} {sd:.5E}")
@@ -167,16 +167,28 @@ def write_sinex(path: str, net, res, agency: str = "DTA"):
     L.append("+SOLUTION/MATRIX_ESTIMATE L COVA")
     L.append("*PARA1 PARA2 ____PARA2+0__________ ____PARA2+1__________ "
              "____PARA2+2__________")
-    n = 3 * S
-    for r in range(1, n + 1):
-        c = 1
-        while c <= r:
-            vals = []
-            for k in range(3):
-                if c + k <= r:
-                    vals.append(f"{res.cov_xyz[r - 1, c + k - 1]: .14E}")
-            L.append(f" {r:5d} {c:5d} " + " ".join(vals))
-            c += 3
+    if res.cov_xyz is not None:
+        n = 3 * S
+        for r in range(1, n + 1):
+            c = 1
+            while c <= r:
+                vals = []
+                for k in range(3):
+                    if c + k <= r:
+                        vals.append(f"{res.cov_xyz[r - 1, c + k - 1]: .14E}")
+                L.append(f" {r:5d} {c:5d} " + " ".join(vals))
+                c += 3
+    else:
+        # national scale: only per-station blocks are materialised —
+        # SINEX permits omitting unstored (zero) elements of the lower
+        # triangle, so write each station's 3x3 block
+        for i in range(S):
+            Vc = res.station_cov(i)
+            for rr in range(3):
+                r = 3 * i + rr + 1
+                c = 3 * i + 1
+                vals = [f"{Vc[rr, k]: .14E}" for k in range(rr + 1)]
+                L.append(f" {r:5d} {c:5d} " + " ".join(vals))
     L.append("-SOLUTION/MATRIX_ESTIMATE L COVA")
     L.append("%ENDSNX")
     with open(path, "w") as f:

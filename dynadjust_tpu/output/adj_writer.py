@@ -199,7 +199,7 @@ def station_lines(net: NetworkData, res,
     if file_order and getattr(net, "station_file_order", None):
         order = sorted(order, key=lambda i: net.station_file_order[i])
     for i in order:
-        V = res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
+        V = res.station_cov(i)
         R = rotation_cart_to_local(res.lat[i], res.lon[i])
         Vl = R @ V @ R.T
         sd = np.sqrt(np.diag(Vl))

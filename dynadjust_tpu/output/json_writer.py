@@ -33,7 +33,7 @@ def _header(net, report: str) -> dict:
 
 
 def _station_record(net, res, i, original_xyz=None) -> dict:
-    Vc = res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
+    Vc = res.station_cov(i)
     R = rotation_cart_to_local(res.lat[i], res.lon[i])
     Vl = R @ Vc @ R.T
     a, b, az = error_ellipse(Vl)
@@ -159,7 +159,7 @@ def write_apu_jsonl(path: str, net, res, confidence: float = 95.0) -> int:
     with open(path, "w") as f:
         f.write(json.dumps(_header(net, "apu")) + "\n")
         for i in range(net.nstations):
-            Vc = res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
+            Vc = res.station_cov(i)
             R = rotation_cart_to_local(res.lat[i], res.lon[i])
             Vl = R @ Vc @ R.T
             a, b, az = error_ellipse(Vl)

@@ -99,7 +99,7 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
         sds = []
         ell = []
         for i in range(net.nstations):
-            Vc = res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
+            Vc = res.station_cov(i)
             R = rotation_cart_to_local(net.lat[i], net.lon[i])
             Vl = R @ Vc @ R.T
             a, b, az = error_ellipse(Vl)
@@ -146,7 +146,7 @@ def plot_network(path: str, net, res=None, seg=None, show_ellipses=True,
         spans = max(lat.max() - lat.min(), lon.max() - lon.min(), 1e-6)
         pus = []
         for i in range(net.nstations):
-            Vc = res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
+            Vc = res.station_cov(i)
             R = rotation_cart_to_local(net.lat[i], net.lon[i])
             Vl = R @ Vc @ R.T
             a, b, _ = error_ellipse(Vl)

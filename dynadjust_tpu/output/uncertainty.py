@@ -85,7 +85,7 @@ def write_apu(path: str, net: NetworkData, res, vcv_units: str = "ENU",
     L.append("-" * width)
 
     for i in range(net.nstations):
-        Vc = res.cov_xyz[3 * i:3 * i + 3, 3 * i:3 * i + 3]
+        Vc = res.station_cov(i)
         R = rotation_cart_to_local(res.lat[i], res.lon[i])
         Vl = R @ Vc @ R.T
         a, b, az = error_ellipse(Vl)
@@ -114,6 +114,11 @@ def write_apu(path: str, net: NetworkData, res, vcv_units: str = "ENU",
         L.append(f"{'':{pad + MSR}}{V[1, 1]:>{MSR}.9e}{V[1, 2]:>{MSR}.9e}")
         L.append(f"{'':{pad + 2 * MSR}}{V[2, 2]:>{MSR}.9e}")
         if all_covariances:
+            if res.cov_xyz is None:
+                raise ValueError(
+                    "--output-all-covariances needs the dense covariance, "
+                    "which is not materialised at this network size "
+                    "(set DTA_DENSE_COV_MAX_STN to force it)")
             Ri = R
             for j in range(i + 1, net.nstations):
                 C = res.cov_xyz[3 * i:3 * i + 3, 3 * j:3 * j + 3]
