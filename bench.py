@@ -1,11 +1,21 @@
-"""Benchmark: blocked TPU adjustment vs reference-style dense host solve.
+"""Benchmark: TPU blocked adjustment vs the MEASURED reference baseline.
 
-Builds a synthetic GNSS grid network (the BASELINE.json scaling configs),
-adjusts it with the TPU two-level Schur solver (f32 factorizations + f64
-residual refinement), and compares one Gauss-Newton solve against the
-reference's approach — a dense float64 Cholesky of the full simultaneous
-normals on the host CPU (what DynAdjust's MKL path does,
-dnaadjust.cpp:6586 Solve → dpotrf/dpotri).
+Default (BENCH_MODE=mixed): a 10,000-station mixed-measurement-type
+network (G baselines + S slope distances + A angles + V zeniths + L level
+differences + R heights — the per-iteration re-linearisation workload)
+adjusted end-to-end by the blocked two-level Schur solver (f32 MXU
+factorization + f64 residual refinement, constraints eliminated).  The
+warm per-iteration wall time is compared against the measured
+reference-equivalent phased baseline (native/ref_baseline.cpp — the
+reference's AdjustPhased per-block dpotrf/dpotri/carry sequence on
+OpenBLAS, recorded in baseline_measured.json; assembly excluded, i.e. a
+lower bound for the reference).
+
+Also reports the device-time split (upload / factor / apply) and the
+f32 factorization's achieved FLOP/s + MFU against the v5e MXU peak.
+
+BENCH_MODE=gnss|nested|streamed: the round-1 GNSS-grid solve benches
+(vs dense host Cholesky) are kept for continuity.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -32,23 +42,178 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+MODE = os.environ.get("BENCH_MODE", "mixed")
 ROWS = int(os.environ.get("BENCH_ROWS", "64"))
 COLS = int(os.environ.get("BENCH_COLS", "64"))
 BLOCK = int(os.environ.get("BENCH_BLOCK", "16"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
-# BENCH_NESTED=1: use the 3-level nested solver (national-scale path);
-# BENCH_SUPER: super-tile size in tiles (default 4)
-# BENCH_STREAMED=1: host-staged level-1 factors streamed through the chip
-# (the staged .mtx analogue — for networks whose factors exceed HBM)
 NESTED = os.environ.get("BENCH_NESTED", "") == "1"
 SUPER = int(os.environ.get("BENCH_SUPER", "4"))
 STREAMED = os.environ.get("BENCH_STREAMED", "") == "1"
 
+# f32 matmul peak of one TPU v5e chip (MXU), FLOP/s.  bf16 peak is
+# 197e12; f32 passes run at ~1/4 of that on the v5e MXU.
+V5E_F32_PEAK = 49.0e12
 
-def main():
+
+def _device_name():
+    try:
+        return str(jax.devices()[0])
+    except Exception:
+        return "unknown"
+
+
+def _factor_flops(bs, nj_total):
+    """Approximate f32 FLOPs of one _schur_factor_inv_jit call."""
+    B, ni = bs.Nii.shape[0], bs.Nii.shape[1]
+    nj = bs.Njj.shape[1]
+    per_block = (ni ** 3 / 3.0        # cholesky
+                 + ni ** 3            # inverse (2 triangular solves, n rhs)
+                 + 2.0 * ni * ni * nj  # Y = Ainv Nij
+                 + 2.0 * ni * nj * nj)  # S_b
+    junction = (4.0 / 3.0) * nj_total ** 3   # chol + inverse
+    return B * per_block + junction
+
+
+def bench_mixed():
+    from dynadjust_tpu.utils.synthetic_mixed import synthetic_mixed_network
+    from dynadjust_tpu.adjust import AdjustmentOptions
+    from dynadjust_tpu.adjust.tpu_blocked import adjust_tpu_blocked
+    from dynadjust_tpu.adjust.phased import (Block, _first_appearances,
+                                             _block_normals,
+                                             _add_constraints)
+    from dynadjust_tpu.adjust.constraint_elim import ConstraintBasis
+    from dynadjust_tpu.parallel.schur import (build_block_system,
+                                              DeviceSchurFactors)
+    from dynadjust_tpu.geodesy.conversions import geo_to_cart
+
+    rows = int(os.environ.get("BENCH_MIXED_ROWS", "100"))
+    cols = int(os.environ.get("BENCH_MIXED_COLS", "100"))
+    t0 = time.time()
+    net, seg = synthetic_mixed_network(rows, cols, block_rows=16,
+                                       block_cols=16)
+    S = net.nstations
+    log(f"mixed bench: {S} stations, {len(net.measurements)} records, "
+        f"{seg.block_count} blocks (gen {time.time()-t0:.1f}s)")
+
+    opts = AdjustmentOptions()
+    t0 = time.time()
+    res = adjust_tpu_blocked(net, opts, seg=seg)
+    t_total = time.time() - t0
+    iters = res.iteration_log
+    t_first = iters[0]["elapsed"]
+    t_warm = iters[-1]["elapsed"]
+    log(f"adjust: {res.status} in {res.iterations} iters, "
+        f"sigma0 {res.sigma_zero:.4f}, total {t_total:.1f}s "
+        f"(first iter {t_first:.1f}s incl. compile, warm {t_warm:.2f}s)")
+
+    # ---- device-time split on the converged system ----------------------
+    net2, _ = synthetic_mixed_network(rows, cols, block_rows=16,
+                                      block_cols=16)
+    blocks = [Block(net2, opts, seg, b) for b in range(seg.block_count)]
+    first_fwd = _first_appearances(blocks, "fwd")
+    basis = ConstraintBasis(net2, opts)
+    x, y, z = geo_to_cart(net2.lat, net2.lon, net2.height,
+                          net2.datum.ellipsoid)
+    est = np.stack([x, y, z], -1)
+    for blk in blocks:
+        blk.est = est[blk.stations].reshape(-1).copy()
+        blk.asm.fill(blk.est, apply_reductions=True)
+        blk.Wc = blk.asm.constraint_weights()
+    bN, brhs, part = [], [], []
+    count = {}
+    for blk in blocks:
+        for g in blk.stations:
+            count[g] = count.get(g, 0) + 1
+    jpi = {g: k for k, g in enumerate(sorted(
+        g for g, c in count.items() if c > 1))}
+    for b, blk in enumerate(blocks):
+        inner_p, junc_p, junc_g = [], [], []
+        for g in blk.stations:
+            l = 3 * blk.asm.local[g]
+            if g in jpi:
+                junc_p.extend(range(l, l + 3))
+                junc_g.extend(range(3 * jpi[g], 3 * jpi[g] + 3))
+            else:
+                inner_p.extend(range(l, l + 3))
+        part.append((np.array(inner_p, dtype=np.int64),
+                     np.array(junc_p, dtype=np.int64),
+                     np.array(junc_g, dtype=np.int64)))
+        N, AtVinv = _block_normals(blk)
+        rhs = AtVinv @ blk.asm.mmc
+        _add_constraints(N, blk, first_fwd[b], skip=basis.proj)
+        basis.transform_block(blk.stations, blk.asm.local, N, rhs,
+                              first_fwd[b])
+        bN.append(N)
+        brhs.append(rhs)
+    bs = build_block_system(bN, brhs, [p[0] for p in part],
+                            [p[1] for p in part], [p[2] for p in part])
+    log(f"block system: Nii{bs.Nii.shape} Njj{bs.Njj.shape} "
+        f"nj_global {bs.nj_global}")
+
+    factors = DeviceSchurFactors(bs, method="inv", device_f64=False)
+    jax.block_until_ready(factors.factors)
+    n_f = max(2, ITERS)
+    t0 = time.time()
+    for _ in range(n_f):
+        factors.refactor()            # device-resident casts: factor only
+        jax.block_until_ready(factors.factors)
+    t_factor = (time.time() - t0) / n_f
+    t0 = time.time()
+    for _ in range(n_f):
+        factors.update(bs)            # upload f32 normals + factor
+        jax.block_until_ready(factors.factors)
+    t_upload_factor = (time.time() - t0) / n_f
+    xi, xj = factors.solve(bs.bi, bs.bj)
+    t0 = time.time()
+    for _ in range(n_f):
+        xi, xj = factors.solve(bs.bi, bs.bj)
+    t_apply = (time.time() - t0) / n_f
+    flops = _factor_flops(bs, bs.nj_global + 1)
+    mfu = flops / t_factor / V5E_F32_PEAK
+
+    ref = None
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "baseline_measured.json")
+    key = f"mixed_{S}stn"
+    if os.path.exists(ref_path):
+        cfg = json.load(open(ref_path))["configs"]
+        ref = cfg.get(key) or cfg.get("mixed_10000stn")
+    vs_ref = (ref["best_iter_s"] / t_warm) if ref else None
+
+    result = {
+        "metric": f"mixed_{S}stn_full_gn_iteration",
+        "value": round(1.0 / t_warm, 3),
+        "unit": "iterations/s",
+        "vs_baseline": round(vs_ref, 2) if vs_ref else None,
+        "detail": {
+            "stations": S, "records": len(net.measurements),
+            "blocks": seg.block_count,
+            "iterations": res.iterations,
+            "sigma_zero": round(float(res.sigma_zero), 4),
+            "t_warm_iter_s": round(t_warm, 3),
+            "t_first_iter_s": round(t_first, 2),
+            "t_total_s": round(t_total, 2),
+            "t_factor_device_s": round(t_factor, 4),
+            "t_upload_plus_factor_s": round(t_upload_factor, 4),
+            "t_apply_s": round(t_apply, 4),
+            "factor_gflops": round(flops / 1e9, 1),
+            "factor_achieved_tflops": round(flops / t_factor / 1e12, 2),
+            "factor_mfu_v5e_f32": round(mfu, 4),
+            "reference_equiv_best_iter_s": (ref["best_iter_s"]
+                                            if ref else None),
+            "reference_note": ("measured C++ OpenBLAS AdjustPhased replay,"
+                               " assembly excluded (lower bound); see"
+                               " baseline_measured.json"),
+            "device": _device_name(),
+        },
+    }
+    print(json.dumps(result))
+
+
+def bench_gnss():
     from dynadjust_tpu.parallel.blocked_adjust import BlockedNetwork, \
         build_normals
-    from dynadjust_tpu.parallel.schur import schur_solve_factored
     from dynadjust_tpu.utils.synthetic import synthetic_grid_network, \
         grid_segmentation
 
@@ -68,7 +233,6 @@ def main():
     log(f"assembly {t_assembly:.2f}s; block shapes Nii{bs.Nii.shape} "
         f"Njj{bs.Njj.shape}")
 
-    # ---- TPU blocked solve (f32 factor + f64-refined applies) -----------
     t_gn_iter = None
     t_gn_device = None
     if NESTED or STREAMED:
@@ -97,10 +261,6 @@ def main():
             xi, xj, _ = solve(factors=factors)
         t_apply = (time.time() - t0) / ITERS
     else:
-        # Device-resident solver: normals uploaded once; a refined solve
-        # (apply + 2 on-device f64 refinement rounds) is ONE dispatch; a
-        # re-factorization (terrestrial re-linearisation model) runs on
-        # device-resident casts — no host↔device matrix traffic either way.
         import jax.numpy as jnp
         from dynadjust_tpu.parallel.schur import (
             DeviceSchurFactors, schur_solve_device)
@@ -119,8 +279,6 @@ def main():
             xi, xj, _ = schur_solve_device(bs, refine=2, factors=factors)
         t_apply = (time.time() - t0) / ITERS
 
-        # full Gauss-Newton iteration (device rhs assembly + refined
-        # solve + coordinate update; only a scalar crosses the link)
         from dynadjust_tpu.parallel.assembly import build_plan
         from dynadjust_tpu.parallel.device_adjust import DeviceAdjustment
         adj = DeviceAdjustment(build_plan(bn, 0.01))
@@ -133,8 +291,6 @@ def main():
         t_gn_iter = (time.time() - t0) / ITERS
         log(f"full GN iteration (on-device assembly) {t_gn_iter:.4f}s")
 
-        # device-only times: K dependent iterations inside one program,
-        # so dispatch/link latency (2 RTTs over a tunnel) amortises away
         import jax as _jax
         K = 20
 
@@ -154,13 +310,6 @@ def main():
     log(f"per-solve: factor+apply {t_blocked:.4f}s, "
         f"apply-only {t_apply:.4f}s")
 
-    # ---- reference-style dense f64 host solve ---------------------------
-    # Assemble the full simultaneous normals once and Cholesky-solve, as
-    # the reference's simultaneous mode does per iteration.  Above ~10k
-    # stations the dense matrix no longer fits host RAM (the reference
-    # would be in staged mode anyway): the baseline is then extrapolated
-    # cubically from a measured 4k-station dense solve, and correctness
-    # is checked through the blocked residual norm instead.
     import scipy.linalg as sla
     if 3 * S > 40000:
         from dynadjust_tpu.parallel.schur import (_block_matvec,
@@ -170,8 +319,10 @@ def main():
         rj = np.abs(_gather_rhs_junction(bs) - yj).max()
         resid = max(ri, rj)
         rhs_scale = max(np.abs(bs.bi).max(), 1.0)
-        t_dense_4k = 20.0           # measured dense 12288-param solve (s)
-        t_dense = t_dense_4k * (S / 4096.0) ** 3
+        # dense-equivalent extrapolated from the measured 4096-stn dense
+        # host solve (13.2 s, BENCH_r01) — an indicative number only; the
+        # honest comparison is vs_reference in the mixed bench
+        t_dense = 13.2 * (S / 4096.0) ** 3
         result = {
             "metric": (f"streamed_schur_solve_{S}stn_gnss_network"
                        if STREAMED else
@@ -220,7 +371,6 @@ def main():
     dx_dense = sla.cho_solve((c, low), r)
     t_dense = time.time() - t0
 
-    # cross-check correctness of the benched solver
     dxb = np.zeros((S, 3))
     for b, (inner, junc) in enumerate(bn.blocks):
         ki = 3 * len(inner)
@@ -256,13 +406,8 @@ def main():
     print(json.dumps(result))
 
 
-def _device_name():
-    try:
-        import jax
-        return str(jax.devices()[0])
-    except Exception:
-        return "unknown"
-
-
 if __name__ == "__main__":
-    main()
+    if MODE == "mixed" and not (NESTED or STREAMED):
+        bench_mixed()
+    else:
+        bench_gnss()

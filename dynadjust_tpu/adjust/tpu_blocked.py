@@ -191,10 +191,13 @@ def adjust_tpu_blocked(net: NetworkData,
         if prof is not None:
             prof["normals"] += _time.perf_counter() - _t
             _t = _time.perf_counter()
+        prev_bs = bs
         bs = build_block_system(block_N, block_rhs,
                                 [p[0] for p in part],
                                 [p[1] for p in part],
                                 [p[2] for p in part])
+        if prev_bs is not None:
+            bs.copy_topology_caches(prev_bs)
         if prof is not None:
             prof["build"] += _time.perf_counter() - _t
         # re-factor when geometry changed (non-GPS present) or first pass
@@ -218,8 +221,14 @@ def adjust_tpu_blocked(net: NetworkData,
                 factors=(None if refactor else factors),
                 streamed=staged)
         else:
-            if refactor:
-                factors = DeviceSchurFactors(bs, method="inv")
+            # device_f64=False: only the f32 normals cross the link each
+            # re-linearisation (half the traffic); refinement residuals
+            # come from the host-resident f64 normals
+            if factors is None:
+                factors = DeviceSchurFactors(bs, method="inv",
+                                             device_f64=False)
+            elif refactor:
+                factors.update(bs)
             else:
                 factors.bs = bs
             xi, xj = schur_solve_device_refined(bs, factors)

@@ -62,6 +62,30 @@ class BlockSystem:
     imask: np.ndarray       # (B, ni) 1.0 for real inner params
     nj_global: int
 
+    # owner/scatter plans are pure topology — cached per BlockSystem so
+    # no per-solve Python proportional to B*nj remains on the iteration
+    # path (callers that rebuild normals for an unchanged topology should
+    # carry them over via copy_topology_caches)
+    _owner_idx_cache: tuple = None
+    _owner_mask_cache: np.ndarray = None
+
+    def owner_indices(self):
+        """(flat positions, global ids): one owner slot per junction
+        param (see _owner_indices)."""
+        if self._owner_idx_cache is None:
+            self._owner_idx_cache = _owner_indices(self.jmap, self.jmask)
+        return self._owner_idx_cache
+
+    def owner_mask(self):
+        if self._owner_mask_cache is None:
+            self._owner_mask_cache = _owner_mask(self.jmap, self.jmask)
+        return self._owner_mask_cache
+
+    def copy_topology_caches(self, other: "BlockSystem"):
+        """Adopt another system's cached plans (same jmap/jmask)."""
+        self._owner_idx_cache = other._owner_idx_cache
+        self._owner_mask_cache = other._owner_mask_cache
+
 
 def _pad_to(x, shape):
     out = np.zeros(shape, dtype=x.dtype)
@@ -346,17 +370,8 @@ def schur_solve_refined(bs: BlockSystem, mesh=None, axis: str = "blocks",
         # distribute the junction residual back to per-block rhs slots:
         # give the full residual to one owner block per junction param
         rj_b = np.zeros_like(bs.bj)
-        owner = {}
-        flat = bs.jmap.reshape(-1)
-        mask = bs.jmask.reshape(-1) > 0
-        first_idx = {}
-        for k in np.nonzero(mask)[0]:
-            g = flat[k]
-            if g not in first_idx:
-                first_idx[g] = k
-        rjf = rj_b.reshape(-1)
-        for g, k in first_idx.items():
-            rjf[k] = rj[g]
+        gi, gg = bs.owner_indices()      # cached per topology
+        rj_b.reshape(-1)[gi] = rj[gg]
         di, dj = solve_low(ri, rj_b)
         xi = xi + np.asarray(di, dtype=np.float64)
         xj = xj + np.asarray(dj, dtype=np.float64)
@@ -566,15 +581,7 @@ def schur_solve_factored(bs: BlockSystem, refine: int = 2,
         factors = SchurFactors(bs, dtype)
     xi, xj = factors.solve(bs.bi, bs.bj)
     rhs_j_global = _gather_rhs_junction(bs)
-    flat = bs.jmap.reshape(-1)
-    mask = bs.jmask.reshape(-1) > 0
-    first_idx = {}
-    for k in np.nonzero(mask)[0]:
-        g = flat[k]
-        if g not in first_idx:
-            first_idx[g] = k
-    gi = np.fromiter(first_idx.values(), dtype=np.int64)
-    gg = np.fromiter(first_idx.keys(), dtype=np.int64)
+    gi, gg = bs.owner_indices()      # cached per topology
     for _ in range(refine):
         yi, yj = _block_matvec(bs, xi, xj)
         ri = (bs.bi * bs.imask) - yi
@@ -674,6 +681,70 @@ def _device_solve_refined_jit(L, Y, Lj, di, dj, djg, Nij_s,
     return xi, xj
 
 
+@partial(jax.jit, static_argnames=("B", "n1", "n2"))
+def _scatter_tiles_jit(idx_b, idx_r, idx_c, vals, B, n1, n2):
+    """Rebuild a dense (B, 3*n1, 3*n2) block array from sparse 3x3
+    station-pair tiles on device."""
+    out = jnp.zeros((B, 3 * n1, 3 * n2), vals.dtype)
+    r3 = idx_r[:, None] * 3 + jnp.arange(3)[None, :]
+    c3 = idx_c[:, None] * 3 + jnp.arange(3)[None, :]
+    return out.at[idx_b[:, None, None], r3[:, :, None],
+                  c3[:, None, :]].set(vals)
+
+
+class _SparseTilePlan:
+    """Structural-sparsity upload plan for blocked normals.
+
+    Geodetic block normals couple only measurement-connected station
+    pairs: the dense (B, ni, ni) arrays are ~95-98% exact zeros.  The
+    plan records the nonzero 3x3 station-pair tiles of each of
+    Nii/Nij/Njj once (the pattern is the measurement graph, fixed per
+    topology) so re-linearisation uploads only tile VALUES —
+    E*9*4 bytes instead of B*ni^2*4 — and a jitted scatter rebuilds the
+    dense arrays on device for the MXU factorization.  The pattern is
+    detected from the first system's exact zeros; a tile that is
+    coincidentally zero there would merely weaken the preconditioner
+    (host f64 residual refinement still converges on the true system).
+    """
+
+    def __init__(self, bs: BlockSystem):
+        self.shapes = {}
+        self.idx = {}
+        for name, M in (("ii", bs.Nii), ("ij", bs.Nij), ("jj", bs.Njj)):
+            B, R, C = M.shape
+            n1, n2 = R // 3, C // 3
+            t = np.abs(M).reshape(B, n1, 3, n2, 3).max(axis=(2, 4))
+            b, r, c = np.nonzero(t)
+            self.shapes[name] = (B, n1, n2)
+            self.idx[name] = (b.astype(np.int32), r.astype(np.int32),
+                              c.astype(np.int32),
+                              jnp.asarray(b.astype(np.int32)),
+                              jnp.asarray(r.astype(np.int32)),
+                              jnp.asarray(c.astype(np.int32)))
+
+    def values(self, M, name):
+        b, r, c = self.idx[name][:3]
+        B, n1, n2 = self.shapes[name]
+        return np.ascontiguousarray(
+            M.reshape(B, n1, 3, n2, 3)[b, r, :, c, :], dtype=np.float32)
+
+    def build(self, M, name, dtype):
+        B, n1, n2 = self.shapes[name]
+        _, _, _, bd, rd, cd = self.idx[name]
+        vals = jnp.asarray(self.values(M, name).astype(dtype))
+        return _scatter_tiles_jit(bd, rd, cd, vals, B, n1, n2)
+
+
+@partial(jax.jit, static_argnames=("nj_total", "method"))
+def _device_apply_only_jit(F0, F1, F2, di, dj, djg, Nij_s, bi, bj,
+                           jmap, jmask, nj_total, method="inv"):
+    """Plain factored apply (no in-jit f64 refinement): the traffic-lean
+    path used when the f64 normals stay host-resident."""
+    core = _schur_apply_inv_core if method == "inv" else _schur_apply_core
+    return core(F0, F1, F2, di, dj, djg, Nij_s, bi, bj, jmap, jmask,
+                nj_total)
+
+
 class DeviceSchurFactors:
     """Fully device-resident mixed-precision blocked solver.
 
@@ -686,17 +757,27 @@ class DeviceSchurFactors:
 
     def __init__(self, bs: BlockSystem, dtype=np.float32,
                  method: str = "inv", mesh: Mesh = None,
-                 axis: str = "blocks"):
+                 axis: str = "blocks", device_f64: bool = True):
+        """device_f64=False uploads only the f32 casts of the normals
+        (half the link traffic — the win over a thin tunnel) and skips
+        the in-jit f64 refinement; callers then drive refinement from the
+        host-resident f64 normals (schur_solve_device_refined does this
+        via _block_matvec).  The converged solution is identical: host
+        refinement against the true f64 normals has the same kappa*eps32
+        contraction."""
         self.bs = bs
         self.nj_total = bs.nj_global + 1
         self.method = method
         self.mesh = mesh
         self.axis = axis if mesh is not None else None
         self.B_real = bs.Nii.shape[0]
+        self.device_f64 = device_f64 or method == "inv64"
+        if mesh is not None:
+            self.device_f64 = True
 
         Nii, Nij, Njj = bs.Nii, bs.Nij, bs.Njj
         jmap, jmask, imask = bs.jmap, bs.jmask, bs.imask
-        owner = _owner_mask(bs.jmap, bs.jmask)
+        owner = bs.owner_mask()
         if mesh is not None:
             # pad the block axis to the device count (identity blocks)
             ndev = mesh.shape[axis]
@@ -722,15 +803,46 @@ class DeviceSchurFactors:
             def put(x):
                 return jnp.asarray(x)
 
-        self.Nii64 = put(Nii.astype(np.float64))
-        self.Nij64 = put(Nij.astype(np.float64))
-        self.Njj64 = put(Njj.astype(np.float64))
+        if self.device_f64:
+            self.Nii64 = put(Nii.astype(np.float64))
+            self.Nij64 = put(Nij.astype(np.float64))
+            self.Njj64 = put(Njj.astype(np.float64))
+            self._N32 = None
+            self._tile_plan = None
+        else:
+            # structural-sparsity upload: tile indices once, values per
+            # re-linearisation, dense rebuilt on device
+            self.Nii64 = self.Nij64 = self.Njj64 = None
+            self._tile_plan = _SparseTilePlan(bs)
+            self._N32 = (self._tile_plan.build(bs.Nii, "ii", dtype),
+                         self._tile_plan.build(bs.Nij, "ij", dtype),
+                         self._tile_plan.build(bs.Njj, "jj", dtype))
         self.jmap = put(jmap)
         self.jmask32 = put(jmask.astype(dtype))
         self.jmask64 = put(jmask.astype(np.float64))
         self.imask64 = put(imask.astype(np.float64))
         self.owner64 = put(owner)
         self.dtype = dtype
+        self.refactor()
+
+    def update(self, bs: BlockSystem):
+        """Re-linearised normals for the same topology: re-upload only the
+        normals (f32 when device_f64 is off) and refactor — the padded
+        index/mask/owner arrays stay device-resident."""
+        if bs.Nii.shape != self.bs.Nii.shape:
+            raise ValueError("update() requires the same block topology")
+        if self.mesh is not None:
+            raise ValueError("update() is single-device")
+        self.bs = bs
+        if self.device_f64:
+            self.Nii64 = jnp.asarray(bs.Nii.astype(np.float64))
+            self.Nij64 = jnp.asarray(bs.Nij.astype(np.float64))
+            self.Njj64 = jnp.asarray(bs.Njj.astype(np.float64))
+        else:
+            p = self._tile_plan
+            self._N32 = (p.build(bs.Nii, "ii", self.dtype),
+                         p.build(bs.Nij, "ij", self.dtype),
+                         p.build(bs.Njj, "jj", self.dtype))
         self.refactor()
 
     def refactor(self):
@@ -767,10 +879,14 @@ class DeviceSchurFactors:
             return
         factor = (_schur_factor_inv_jit if self.method == "inv"
                   else _schur_factor_jit)
-        self.factors = factor(
-            self.Nii64.astype(self.dtype), self.Nij64.astype(self.dtype),
-            self.Njj64.astype(self.dtype), self.jmap, self.jmask32,
-            self.nj_total)
+        if self.device_f64:
+            N32 = (self.Nii64.astype(self.dtype),
+                   self.Nij64.astype(self.dtype),
+                   self.Njj64.astype(self.dtype))
+        else:
+            N32 = self._N32
+        self.factors = factor(*N32, self.jmap, self.jmask32,
+                              self.nj_total)
 
     def solve_device(self, bi64, bj64, refine: int = 2):
         """Refined solve; rhs and results stay on device (f64).
@@ -782,6 +898,18 @@ class DeviceSchurFactors:
         method = "inv" if self.method == "inv64" else self.method
         if self.method == "inv64":
             refine = 0              # factors are already f64-exact
+        if not self.device_f64:
+            # no f64 normals on device: single f32 apply (host drives
+            # the f64 refinement, schur_solve_device_refined)
+            Bp = int(self._N32[0].shape[0])
+            bi = np.asarray(bi64, dtype=self.dtype)
+            bj = np.asarray(bj64, dtype=self.dtype)
+            if bi.shape[0] != Bp:
+                bi = np.pad(bi, ((0, Bp - bi.shape[0]), (0, 0)))
+                bj = np.pad(bj, ((0, Bp - bj.shape[0]), (0, 0)))
+            return _device_apply_only_jit(
+                *self.factors, jnp.asarray(bi), jnp.asarray(bj),
+                self.jmap, self.jmask32, self.nj_total, method)
         bi64 = np.asarray(bi64, dtype=np.float64)
         bj64 = np.asarray(bj64, dtype=np.float64)
         Bp = int(self.Nii64.shape[0])
@@ -815,8 +943,17 @@ class DeviceSchurFactors:
         if self.method != "inv" or self.mesh is not None:
             raise ValueError("newton_factors requires method='inv' "
                              "(single-device)")
+        if self.device_f64:
+            N64 = (self.Nii64, self.Nij64, self.Njj64)
+        else:
+            # one-time f64 upload for the variance-extraction refinement
+            # (no mesh => no block padding; shapes match the f32 casts)
+            bs = self.bs
+            N64 = (jnp.asarray(bs.Nii.astype(np.float64)),
+                   jnp.asarray(bs.Nij.astype(np.float64)),
+                   jnp.asarray(bs.Njj.astype(np.float64)))
         return _newton_refine_factors_jit(
-            *self.factors, self.Nii64, self.Nij64, self.Njj64,
+            *self.factors, *N64,
             self.jmap, self.jmask64, self.nj_total, rounds)
 
 
@@ -844,7 +981,7 @@ def schur_solve_device_refined(bs: BlockSystem,
     condition ~1e6 reach f64-level solutions from f32 MXU factors."""
     xi, xj = factors.solve(bs.bi, bs.bj, refine)
     rhs_j_global = _gather_rhs_junction(bs)
-    gi, gg = _owner_indices(bs.jmap, bs.jmask)
+    gi, gg = bs.owner_indices()
     rhs_scale = max(float(np.abs(bs.bi).max()),
                     float(np.abs(rhs_j_global).max()), 1e-30)
     prev_rel = np.inf
@@ -1153,15 +1290,7 @@ def schur_solve_nested_refined(bs: BlockSystem, part: NestedPartition,
     xj = np.asarray(xj, dtype=np.float64)
 
     rhs_j_global = _gather_rhs_junction(bs)
-    flat = bs.jmap.reshape(-1)
-    mask = bs.jmask.reshape(-1) > 0
-    first_idx = {}
-    for k in np.nonzero(mask)[0]:
-        g = flat[k]
-        if g not in first_idx:
-            first_idx[g] = k
-    gi = np.fromiter(first_idx.values(), dtype=np.int64)
-    gg = np.fromiter(first_idx.keys(), dtype=np.int64)
+    gi, gg = bs.owner_indices()      # cached per topology
     for _ in range(refine):
         yi, yj = _block_matvec(bs, xi, xj)
         ri = (bs.bi * bs.imask) - yi
@@ -1226,6 +1355,31 @@ def _nested_chunk_factor(Nii, Nij, Njj, di, dj, k, C):
 def _nested_l2_assemble(S_b, jmask, sb_of_block, l2slot, SB, ni2, nj2):
     S_b = S_b * jmask[:, :, None] * jmask[:, None, :]
     return _scatter_l2_mats(S_b, sb_of_block, l2slot, SB, ni2, nj2)
+
+
+@partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nj_total"))
+def _nested_factor_stage1_monolithic(Nii, Nij, Njj, jmap, jmask,
+                                     sb_of_block, l2slot, SB, ni2, nj2,
+                                     nj_total):
+    """One-program stage 1 for mesh-sharded inputs: with the block axis
+    NamedSharding'd, GSPMD partitions the batched cholesky/inverse per
+    shard and turns the level-2 scatter into an all-reduce; the
+    python-chunked _nested_factor_stage1 exists for single-chip HBM."""
+    di, dj, djg = _nested_scale_vecs(Nii, Njj, jmap, jmask,
+                                     nj_total=nj_total)
+    Nii_s = Nii * di[:, :, None] * di[:, None, :]
+    Nij_s = Nij * di[:, :, None] * dj[:, None, :]
+    Njj_s = Njj * dj[:, :, None] * dj[:, None, :]
+    L = jnp.linalg.cholesky(Nii_s)
+    Y = jax.scipy.linalg.cho_solve((L, True), Nij_s)
+    eye1 = jnp.eye(Nii.shape[1], dtype=Nii.dtype)
+    Ainv = jax.scipy.linalg.cho_solve(
+        (L, True), jnp.broadcast_to(eye1, Nii_s.shape))
+    S_b = Njj_s - jnp.einsum("bki,bkj->bij", Nij_s, Y, precision=_HI)
+    Nii2, Nij2, Njj2 = _nested_l2_assemble(S_b, jmask, sb_of_block,
+                                           l2slot, SB=SB, ni2=ni2,
+                                           nj2=nj2)
+    return Ainv, Y, Nii2, Nij2, Njj2, di, dj, djg
 
 
 def _nested_factor_stage1(Nii, Nij, Njj, jmap, jmask, sb_of_block,
@@ -1335,18 +1489,59 @@ class NestedSchurFactors:
     The scaled normals and level-2 assemblies are donated/freed."""
 
     def __init__(self, bs: BlockSystem, part: NestedPartition,
-                 dtype=np.float32):
+                 dtype=np.float32, mesh: Mesh = None,
+                 axis: str = "blocks"):
+        """mesh: shard the level-1 factor pools over the block axis
+        (NamedSharding) — the national-scale multi-chip path.  Under
+        GSPMD the batched level-1 factorization partitions per shard, the
+        level-2 assembly scatters become all-reduces over the mesh, and
+        the (small) level-2/3 factors replicate.  Mesh mode uses one
+        monolithic stage-1 program (per-device memory is B/ndev blocks;
+        the python-chunked path exists for single-chip HBM limits)."""
         self.bs = bs
         self.part = part
         self.dtype = dtype
+        self.mesh = mesh
+        self.axis = axis
         self.nj_total = bs.nj_global + 1
         self.nsj_total = part.nsj_global + 1
-        self.jmap = jnp.asarray(bs.jmap)
-        self.jmask = jnp.asarray(bs.jmask.astype(dtype))
-        self.sbb = jnp.asarray(part.sb_of_block)
-        self.l2slot = jnp.asarray(part.l2slot)
-        self.j2map = jnp.asarray(part.j2map)
-        self.j2mask = jnp.asarray(part.j2mask.astype(dtype))
+        self.B_real = bs.Nii.shape[0]
+
+        Nii, Nij, Njj = bs.Nii, bs.Nij, bs.Njj
+        jmap, jmask = bs.jmap, bs.jmask
+        sbb, l2slot = part.sb_of_block, part.l2slot
+        if mesh is not None:
+            ndev = mesh.shape[axis]
+            B = Nii.shape[0]
+            Bp = ((B + ndev - 1) // ndev) * ndev
+            if Bp != B:
+                def padb(x, fill=0.0):
+                    pw = [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1)
+                    return np.pad(x, pw, constant_values=fill)
+                Nii = padb(Nii).copy()
+                for b in range(B, Bp):
+                    Nii[b] = np.eye(Nii.shape[1], dtype=Nii.dtype)
+                Nij, Njj, jmask = padb(Nij), padb(Njj), padb(jmask)
+                jmap = padb(jmap, fill=bs.nj_global)
+                sbb = padb(sbb)
+                l2slot = padb(l2slot)
+            shard = NamedSharding(mesh, P(axis))
+            repl = NamedSharding(mesh, P())
+
+            def putb(x):
+                return jax.device_put(jnp.asarray(x), shard)
+
+            def putr(x):
+                return jax.device_put(jnp.asarray(x), repl)
+        else:
+            putb = putr = jnp.asarray
+        self._putb, self._putr = putb, putr
+        self.jmap = putb(jmap)
+        self.jmask = putb(jmask.astype(dtype))
+        self.sbb = putb(np.asarray(sbb))
+        self.l2slot = putb(np.asarray(l2slot))
+        self.j2map = putr(part.j2map)
+        self.j2mask = putr(part.j2mask.astype(dtype))
         self.xj_kind = jnp.asarray(part.xj_kind)
         self.xj_sb = jnp.asarray(part.xj_sb)
         self.xj_slot = jnp.asarray(part.xj_slot)
@@ -1360,16 +1555,18 @@ class NestedSchurFactors:
                 np.asarray(arr.ravel()[:1])
                 print(f"schur sync: {tag} ok", file=sys.stderr, flush=True)
 
-        Ainv, Y, Nii2, Nij2, Njj2, di, dj, djg = _nested_factor_stage1(
-            jnp.asarray(bs.Nii.astype(dtype)),
-            jnp.asarray(bs.Nij.astype(dtype)),
-            jnp.asarray(bs.Njj.astype(dtype)),
+        stage1 = (_nested_factor_stage1_monolithic if mesh is not None
+                  else _nested_factor_stage1)
+        Ainv, Y, Nii2, Nij2, Njj2, di, dj, djg = stage1(
+            putb(Nii.astype(dtype)),
+            putb(Nij.astype(dtype)),
+            putb(Njj.astype(dtype)),
             self.jmap, self.jmask, self.sbb, self.l2slot,
             part.SB, part.ni2, part.nj2, self.nj_total)
         _probe("factor stage1", Ainv)
         A2inv, Y2, Sinv = _nested_factor_stage2(
             Nii2, Nij2, Njj2,
-            jnp.asarray(part.i2mask.astype(dtype)),
+            putr(part.i2mask.astype(dtype)),
             self.j2mask, self.j2map, self.nsj_total)
         _probe("factor stage2", Sinv)
         self.factors = (Ainv, Y, A2inv, Y2, Sinv, di, dj, djg)
@@ -1382,8 +1579,14 @@ class NestedSchurFactors:
         with the same math and minimal arenas."""
         Ainv, Y, A2inv, Y2, Sinv, di, dj, djg = self.factors
         part = self.part
-        bi = jnp.asarray(bi.astype(self.dtype)) * di
-        bj = jnp.asarray(bj.astype(self.dtype)) * dj
+        bi = np.asarray(bi, dtype=self.dtype)
+        bj = np.asarray(bj, dtype=self.dtype)
+        Bp = int(Ainv.shape[0])
+        if bi.shape[0] != Bp:
+            bi = np.pad(bi, ((0, Bp - bi.shape[0]), (0, 0)))
+            bj = np.pad(bj, ((0, Bp - bj.shape[0]), (0, 0)))
+        bi = self._putb(bi) * di
+        bj = self._putb(bj) * dj
         # level-1 matvecs run at default precision: HIGHEST at this batch
         # size exhausts HBM, and the f64 refinement loop absorbs the
         # extra matvec noise (a round or two slower to converge)
@@ -1422,11 +1625,13 @@ class NestedSchurFactors:
                                        self.nsj_total - 1)])
         xj_pad = np.concatenate([xj, [0.0]]).astype(xi2_h.dtype)
         xj_b = xj_pad[self.bs.jmap] * self.bs.jmask
+        if xj_b.shape[0] != Bp:
+            xj_b = np.pad(xj_b, ((0, Bp - xj_b.shape[0]), (0, 0)))
 
-        xj_b_d = jnp.asarray(xj_b.astype(self.dtype))
+        xj_b_d = self._putb(xj_b.astype(self.dtype))
         xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b_d)) * di
         djg_h = np.asarray(djg)[:njg]
-        return (np.asarray(xi, dtype=np.float64),
+        return (np.asarray(xi, dtype=np.float64)[:self.B_real],
                 np.asarray(xj, dtype=np.float64) * djg_h)
 
 
@@ -1434,7 +1639,8 @@ def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
                                 refine: int = 2, dtype=np.float32,
                                 factors: NestedSchurFactors = None,
                                 streamed: bool = False,
-                                max_refine: int = 12):
+                                max_refine: int = 12, mesh: Mesh = None,
+                                axis: str = "blocks"):
     """Nested mixed-precision solve with factor reuse: one 3-level f32
     factorization, then 1 + refine cheap applies with f64 host residual
     refinement.  Pass `factors` back in to skip re-factorizing when the
@@ -1444,19 +1650,14 @@ def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
     them through the chip per chunk — for networks whose factors exceed
     HBM (the reference's staged .mtx mode, dnaadjust-stage.cpp:59)."""
     if factors is None:
-        cls = StreamedNestedSchurFactors if streamed else NestedSchurFactors
-        factors = cls(bs, part, dtype)
+        if streamed:
+            factors = StreamedNestedSchurFactors(bs, part, dtype)
+        else:
+            factors = NestedSchurFactors(bs, part, dtype, mesh=mesh,
+                                         axis=axis)
     xi, xj = factors.solve(bs.bi, bs.bj)
     rhs_j_global = _gather_rhs_junction(bs)
-    flat = bs.jmap.reshape(-1)
-    mask = bs.jmask.reshape(-1) > 0
-    first_idx = {}
-    for k in np.nonzero(mask)[0]:
-        g = flat[k]
-        if g not in first_idx:
-            first_idx[g] = k
-    gi = np.fromiter(first_idx.values(), dtype=np.int64)
-    gg = np.fromiter(first_idx.keys(), dtype=np.int64)
+    gi, gg = bs.owner_indices()      # cached per topology
     # residual-driven refinement: the f32 contraction rate is
     # ~kappa_scaled*eps per round, which worsens with network size —
     # iterate until the relative residual converges (up to max_refine),
