@@ -143,11 +143,17 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                   seg: Segmentation | None = None,
                   stage_dir: str | None = None,
                   stage_name: str = "blocks",
-                  block1: bool = False) -> AdjustmentResult:
+                  block1: bool = False,
+                  _trace: dict | None = None) -> AdjustmentResult:
     """stage_dir: when given, per-block normals/AtVinv are offloaded to
     memory-mapped .mtx files between uses instead of held resident —
     bounding peak memory to a couple of blocks (the reference's
     --staged-adjustment).
+
+    _trace: when a dict is passed, iteration-1 per-block corrections of
+    each sweep are recorded into it ({"fwd"|"rev"|"comb": {b: dx}}) — the
+    arithmetic side-by-side hook used by scripts/prove_urban_vrow.py to
+    compare against the C++ OpenBLAS replay of the reference's sweeps.
 
     block1: solve rigorous estimates for block 1 only, via a single
     reverse sweep (AdjustPhasedBlock1, dnaadjust.cpp:2675 — "only the
@@ -217,6 +223,8 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
             Ninv, dx = _solve_normals(N, rhs, opts.scale_normals_to_unity,
                                       opts.use_tpu)
             blk.est = blk.est + dx
+            if _trace is not None and iteration == 1:
+                _trace.setdefault("fwd", {})[b] = dx.copy()
             blk.Ninv_fwd = Ninv
             if blk.njsl:
                 jidx = blk.jsl_param_idx()
@@ -244,6 +252,8 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                                           opts.scale_normals_to_unity,
                                           opts.use_tpu)
             est_r = est_r + dx_r
+            if _trace is not None and iteration == 1:
+                _trace.setdefault("rev", {})[b] = dx_r.copy()
             blk.est_rev = est_r
             if b > 0:
                 prev_jsl = blocks[b - 1].jsl
@@ -282,6 +292,8 @@ def adjust_phased(net: NetworkData, options: AdjustmentOptions | None = None,
                                               opts.scale_normals_to_unity,
                                               opts.use_tpu)
                 blk.rigorous_est = est_c + dx_c
+                if _trace is not None and iteration == 1:
+                    _trace.setdefault("comb", {})[b] = dx_c.copy()
                 blk.rigorous_cov = Ninv_c
 
         # ---- convergence & relinearisation -------------------------------

@@ -134,11 +134,18 @@ static void carry(const Blk &b, const std::vector<double> &Ninv,
 int main(int argc, char **argv) {
     if (argc < 2) {
         std::fprintf(stderr,
-                     "usage: ref_baseline blocks.blk [iters] [threads]\n");
+                     "usage: ref_baseline blocks.blk [iters] [threads] "
+                     "[--dump-dx out.bin]\n");
         return 1;
     }
-    int iters = argc > 2 ? std::atoi(argv[2]) : 5;
-    int threads = argc > 3 ? std::atoi(argv[3]) : 2;
+    // --dump-dx: write iteration-1 per-block corrections (forward,
+    // reverse, combine sweeps) for arithmetic side-by-side with the
+    // Python phased path (PARITY.md: the urban V-row investigation)
+    const char *dump_path = nullptr;
+    for (int a = 1; a + 1 < argc; ++a)
+        if (!std::strcmp(argv[a], "--dump-dx")) dump_path = argv[a + 1];
+    int iters = (argc > 2 && argv[2][0] != '-') ? std::atoi(argv[2]) : 5;
+    int threads = (argc > 3 && argv[3][0] != '-') ? std::atoi(argv[3]) : 2;
     scipy_openblas_set_num_threads(threads);
 
     FILE *f = std::fopen(argv[1], "rb");
@@ -182,6 +189,8 @@ int main(int argc, char **argv) {
     double total = 0.0, best = 1e30;
     double fwd_s = 0.0, rev_s = 0.0, comb_s = 0.0;
     std::vector<double> Ninv, dx;
+    std::vector<std::vector<double>> dxf((size_t)B), dxr((size_t)B),
+        dxc((size_t)B);
     for (int it = 0; it < iters; ++it) {
         auto t0 = std::chrono::steady_clock::now();
         // working copies: the reference rebuilds/restores normals per pass
@@ -194,6 +203,7 @@ int main(int argc, char **argv) {
         // forward
         for (int64_t b = 0; b < B; ++b) {
             block_solve(blocks[b], Nw[b], rw[b], Ninv, dx);
+            if (it == 0 && dump_path) dxf[b] = dx;
             if (b + 1 < B)
                 carry(blocks[b], Ninv, dx, blocks[b].jsl_cur,
                       blocks[b].jsl_next, Nw[b + 1], rw[b + 1],
@@ -209,6 +219,7 @@ int main(int argc, char **argv) {
         }
         for (int64_t b = B - 1; b >= 0; --b) {
             block_solve(blocks[b], Nr[b], rr[b], Ninv, dx);
+            if (it == 0 && dump_path) dxr[b] = dx;
             if (b > 0)
                 carry(blocks[b], Ninv, dx, blocks[b - 1].jsl_next,
                       blocks[b - 1].jsl_cur, Nr[b - 1], rr[b - 1],
@@ -225,6 +236,7 @@ int main(int argc, char **argv) {
             for (size_t i = 0; i < rc.size(); ++i)
                 rc[i] += rr[b][i] - blocks[b].rhs[i];
             block_solve(blocks[b], Nc, rc, Ninv, dx);
+            if (it == 0 && dump_path) dxc[b] = dx;
         }
         auto t3 = std::chrono::steady_clock::now();
         double dt = std::chrono::duration<double>(t3 - t0).count();
@@ -233,6 +245,19 @@ int main(int argc, char **argv) {
         comb_s += std::chrono::duration<double>(t3 - t2).count();
         total += dt;
         if (dt < best) best = dt;
+    }
+    if (dump_path) {
+        FILE *g = std::fopen(dump_path, "wb");
+        if (!g) { std::perror("dump"); return 1; }
+        std::fwrite(&B, 8, 1, g);
+        for (int64_t b = 0; b < B; ++b) {
+            std::fwrite(&blocks[b].k, 8, 1, g);
+            if (dxc[b].empty()) dxc[b].assign((size_t)blocks[b].k, 0.0);
+            std::fwrite(dxf[b].data(), 8, blocks[b].k, g);
+            std::fwrite(dxr[b].data(), 8, blocks[b].k, g);
+            std::fwrite(dxc[b].data(), 8, blocks[b].k, g);
+        }
+        std::fclose(g);
     }
     std::printf("{\"blocks\": %lld, \"iters\": %d, \"threads\": %d, "
                 "\"mean_iter_s\": %.4f, \"best_iter_s\": %.4f, "
