@@ -132,13 +132,6 @@ def build_normals(bn: BlockedNetwork, x: np.ndarray, free_weight: float,
                               junc_global)
 
 
-def build_normals_vectorised(bn: BlockedNetwork, x: np.ndarray,
-                             free_weight: float):
-    """Vectorised (numpy) normals assembly — the host-side fast path for
-    large networks; same output as build_normals."""
-    return build_normals(bn, x, free_weight)   # TODO: vectorise hot loops
-
-
 def adjust_blocked(bn: BlockedNetwork, x0: np.ndarray,
                    free_sd: float = 10.0, max_iterations: int = 10,
                    threshold: float = 0.0005, mesh=None,
