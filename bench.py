@@ -89,9 +89,10 @@ def bench_mixed():
 
     rows = int(os.environ.get("BENCH_MIXED_ROWS", "100"))
     cols = int(os.environ.get("BENCH_MIXED_COLS", "100"))
+    tile = int(os.environ.get("BENCH_MIXED_BLOCK", "16"))
     t0 = time.time()
-    net, seg = synthetic_mixed_network(rows, cols, block_rows=16,
-                                       block_cols=16)
+    net, seg = synthetic_mixed_network(rows, cols, block_rows=tile,
+                                       block_cols=tile)
     S = net.nstations
     log(f"mixed bench: {S} stations, {len(net.measurements)} records, "
         f"{seg.block_count} blocks (gen {time.time()-t0:.1f}s)")
@@ -108,8 +109,8 @@ def bench_mixed():
         f"(first iter {t_first:.1f}s incl. compile, warm {t_warm:.2f}s)")
 
     # ---- device-time split on the converged system ----------------------
-    net2, _ = synthetic_mixed_network(rows, cols, block_rows=16,
-                                      block_cols=16)
+    net2, _ = synthetic_mixed_network(rows, cols, block_rows=tile,
+                                      block_cols=tile)
     blocks = [Block(net2, opts, seg, b) for b in range(seg.block_count)]
     first_fwd = _first_appearances(blocks, "fwd")
     basis = ConstraintBasis(net2, opts)

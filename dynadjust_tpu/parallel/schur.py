@@ -2033,20 +2033,26 @@ def nested_junction_cov(part: NestedPartition, A2inv, Y2, Sinv, gsel):
     sj_idx = part.xj_slot[gsel]          # inner2 slot (kind 0) / sj (kind 1)
     if (kind == 0).any():
         sb = next(iter(sbs))
-        U = np.asarray(Y2[sb], dtype=np.float64)        # (ni2, nj2)
         jm2 = part.j2map[sb]
         Sl = np.asarray(Sinv, dtype=np.float64)
         C_loc = Sl[np.ix_(jm2, jm2)] * np.outer(part.j2mask[sb],
                                                 part.j2mask[sb])
-        A2 = np.asarray(A2inv[sb], dtype=np.float64)
-        M = A2 + U @ C_loc @ U.T                        # cov(inner2_sb)
-        X = -(U * part.j2mask[sb][None, :]) @ Sl[jm2, :]  # (ni2, nsj)
         i0 = np.nonzero(kind == 0)[0]
-        cov[np.ix_(i0, i0)] = M[np.ix_(sj_idx[i0], sj_idx[i0])]
+        # only the selected rows of the level-2 covariance are needed:
+        # k0 ~ one block's junction width, ni2 ~ thousands — computing
+        # U_sel C U_selᵀ instead of the full (ni2, ni2) matrix drops the
+        # per-block cost from O(ni2² nj2) to O(k0 nj2² + k0² nj2)
+        r0 = np.asarray(sj_idx[i0], dtype=np.int64)
+        U_sel = np.asarray(Y2[sb], dtype=np.float64)[r0, :]   # (k0, nj2)
+        A2_sel = np.asarray(A2inv[sb], dtype=np.float64)[np.ix_(r0, r0)]
+        USC = U_sel @ C_loc
+        cov[np.ix_(i0, i0)] = A2_sel + USC @ U_sel.T
         i1 = np.nonzero(kind == 1)[0]
         if len(i1):
-            cov[np.ix_(i0, i1)] = X[np.ix_(sj_idx[i0], sj_idx[i1])]
-            cov[np.ix_(i1, i0)] = cov[np.ix_(i0, i1)].T
+            X_sel = -(U_sel * part.j2mask[sb][None, :]) \
+                @ Sl[np.ix_(jm2, sj_idx[i1])]                 # (k0, k1)
+            cov[np.ix_(i0, i1)] = X_sel
+            cov[np.ix_(i1, i0)] = X_sel.T
     i1 = np.nonzero(kind == 1)[0]
     if len(i1):
         Sl = np.asarray(Sinv, dtype=np.float64)
