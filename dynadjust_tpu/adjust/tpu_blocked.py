@@ -106,12 +106,19 @@ def adjust_tpu_blocked(net: NetworkData,
                        seg_file: str | None = None,
                        seg: Segmentation | None = None,
                        super_blocks: int = 0,
-                       staged: bool = False) -> AdjustmentResult:
+                       staged: bool = False,
+                       block_super: np.ndarray | None = None
+                       ) -> AdjustmentResult:
     """super_blocks > 0 routes the solve through the 3-level nested
     Schur factors (contiguous grouping of the segmentation's blocks into
     that many super-blocks) — the national-scale junction path.  staged
     additionally stages the level-1 factor pools in host RAM and streams
-    them through the chip (networks whose factors exceed HBM)."""
+    them through the chip (networks whose factors exceed HBM).
+    block_super overrides the contiguous grouping with an explicit
+    block→super-block assignment (length block_count): for 2D tiled
+    segmentations a grid-aware grouping keeps the super-junction
+    frontier O(sqrt(S)) where contiguous 1D bands make nearly every
+    band station a super-junction."""
     from ..parallel.schur import (build_block_system, DeviceSchurFactors,
                                   schur_solve_device_refined)
     from .constraint_elim import ConstraintBasis
@@ -211,9 +218,11 @@ def adjust_tpu_blocked(net: NetworkData,
             from ..parallel.schur import (build_nested_partition,
                                           schur_solve_nested_factored)
             if nested_part is None:
-                block_super = (np.arange(B, dtype=np.int64) *
-                               min(super_blocks, B)) // B
-                nested_part = build_nested_partition(bs, block_super)
+                if block_super is None:
+                    block_super = (np.arange(B, dtype=np.int64) *
+                                   min(super_blocks, B)) // B
+                nested_part = build_nested_partition(
+                    bs, np.asarray(block_super, dtype=np.int64))
             if not refactor:
                 factors.bs = bs
             xi, xj, factors = schur_solve_nested_factored(

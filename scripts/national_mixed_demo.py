@@ -61,9 +61,22 @@ def main():
         f"{seg.block_count} blocks in {time.time()-t0:.1f}s")
 
     opts = AdjustmentOptions()
+    # 2D super grouping: square super-tiles keep the super-junction
+    # frontier O(sqrt(S)); contiguous 1D bands would make it O(S/band)
+    block_super = None
+    if SUPER > 0:
+        from dynadjust_tpu.utils.synthetic import grid_super_assignment
+        g = max(1, int(round(SUPER ** 0.5)))
+        tr = (ROWS + BLOCK - 1) // BLOCK
+        tc = (COLS + BLOCK - 1) // BLOCK
+        block_super = grid_super_assignment(
+            ROWS, COLS, BLOCK, BLOCK,
+            (tr + g - 1) // g, (tc + g - 1) // g)
+        nsup = len(np.unique(block_super))
+        log(f"super grouping: {nsup} super-blocks ({g}x{g} grid)")
     t0 = time.time()
     res = adjust_tpu_blocked(net, opts, seg=seg, super_blocks=SUPER,
-                             staged=STAGED)
+                             staged=STAGED, block_super=block_super)
     t_adjust = time.time() - t0
     log(f"adjust: {res.status} in {res.iterations} iterations, "
         f"sigma0 {res.sigma_zero:.4f} [{res.pass_fail}], "
