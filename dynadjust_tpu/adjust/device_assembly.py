@@ -1,0 +1,443 @@
+"""Device-side normals formation: N = AᵀV⁻¹A on the MXU per block.
+
+This moves the reference's per-iteration hot loop — AᵀV⁻¹A assembly
+(UpdateNormals_*/UpdateAtVinv, dnaadjust.cpp:1285-1833, multithreaded +
+threaded BLAS there) — onto the TPU as batched matmuls over padded block
+pools, replacing the host-numpy GEMM + block-system scatter that
+dominated the warm iteration.
+
+Design (TPU-first):
+  * The design matrix A is filled on host (vectorised, adjust/vector_fill)
+    but never shipped dense: its sparsity is ≤3 station tiles per scalar
+    row and constant ±I tiles for GPS rows.  A constant base pool
+    (GPS entries) is uploaded once; each re-linearisation uploads only
+    the scalar-row tile VALUES ((K,3) float32 — a few MB at national
+    scale) and a jitted scatter rebuilds the dense (B, M, P) pool.
+  * Block columns are PERMUTED to [inner | junction] order up front, so
+    the device product lands directly in the Nii/Nij/Njj pool layout —
+    build_block_system becomes three slices.
+  * The block-diagonal weight matrix V⁻¹ (scalar 1/var rows + direction
+    set / GPS cluster k×k blocks) is device-resident and constant per
+    topology; WA is a row scale plus a few batched small matmuls.
+  * Hard-constraint elimination (constraint_elim.ConstraintBasis) is
+    applied as a column projection of A on device (N~ = P N P follows),
+    and the first-appearance diagonal terms are a constant 3×3 tile
+    scatter-add.
+  * Float64 residuals for iterative refinement come from host matvecs
+    through the f64 A (O(Σ m·n) — tiny next to the GEMM), so the f32
+    device product never limits the converged solution.
+
+The same scatter plan re-used with float64 values gives the one-time
+f64 normals pools the covariance stage needs (Newton refinement of the
+f32 inverses) without a host GEMM pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnames=())
+def _scatter_scalar_tiles(A_base, bidx, ridx, c3, vals):
+    """Write (K, 3) scalar-row tiles into the pooled design matrix."""
+    return A_base.at[bidx[:, None], ridx[:, None], c3].set(vals)
+
+
+@partial(jax.jit, static_argnames=())
+def _project_columns(A_pool, Pmat):
+    """Per-station-column 3×3 projection: A[:, :, 3s:3s+3] @ Pmat[b, s]."""
+    B, M, Pp = A_pool.shape
+    Ap = A_pool.reshape(B, M, Pp // 3, 3)
+    Ap = jnp.einsum("bmsk,bskl->bmsl", Ap, Pmat, precision=_HI)
+    return Ap.reshape(B, M, Pp)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _bucket_weight_rows(A_pool, WA, bidx, r0, VT, k):
+    """Overwrite the k consecutive rows of each bucket entry with
+    Vᵀ @ A_rows (the host weight plan's exact convention,
+    assembler.py _compile_weight_plan)."""
+    rows = r0[:, None] + jnp.arange(k)
+    G = A_pool[bidx[:, None], rows, :]                 # (n, k, P)
+    out = jnp.einsum("nij,njp->nip", VT, G, precision=_HI)
+    return WA.at[bidx[:, None], rows, :].set(out)
+
+
+@partial(jax.jit, static_argnames=())
+def _gemm_pools(A_pool, WA):
+    """N = Aᵀ (V A): one batched MXU matmul per block pool."""
+    return jnp.einsum("bmi,bmj->bij", A_pool, WA, precision=_HI)
+
+
+@partial(jax.jit, static_argnames=())
+def _add_diag_tiles(N_pool, bidx, c3, vals):
+    """Scatter-add (K, 3, 3) constraint/padding tiles onto the diagonal."""
+    return N_pool.at[bidx[:, None, None], c3[:, :, None],
+                     c3[:, None, :]].add(vals)
+
+
+class DeviceAssembly:
+    """Per-topology compiled device assembly of the blocked normals.
+
+    Built once from the blocks/partition; per iteration `build()` turns
+    the freshly host-filled A matrices into device-resident
+    (Nii, Nij, Njj) f32 pools plus host f64 (bi, bj) rhs pools.
+    """
+
+    def __init__(self, blocks, part, basis, first_fwd, dtype=np.float32,
+                 mesh: Mesh = None, axis: str = "blocks"):
+        self.blocks = blocks
+        self.part = part
+        self.basis = basis
+        self.dtype = dtype
+        self.mesh = mesh
+        self.axis = axis
+        B = len(blocks)
+        self.B = B
+
+        ki_l = [len(p[0]) for p in part]
+        kj_l = [len(p[1]) for p in part]
+        ni = max(ki_l) if ki_l else 1
+        nj = max(max(kj_l), 1) if kj_l else 1
+        M = max(blk.asm.nrows for blk in blocks)
+        self.ni, self.nj, self.M = ni, nj, M
+        self.Pp = ni + nj                      # pooled params per block
+        nj_global = int(max((int(np.max(p[2])) for p in part if len(p[2])),
+                            default=-1)) + 1
+        self.nj_global = nj_global
+
+        # mesh: pad the block axis to a multiple of the device count so
+        # every pool shards evenly (padded blocks are all-zero A rows +
+        # identity Nii via the pad tiles below)
+        if mesh is not None:
+            ndev = mesh.shape[axis]
+            self.Bp = ((B + ndev - 1) // ndev) * ndev
+        else:
+            self.Bp = B
+
+        # ---- per-block station-slot permutation -------------------------
+        # part[b] indices are station-granular triples; slot of station
+        # with local index l: inner stations 0.., junction ni//3 + ..
+        self._scol = []                         # (k_b,) station slot per blk
+        jmap = np.full((self.Bp, nj), nj_global, dtype=np.int32)
+        jmask = np.zeros((self.Bp, nj))
+        imask = np.zeros((self.Bp, ni))
+        for b, blk in enumerate(blocks):
+            inner_p, junc_p, junc_g = part[b]
+            k_b = len(blk.stations)
+            scol = np.empty(k_b, dtype=np.int64)
+            scol[inner_p[::3] // 3] = np.arange(len(inner_p) // 3)
+            if len(junc_p):
+                scol[junc_p[::3] // 3] = ni // 3 + \
+                    np.arange(len(junc_p) // 3)
+                jmap[b, :len(junc_g)] = junc_g
+                jmask[b, :len(junc_g)] = 1.0
+            imask[b, :len(inner_p)] = 1.0
+            self._scol.append(scol)
+        self.jmap_np, self.jmask_np, self.imask_np = jmap, jmask, imask
+
+        if mesh is not None:
+            shard = NamedSharding(mesh, P(axis))
+            repl = NamedSharding(mesh, P())
+            self._putb = lambda x: jax.device_put(jnp.asarray(x), shard)
+            self._putr = lambda x: jax.device_put(jnp.asarray(x), repl)
+        else:
+            self._putb = self._putr = jnp.asarray
+
+        self._compile_tiles()
+        self._compile_weights()
+        self.set_constraints(first_fwd,
+                             lambda b: blocks[b].Wc)
+
+    # ------------------------------------------------------------------
+    def _compile_tiles(self):
+        """Scalar-row gather/scatter plan + constant GPS base pool."""
+        from .assembler import GpsItem
+        bidx, ridx, cidx = [], [], []
+        self._gather = []                       # per block (Kb, 3) flat idx
+        A_base = np.zeros((self.Bp, self.M, self.Pp), dtype=self.dtype)
+        for b, blk in enumerate(self.blocks):
+            asm = blk.asm
+            n = asm.A.shape[1]
+            scol = self._scol[b]
+            items = list(asm.scalar_items)
+            for ds in asm.dirn_sets:
+                items.extend(ds.angles)
+            g_rows, g_src = [], []
+            for it in items:
+                for s in (it.s1, it.s2, it.s3):
+                    if s < 0:
+                        continue
+                    l = asm.local[s]
+                    bidx.append(b)
+                    ridx.append(it.row)
+                    cidx.append(scol[l])
+                    g_src.append(it.row * n + 3 * l)
+            self._gather.append(
+                (np.asarray(g_src, dtype=np.int64)[:, None]
+                 + np.arange(3)) if g_src else
+                np.zeros((0, 3), dtype=np.int64))
+            # constant GPS design entries (±I), folded into the base pool
+            for g in asm.gps_items:
+                for i, s1 in enumerate(g.stations1):
+                    r = g.row0 + 3 * i
+                    c1 = 3 * scol[asm.local[s1]]
+                    if g.mtype == "Y":
+                        for k in range(3):
+                            A_base[b, r + k, c1 + k] = 1.0
+                    else:
+                        c2 = 3 * scol[asm.local[g.stations2[i]]]
+                        for k in range(3):
+                            A_base[b, r + k, c1 + k] = -1.0
+                            A_base[b, r + k, c2 + k] = 1.0
+        self._t_b = self._putr(np.asarray(bidx, dtype=np.int32))
+        self._t_r = self._putr(np.asarray(ridx, dtype=np.int32))
+        c = np.asarray(cidx, dtype=np.int32)
+        self._t_c3 = self._putr(3 * c[:, None] + np.arange(3,
+                                                           dtype=np.int32))
+        self.A_base = self._putb(A_base)
+        del A_base
+
+    def _compile_weights(self):
+        """Device weight plan: scalar 1/var row scale + per-k bucketed
+        Vᵀ stacks (constant per topology)."""
+        wdiag = np.zeros((self.Bp, self.M))
+        buckets = {}
+        for b, blk in enumerate(self.blocks):
+            asm = blk.asm
+            if not hasattr(asm, "_w_rows"):
+                asm._compile_weight_plan()
+            if len(asm._w_rows):
+                wdiag[b, asm._w_rows] = asm._w_diag
+            for r0s, VT in asm._w_buckets:
+                k = VT.shape[1]
+                ent = buckets.setdefault(k, ([], [], []))
+                ent[0].extend([b] * len(r0s))
+                ent[1].extend(r0s.tolist())
+                ent[2].append(VT)
+        self.wdiag = self._putb(wdiag.astype(self.dtype))
+        self._wdiag64_h = wdiag                 # host f64 master
+        # the host plan stores Vᵀ stacks (assembler.py); transpose back to
+        # V so WA = V·A and N = AᵀVA exactly matches the host convention
+        self._v_buckets64_h = [
+            (k, np.asarray(bb, dtype=np.int32),
+             np.asarray(rr, dtype=np.int32),
+             np.ascontiguousarray(np.concatenate(vv).transpose(0, 2, 1)))
+            for k, (bb, rr, vv) in sorted(buckets.items())]
+        self._vt_buckets = [
+            (k, self._putr(bb), self._putr(rr),
+             self._putr(V.astype(self.dtype)))
+            for k, bb, rr, V in self._v_buckets64_h]
+
+    def set_constraints(self, first_fwd, Wc_of_block):
+        """Finish the constant diagonal tiles once Wc is available.
+
+        Wc_of_block: callable b -> (k_b, 3, 3) per-station constraint
+        weights (Block.Wc).  Mirrors phased._add_constraints +
+        ConstraintBasis.transform_block's diagonal terms."""
+        basis = self.basis
+        cb, cc, cv = [], [], []
+        for b, blk in enumerate(self.blocks):
+            asm = blk.asm
+            scol = self._scol[b]
+            Wc = Wc_of_block(b)
+            for g in first_fwd[b]:
+                if g not in asm.local:
+                    continue
+                l = asm.local[g]
+                D = basis.diag.get(g)
+                cb.append(b)
+                cc.append(scol[l])
+                cv.append(D if D is not None else Wc[l])
+            # identity padding of unused inner slots
+            ki = len(self.part[b][0])
+            for q in range(ki // 3, self.ni // 3):
+                cb.append(b)
+                cc.append(q)
+                cv.append(np.eye(3))
+        for b in range(self.B, self.Bp):        # mesh padding blocks
+            for q in range(self.ni // 3):
+                cb.append(b)
+                cc.append(q)
+                cv.append(np.eye(3))
+        self._d_b = self._putr(np.asarray(cb, dtype=np.int32))
+        c = np.asarray(cc, dtype=np.int32)
+        self._d_c3 = self._putr(3 * c[:, None] + np.arange(3,
+                                                           dtype=np.int32))
+        self._d_v = self._putr(np.stack(cv).astype(self.dtype)
+                               if cv else np.zeros((0, 3, 3),
+                                                   dtype=self.dtype))
+        self._d_v64 = self._putr(np.stack(cv).astype(np.float64)
+                                 if cv else np.zeros((0, 3, 3)))
+
+        # per-station projection matrices (identity unless constrained);
+        # f64 master — the f32 cast is for the fast path only (a rounded
+        # projector perturbs N entries at |N|·eps32, visible in the
+        # covariance stage)
+        Pm = np.zeros((self.Bp, self.Pp // 3, 3, 3))
+        Pm[..., :, :] = np.eye(3)
+        self._has_proj = False
+        for b, blk in enumerate(self.blocks):
+            scol = self._scol[b]
+            for g, Pg in basis.proj.items():
+                l = blk.asm.local.get(g)
+                if l is not None:
+                    Pm[b, scol[l]] = Pg
+                    self._has_proj = True
+        self.Pmat = self._putb(Pm.astype(self.dtype))
+        self.Pmat64 = self._putb(Pm)
+        del Pm
+
+    # ------------------------------------------------------------------
+    def scalar_values(self, dtype=None):
+        """Gather the current scalar-row tile values from the host-filled
+        A matrices: (K, 3) in tile order."""
+        dtype = dtype or self.dtype
+        parts = [blk.asm.A.ravel()[g]
+                 for blk, g in zip(self.blocks, self._gather)]
+        if not parts:
+            return np.zeros((0, 3), dtype=dtype)
+        return np.concatenate(parts).astype(dtype)
+
+    def build_device(self, values=None, dtype=None, base=None,
+                     wdiag=None, vt_buckets=None, pmat=None,
+                     diag_vals=None):
+        """Assemble the (Nii, Nij, Njj) pools on device from the current
+        host A fill.  All overrides default to the compiled f32 plan;
+        build_f64() passes f64 variants for the covariance stage."""
+        dtype = dtype or self.dtype
+        vals = self._putr(values if values is not None
+                          else self.scalar_values(dtype))
+        A = _scatter_scalar_tiles(
+            base if base is not None else self.A_base,
+            self._t_b, self._t_r, self._t_c3, vals)
+        if self._has_proj:
+            A = _project_columns(A, pmat if pmat is not None else self.Pmat)
+        WA = A * (wdiag if wdiag is not None else self.wdiag)[:, :, None]
+        for k, bb, rr, VT in (vt_buckets if vt_buckets is not None
+                              else self._vt_buckets):
+            WA = _bucket_weight_rows(A, WA, bb, rr, VT, k)
+        N = _gemm_pools(A, WA)
+        N = _add_diag_tiles(N, self._d_b, self._d_c3,
+                            diag_vals if diag_vals is not None
+                            else self._d_v)
+        ni = self.ni
+        return N[:, :ni, :ni], N[:, :ni, ni:], N[:, ni:, ni:]
+
+    def build_f64(self):
+        """One-time f64 pools for the covariance stage (device f64
+        matmuls — emulated on TPU, exact; ~2 orders cheaper than a host
+        GEMM pass on this class of host)."""
+        base64 = self.A_base.astype(jnp.float64)   # GPS ±1 entries: exact
+        wdiag64 = self._putb(self._wdiag64_h)
+        vt64 = [(k, self._putr(bb), self._putr(rr), self._putr(V))
+                for k, bb, rr, V in self._v_buckets64_h]
+        return self.build_device(values=self.scalar_values(np.float64),
+                                 dtype=np.float64, base=base64,
+                                 wdiag=wdiag64, vt_buckets=vt64,
+                                 pmat=self.Pmat64, diag_vals=self._d_v64)
+
+    # ------------------------------------------------------------------
+    # host-side f64: rhs pools and the refinement matvec
+    # ------------------------------------------------------------------
+    def _apply_v(self, asm, u):
+        """V⁻¹ @ u on host f64 (scalar rows + bucketed blocks; same Vᵀ
+        convention as Assembler.atvinv)."""
+        out = np.zeros_like(u)
+        if len(asm._w_rows):
+            out[asm._w_rows] = u[asm._w_rows] * asm._w_diag
+        for r0s, VT in asm._w_buckets:
+            k = VT.shape[1]
+            idx = r0s[:, None] + np.arange(k)
+            # rows of V@u where the stored stack is Vᵀ: V u = Σ_k VT[k,i] u_k
+            out[idx] = np.einsum("nki,nk->ni", VT, u[idx])
+        return out
+
+    def _project_strips(self, blk, v):
+        for g, Pg in self.basis.proj.items():
+            l = blk.asm.local.get(g)
+            if l is not None:
+                v[3 * l:3 * l + 3] = Pg @ v[3 * l:3 * l + 3]
+        return v
+
+    def rhs_pools(self):
+        """Host f64 (bi, bj) pools: AᵀV⁻¹·mmc, projected + permuted."""
+        bi = np.zeros((self.Bp, self.ni))
+        bj = np.zeros((self.Bp, self.nj))
+        for b, blk in enumerate(self.blocks):
+            asm = blk.asm
+            if not hasattr(asm, "_w_rows"):
+                asm._compile_weight_plan()
+            # rhs = Aᵀ (V mmc) — the host path's AtVinv@mmc is
+            # (VᵀA)ᵀ mmc = Aᵀ V mmc, identical
+            rhs = asm.A.T @ self._apply_v(asm, asm.mmc)
+            rhs = self._project_strips(blk, rhs)
+            inner_p, junc_p, _ = self.part[b]
+            bi[b, :len(inner_p)] = rhs[inner_p]
+            bj[b, :len(junc_p)] = rhs[junc_p]
+        return bi, bj
+
+    def matvec(self, xi, xj):
+        """y = N x in f64 on host through A (the refinement residual
+        operator): y = P AᵀV⁻¹A P x + C x per block, junction rows
+        accumulated globally — replaces _block_matvec when no host f64
+        normals exist."""
+        yi = np.zeros((self.Bp, self.ni))
+        yj = np.zeros(self.nj_global + 1)
+        xj_pad = np.concatenate([np.asarray(xj, dtype=np.float64), [0.0]])
+        for b, blk in enumerate(self.blocks):
+            asm = blk.asm
+            inner_p, junc_p, junc_g = self.part[b]
+            n = asm.A.shape[1]
+            x = np.zeros(n)
+            x[inner_p] = xi[b][:len(inner_p)]
+            if len(junc_p):
+                x[junc_p] = xj_pad[junc_g]
+            px = self._project_strips(blk, x.copy())
+            u = asm.A @ px
+            vu = self._apply_v(asm, u)
+            y = asm.A.T @ vu
+            y = self._project_strips(blk, y)
+            # constant diagonal terms (constraints / basis pins)
+            y += self._diag_matvec(b, x)
+            yi[b, :len(inner_p)] = y[inner_p]
+            if len(junc_p):
+                np.add.at(yj, junc_g, y[junc_p])
+        return yi, yj[:self.nj_global]
+
+    def _diag_matvec(self, b, x):
+        if not hasattr(self, "_diag_host"):
+            self._diag_host = {}
+        ent = self._diag_host.get(b)
+        if ent is None:
+            # rebuild the block's (station, 3x3) diag list from the tiles
+            db = np.asarray(self._d_b)
+            dc = np.asarray(self._d_c3)[:, 0] // 3
+            dv = np.asarray(self._d_v64)
+            sel = np.nonzero(db == b)[0]
+            scol = self._scol[b]
+            inv = {int(s): l for l, s in enumerate(scol)}
+            rows, mats = [], []
+            for t in sel:
+                l = inv.get(int(dc[t]))
+                if l is None:
+                    continue                    # padding tile
+                rows.append(l)
+                mats.append(dv[t])
+            ent = (np.asarray(rows, dtype=np.int64),
+                   np.stack(mats) if mats else np.zeros((0, 3, 3)))
+            self._diag_host[b] = ent
+        rows, mats = ent
+        y = np.zeros_like(x)
+        if len(rows):
+            xs = x[(3 * rows)[:, None] + np.arange(3)]
+            ys = np.einsum("nij,nj->ni", mats, xs)
+            np.add.at(y.reshape(-1, 3), rows, ys)
+        return y

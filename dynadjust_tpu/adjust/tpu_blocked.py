@@ -101,13 +101,44 @@ def _block_cov_from_nested(factors, b, ki, kj, inner_idx, junc_idx,
                                inner_idx, junc_idx)
 
 
+def _build_partition(nstations: int, blocks):
+    """Vectorised junction detection + per-block [inner|junction] param
+    partition.  Returns (jpi_arr, part): jpi_arr[g] = global junction
+    index of station g (or -1); part[b] = (inner_p, junc_p, junc_g)
+    param-index arrays in the block's local layout.
+
+    Replaces the reference's per-station bookkeeping of the segmentation
+    loader (dnaadjust.cpp ResizeMatrixVectors / PrepareAdjustmentBlock)
+    with numpy over the concatenated station lists."""
+    counts = np.zeros(nstations, dtype=np.int64)
+    st_arrs = [np.asarray(blk.stations, dtype=np.int64) for blk in blocks]
+    for st in st_arrs:
+        counts[st] += 1
+    junction_global = np.nonzero(counts > 1)[0]
+    jpi_arr = np.full(nstations, -1, dtype=np.int64)
+    jpi_arr[junction_global] = np.arange(len(junction_global))
+
+    off3 = np.arange(3, dtype=np.int64)
+    part = []
+    for st in st_arrs:
+        loc3 = 3 * np.arange(len(st), dtype=np.int64)
+        jp = jpi_arr[st]
+        isj = jp >= 0
+        inner_p = (loc3[~isj][:, None] + off3).reshape(-1)
+        junc_p = (loc3[isj][:, None] + off3).reshape(-1)
+        junc_g = (3 * jp[isj][:, None] + off3).reshape(-1)
+        part.append((inner_p, junc_p, junc_g))
+    return jpi_arr, part
+
+
 def adjust_tpu_blocked(net: NetworkData,
                        options: AdjustmentOptions | None = None,
                        seg_file: str | None = None,
                        seg: Segmentation | None = None,
                        super_blocks: int = 0,
                        staged: bool = False,
-                       block_super: np.ndarray | None = None
+                       block_super: np.ndarray | None = None,
+                       mesh=None
                        ) -> AdjustmentResult:
     """super_blocks > 0 routes the solve through the 3-level nested
     Schur factors (contiguous grouping of the segmentation's blocks into
@@ -118,10 +149,24 @@ def adjust_tpu_blocked(net: NetworkData,
     block→super-block assignment (length block_count): for 2D tiled
     segmentations a grid-aware grouping keeps the super-junction
     frontier O(sqrt(S)) where contiguous 1D bands make nearly every
-    band station a super-junction."""
-    from ..parallel.schur import (build_block_system, DeviceSchurFactors,
+    band station a super-junction.
+
+    mesh: a jax.sharding.Mesh with a "blocks" axis — the production
+    multi-chip path: assembly pools, level-1 factors and applies shard
+    over the axis; junction reductions ride psum over ICI (the TPU
+    replacement for the reference's single-process fwd/rev sweeps,
+    dnaadjust-multi.cpp:92-175)."""
+    from ..parallel.schur import (build_block_system, BlockSystem,
+                                  DeviceSchurFactors,
                                   schur_solve_device_refined)
     from .constraint_elim import ConstraintBasis
+
+    if block_super is not None and super_blocks == 0:
+        raise ValueError("block_super given but super_blocks == 0 — the "
+                         "nested path is not active")
+    if staged and mesh is not None:
+        raise ValueError("staged (host-streamed) factors are "
+                         "single-device")
 
     opts = options or AdjustmentOptions()
     t0 = time.time()
@@ -132,28 +177,11 @@ def adjust_tpu_blocked(net: NetworkData,
     blocks = [Block(net, opts, seg, b) for b in range(B)]
     first_fwd = _first_appearances(blocks, "fwd")
 
-    # global junction stations: any station appearing in >1 block
-    count = {}
-    for blk in blocks:
-        for g in blk.stations:
-            count[g] = count.get(g, 0) + 1
-    junction_global = sorted(g for g, c in count.items() if c > 1)
-    jpi = {g: k for k, g in enumerate(junction_global)}
-
-    # per-block parameter partition (param indices within block layout)
-    part = []
-    for blk in blocks:
-        inner_p, junc_p, junc_g = [], [], []
-        for g in blk.stations:
-            l = 3 * blk.asm.local[g]
-            if g in jpi:
-                junc_p.extend(range(l, l + 3))
-                junc_g.extend(range(3 * jpi[g], 3 * jpi[g] + 3))
-            else:
-                inner_p.extend(range(l, l + 3))
-        part.append((np.array(inner_p, dtype=np.int64),
-                     np.array(junc_p, dtype=np.int64),
-                     np.array(junc_g, dtype=np.int64)))
+    # global junction stations (any station appearing in >1 block) and
+    # the per-block parameter partition — pure numpy (the dict/loop
+    # version was O(S·B) Python and minutes at national scale)
+    jpi_arr, part = _build_partition(net.nstations, blocks)
+    jpi = {int(g): int(jpi_arr[g]) for g in np.nonzero(jpi_arr >= 0)[0]}
 
     x, y, z = geo_to_cart(net.lat, net.lon, net.height, net.datum.ellipsoid)
     xyz_all = np.stack([x, y, z], axis=-1)
@@ -179,6 +207,18 @@ def adjust_tpu_blocked(net: NetworkData,
 
     import time as _time
     import os as _os
+    # device-side normals formation (AᵀV⁻¹A as batched MXU matmuls,
+    # device_assembly.py) is the default; DTA_HOST_ASSEMBLY=1 restores
+    # the host-numpy GEMM + build path.  The streamed (staged) factors
+    # slice host normals per chunk, so staged mode keeps host assembly.
+    device_asm = (not staged
+                  and _os.environ.get("DTA_HOST_ASSEMBLY", "") != "1")
+    da = None
+    matvec = None
+    if device_asm:
+        from .device_assembly import DeviceAssembly
+        da = DeviceAssembly(blocks, part, basis, first_fwd, mesh=mesh)
+        matvec = da.matvec
     prof = ({"fill": 0.0, "normals": 0.0, "build": 0.0, "factor": 0.0,
              "solve": 0.0, "update": 0.0}
             if _os.environ.get("DTA_PROFILE") else None)
@@ -186,27 +226,35 @@ def adjust_tpu_blocked(net: NetworkData,
         iteration += 1
         _t_iter = _time.perf_counter()
         _t = _time.perf_counter()
-        block_N, block_rhs = [], []
-        for b, blk in enumerate(blocks):
-            N, AtVinv = _block_normals(blk)
-            rhs = AtVinv @ blk.asm.mmc
-            _add_constraints(N, blk, first_fwd[b], skip=basis.proj)
-            basis.transform_block(blk.stations, blk.asm.local, N, rhs,
-                                  first_fwd[b])
-            block_N.append(N)
-            block_rhs.append(rhs)
-        if prof is not None:
-            prof["normals"] += _time.perf_counter() - _t
-            _t = _time.perf_counter()
         prev_bs = bs
-        bs = build_block_system(block_N, block_rhs,
-                                [p[0] for p in part],
-                                [p[1] for p in part],
-                                [p[2] for p in part])
+        if device_asm:
+            Nii, Nij, Njj = da.build_device()
+            bi, bj = da.rhs_pools()
+            bs = BlockSystem(Nii=Nii, Nij=Nij, Njj=Njj, bi=bi, bj=bj,
+                             jmap=da.jmap_np, jmask=da.jmask_np,
+                             imask=da.imask_np, nj_global=da.nj_global)
+        else:
+            block_N, block_rhs = [], []
+            for b, blk in enumerate(blocks):
+                N, AtVinv = _block_normals(blk)
+                rhs = AtVinv @ blk.asm.mmc
+                _add_constraints(N, blk, first_fwd[b], skip=basis.proj)
+                basis.transform_block(blk.stations, blk.asm.local, N, rhs,
+                                      first_fwd[b])
+                block_N.append(N)
+                block_rhs.append(rhs)
+            if prof is not None:
+                prof["normals"] += _time.perf_counter() - _t
+                _t = _time.perf_counter()
+            bs = build_block_system(block_N, block_rhs,
+                                    [p[0] for p in part],
+                                    [p[1] for p in part],
+                                    [p[2] for p in part])
         if prev_bs is not None:
             bs.copy_topology_caches(prev_bs)
         if prof is not None:
-            prof["build"] += _time.perf_counter() - _t
+            prof["build" if not device_asm else "normals"] += \
+                _time.perf_counter() - _t
         # re-factor when geometry changed (non-GPS present) or first pass
         refactor = factors is None or any(blk.asm.has_non_gps
                                           for blk in blocks)
@@ -221,6 +269,16 @@ def adjust_tpu_blocked(net: NetworkData,
                 if block_super is None:
                     block_super = (np.arange(B, dtype=np.int64) *
                                    min(super_blocks, B)) // B
+                else:
+                    block_super = np.asarray(block_super, dtype=np.int64)
+                    if len(block_super) != B:
+                        raise ValueError(
+                            f"block_super has {len(block_super)} entries "
+                            f"for {B} blocks")
+                if device_asm and da.Bp != B:
+                    block_super = np.concatenate(
+                        [block_super,
+                         np.zeros(da.Bp - B, dtype=np.int64)])
                 nested_part = build_nested_partition(
                     bs, np.asarray(block_super, dtype=np.int64))
             if not refactor:
@@ -228,19 +286,20 @@ def adjust_tpu_blocked(net: NetworkData,
             xi, xj, factors = schur_solve_nested_factored(
                 bs, nested_part, dtype=np.float32,
                 factors=(None if refactor else factors),
-                streamed=staged)
+                streamed=staged, mesh=mesh, matvec=matvec)
         else:
-            # device_f64=False: only the f32 normals cross the link each
-            # re-linearisation (half the traffic); refinement residuals
-            # come from the host-resident f64 normals
+            # device assembly: the f32 pools are already device-resident
+            # (zero per-iteration upload beyond the scalar tiles); host
+            # assembly: only f32 normals cross the link (device_f64=False)
             if factors is None:
                 factors = DeviceSchurFactors(bs, method="inv",
-                                             device_f64=False)
+                                             device_f64=False, mesh=mesh)
             elif refactor:
                 factors.update(bs)
             else:
                 factors.bs = bs
-            xi, xj = schur_solve_device_refined(bs, factors)
+            xi, xj = schur_solve_device_refined(bs, factors,
+                                                matvec=matvec)
         if prof is not None:
             prof["solve"] += _time.perf_counter() - _t
             _t = _time.perf_counter()
@@ -311,12 +370,14 @@ def adjust_tpu_blocked(net: NetworkData,
     stats_rows = []
     # one-time f64 Newton refinement of the f32 factors for variance
     # extraction (solve-path refinement handles the estimates; the
-    # covariances need refined inverses)
+    # covariances need refined inverses).  Device-assembled runs build
+    # the f64 pools once on device (build_f64) — no host GEMM pass.
+    N64 = da.build_f64() if device_asm else None
     if super_blocks == 0:
-        cov_factors = factors.newton_factors()
+        cov_factors = factors.newton_factors(N64=N64)
     else:
         cov_factors = None
-        factors.newton_refine_cov()
+        factors.newton_refine_cov(N64=N64)
     S = net.nstations
     # O(S) covariance storage: per-station 3x3 blocks always; the dense
     # (3S,3S) matrix only for small networks (needed by SINEX full-VCV

@@ -771,9 +771,39 @@ class DeviceSchurFactors:
         self.mesh = mesh
         self.axis = axis if mesh is not None else None
         self.B_real = bs.Nii.shape[0]
+        # device-assembled normals (adjust/device_assembly.py): the f32
+        # pools are already device-resident — no upload, no tile plan;
+        # f64 residuals come from the caller's A-based matvec
+        self.device_normals = not isinstance(bs.Nii, np.ndarray)
         self.device_f64 = device_f64 or method == "inv64"
-        if mesh is not None:
+        if self.device_normals:
+            self.device_f64 = False
+        elif mesh is not None:
             self.device_f64 = True
+
+        if self.device_normals:
+            self.Nii64 = self.Nij64 = self.Njj64 = None
+            self._tile_plan = None
+            self._N32 = (bs.Nii.astype(dtype), bs.Nij.astype(dtype),
+                         bs.Njj.astype(dtype))
+            jmap, jmask, imask = bs.jmap, bs.jmask, bs.imask
+            owner = bs.owner_mask()
+            if mesh is not None:
+                shard = NamedSharding(mesh, P(axis))
+
+                def put(x):
+                    return jax.device_put(jnp.asarray(x), shard)
+            else:
+                def put(x):
+                    return jnp.asarray(x)
+            self.jmap = put(jmap)
+            self.jmask32 = put(jmask.astype(dtype))
+            self.jmask64 = put(jmask.astype(np.float64))
+            self.imask64 = put(imask.astype(np.float64))
+            self.owner64 = put(owner)
+            self.dtype = dtype
+            self.refactor()
+            return
 
         Nii, Nij, Njj = bs.Nii, bs.Nij, bs.Njj
         jmap, jmask, imask = bs.jmap, bs.jmask, bs.imask
@@ -831,6 +861,15 @@ class DeviceSchurFactors:
         index/mask/owner arrays stay device-resident."""
         if bs.Nii.shape != self.bs.Nii.shape:
             raise ValueError("update() requires the same block topology")
+        if self.device_normals:
+            # freshly device-assembled pools (already sharded under a
+            # mesh): swap and refactor
+            self.bs = bs
+            self._N32 = (bs.Nii.astype(self.dtype),
+                         bs.Nij.astype(self.dtype),
+                         bs.Njj.astype(self.dtype))
+            self.refactor()
+            return
         if self.mesh is not None:
             raise ValueError("update() is single-device")
         self.bs = bs
@@ -867,10 +906,13 @@ class DeviceSchurFactors:
                 return _schur_factor_inv_jit(Nii, Nij, Njj, jmap, jmask,
                                              nj_total, ax)
 
-            self.factors = jax.jit(factor)(
-                self.Nii64.astype(self.dtype),
-                self.Nij64.astype(self.dtype),
-                self.Njj64.astype(self.dtype), self.jmap, self.jmask32)
+            if self.device_normals:
+                N32 = self._N32
+            else:
+                N32 = (self.Nii64.astype(self.dtype),
+                       self.Nij64.astype(self.dtype),
+                       self.Njj64.astype(self.dtype))
+            self.factors = jax.jit(factor)(*N32, self.jmap, self.jmask32)
             return
         if self.method == "inv64":
             self.factors = _schur_factor_inv64_jit(
@@ -934,17 +976,24 @@ class DeviceSchurFactors:
         return (np.asarray(xi, dtype=np.float64)[:self.B_real],
                 np.asarray(xj, dtype=np.float64)[:self.bs.nj_global])
 
-    def newton_factors(self, rounds: int = 2):
+    def newton_factors(self, rounds: int = 2, N64=None):
         """f64 Newton-refined covariance factors (one-time, for the
         variance-extraction stage after convergence).  For 'inv64' the
-        factors are already f64-exact."""
+        factors are already f64-exact.  N64: device-resident f64 pools
+        (DeviceAssembly.build_f64) when the normals were assembled on
+        device and no host f64 copy exists."""
         if self.method == "inv64":
             return self.factors
         if self.method != "inv" or self.mesh is not None:
             raise ValueError("newton_factors requires method='inv' "
                              "(single-device)")
-        if self.device_f64:
+        if N64 is not None:
+            pass
+        elif self.device_f64:
             N64 = (self.Nii64, self.Nij64, self.Njj64)
+        elif self.device_normals:
+            raise ValueError("device-assembled normals: pass N64 "
+                             "(DeviceAssembly.build_f64())")
         else:
             # one-time f64 upload for the variance-extraction refinement
             # (no mesh => no block padding; shapes match the f32 casts)
@@ -970,7 +1019,7 @@ def schur_solve_device(bs: BlockSystem, refine: int = 2,
 def schur_solve_device_refined(bs: BlockSystem,
                                factors: DeviceSchurFactors,
                                refine: int = 2, max_refine: int = 12,
-                               tol: float = 1e-13):
+                               tol: float = 1e-13, matvec=None):
     """Residual-driven mixed-precision solve on f32 device factors.
 
     Each device dispatch runs `refine` in-jit f64 refinement rounds; the
@@ -979,6 +1028,8 @@ def schur_solve_device_refined(bs: BlockSystem,
     the flat-path counterpart of schur_solve_nested_factored's loop.
     This is what lets real (eliminated-constraint) networks at scaled
     condition ~1e6 reach f64-level solutions from f32 MXU factors."""
+    if matvec is None:
+        matvec = partial(_block_matvec, bs)
     xi, xj = factors.solve(bs.bi, bs.bj, refine)
     rhs_j_global = _gather_rhs_junction(bs)
     gi, gg = bs.owner_indices()
@@ -986,7 +1037,7 @@ def schur_solve_device_refined(bs: BlockSystem,
                     float(np.abs(rhs_j_global).max()), 1e-30)
     prev_rel = np.inf
     for _ in range(max_refine):
-        yi, yj = _block_matvec(bs, xi, xj)
+        yi, yj = matvec(xi, xj)
         ri = (bs.bi * bs.imask) - yi
         rj = rhs_j_global - yj
         rel = max(float(np.abs(ri).max()),
@@ -1640,7 +1691,7 @@ def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
                                 factors: NestedSchurFactors = None,
                                 streamed: bool = False,
                                 max_refine: int = 12, mesh: Mesh = None,
-                                axis: str = "blocks"):
+                                axis: str = "blocks", matvec=None):
     """Nested mixed-precision solve with factor reuse: one 3-level f32
     factorization, then 1 + refine cheap applies with f64 host residual
     refinement.  Pass `factors` back in to skip re-factorizing when the
@@ -1655,6 +1706,8 @@ def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
         else:
             factors = NestedSchurFactors(bs, part, dtype, mesh=mesh,
                                          axis=axis)
+    if matvec is None:
+        matvec = partial(_block_matvec, bs)
     xi, xj = factors.solve(bs.bi, bs.bj)
     rhs_j_global = _gather_rhs_junction(bs)
     gi, gg = bs.owner_indices()      # cached per topology
@@ -1667,7 +1720,7 @@ def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
     max_refine = max(refine, max_refine)
     prev_rel = np.inf
     for round_no in range(max_refine):
-        yi, yj = _block_matvec(bs, xi, xj)
+        yi, yj = matvec(xi, xj)
         ri = (bs.bi * bs.imask) - yi
         rj = rhs_j_global - yj
         rel = max(float(np.abs(ri).max()),
@@ -1950,17 +2003,26 @@ def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, rounds=2):
     return Si
 
 
-def _nested_newton_refine_cov(self, rounds: int = 2):
+def _nested_newton_refine_cov(self, rounds: int = 2, N64=None):
     """One-time f64 Newton refinement of the nested f32 factors for the
     variance-extraction stage: level-1 inverses are refined chunk-by-chunk
     (host-streamed, so HBM holds one f64 chunk at a time), the level-2
     systems are re-assembled in f64 from the refined pieces, and the
     level-2/3 inverses are refined against them.  After this call
     level1_block/junction_cov return f64-quality covariances.  No-op when
-    the factors are already f64."""
+    the factors are already f64.
+
+    N64: (Nii, Nij, Njj) f64 pools (device or host) overriding bs.* —
+    required when the normals were device-assembled in f32
+    (DeviceAssembly.build_f64())."""
     if self.dtype == np.float64 or getattr(self, "_cov_l1_h", None):
         return
     bs, part = self.bs, self.part
+    if N64 is None:
+        N64 = (bs.Nii, bs.Nij, bs.Njj)
+        if not isinstance(bs.Nii, np.ndarray):
+            raise ValueError("device-assembled normals: pass N64 "
+                             "(DeviceAssembly.build_f64())")
     B, ni = bs.Nii.shape[:2]
     if hasattr(self, "Ainv_h"):                      # streamed layout
         di_h, dj_h = self.di_h, self.dj_h
@@ -1984,8 +2046,8 @@ def _nested_newton_refine_cov(self, rounds: int = 2):
     for k in range(B // C):
         s = slice(k * C, (k + 1) * C)
         A_c, Y_c, S_c = _newton_l1_chunk(
-            jnp.asarray(bs.Nii[s]), jnp.asarray(bs.Nij[s]),
-            jnp.asarray(bs.Njj[s]),
+            jnp.asarray(N64[0][s]), jnp.asarray(N64[1][s]),
+            jnp.asarray(N64[2][s]),
             jnp.asarray(di_h[s], dtype=jnp.float64),
             jnp.asarray(dj_h[s], dtype=jnp.float64),
             jnp.asarray(ainv_src(s)), rounds=rounds)

@@ -1,0 +1,140 @@
+"""Device-side normals formation (adjust/device_assembly.py) parity.
+
+The pooled MXU product N = AᵀV⁻¹A + constraints must reproduce the host
+path (phased._block_normals + constraint transforms + build_block_system)
+exactly in f64 and to f32 rounding in f32, and the whole adjustment must
+land on the same solution either way.
+
+Reference for the operation being replaced:
+UpdateNormals_*/UpdateAtVinv, dnaadjust.cpp:1285-1833.
+"""
+
+import numpy as np
+import pytest
+
+from dynadjust_tpu.adjust import AdjustmentOptions
+from dynadjust_tpu.adjust.constraint_elim import ConstraintBasis
+from dynadjust_tpu.adjust.device_assembly import DeviceAssembly
+from dynadjust_tpu.adjust.phased import (Block, _add_constraints,
+                                         _block_normals,
+                                         _first_appearances)
+from dynadjust_tpu.adjust.tpu_blocked import (_build_partition,
+                                              adjust_tpu_blocked)
+from dynadjust_tpu.geodesy.conversions import geo_to_cart
+from dynadjust_tpu.parallel.schur import _block_matvec, build_block_system
+from dynadjust_tpu.utils.synthetic_mixed import synthetic_mixed_network
+
+
+@pytest.fixture(scope="module")
+def setup():
+    net, seg = synthetic_mixed_network(12, 12, block_rows=6, block_cols=6)
+    opts = AdjustmentOptions()
+    blocks = [Block(net, opts, seg, b) for b in range(seg.block_count)]
+    first_fwd = _first_appearances(blocks, "fwd")
+    basis = ConstraintBasis(net, opts)
+    x, y, z = geo_to_cart(net.lat, net.lon, net.height,
+                          net.datum.ellipsoid)
+    est = np.stack([x, y, z], -1)
+    for blk in blocks:
+        blk.est = est[blk.stations].reshape(-1).copy()
+        blk.asm.fill(blk.est, apply_reductions=True)
+        blk.Wc = blk.asm.constraint_weights()
+    _, part = _build_partition(net.nstations, blocks)
+
+    bN, brhs = [], []
+    for b, blk in enumerate(blocks):
+        N, AtVinv = _block_normals(blk)
+        rhs = AtVinv @ blk.asm.mmc
+        _add_constraints(N, blk, first_fwd[b], skip=basis.proj)
+        basis.transform_block(blk.stations, blk.asm.local, N, rhs,
+                              first_fwd[b])
+        bN.append(N)
+        brhs.append(rhs)
+    bs = build_block_system(bN, brhs, [p[0] for p in part],
+                            [p[1] for p in part], [p[2] for p in part])
+    da = DeviceAssembly(blocks, part, basis, first_fwd)
+    return net, seg, bs, da
+
+
+def test_topology_matches(setup):
+    _, _, bs, da = setup
+    assert da.nj_global == bs.nj_global
+    assert np.array_equal(da.jmap_np, bs.jmap)
+    assert np.array_equal(da.jmask_np, bs.jmask)
+    assert np.array_equal(da.imask_np, bs.imask)
+
+
+def test_f64_pools_bit_match_host(setup):
+    _, _, bs, da = setup
+    Nii, Nij, Njj = da.build_f64()
+    sc = np.abs(bs.Nii).max()
+    assert np.abs(np.asarray(Nii) - bs.Nii).max() / sc < 1e-13
+    assert np.abs(np.asarray(Nij) - bs.Nij).max() / sc < 1e-13
+    assert np.abs(np.asarray(Njj) - bs.Njj).max() / sc < 1e-13
+
+
+def test_f32_pools_match_to_f32_rounding(setup):
+    _, _, bs, da = setup
+    Nii, Nij, Njj = da.build_device()
+    sc = np.abs(bs.Nii).max()
+    assert np.abs(np.asarray(Nii, dtype=np.float64)
+                  - bs.Nii).max() / sc < 1e-5
+    assert str(np.asarray(Nii).dtype) == "float32"
+
+
+def test_rhs_pools_match(setup):
+    _, _, bs, da = setup
+    bi, bj = da.rhs_pools()
+    sc = max(np.abs(bs.bi).max(), 1.0)
+    assert np.abs(bi - bs.bi).max() / sc < 1e-12
+    assert np.abs(bj - bs.bj).max() / sc < 1e-12
+
+
+def test_matvec_matches_block_matvec(setup):
+    """The A-based f64 refinement operator equals N·x through the host
+    normals (it IS the true system the refined solve converges to)."""
+    _, _, bs, da = setup
+    rng = np.random.default_rng(3)
+    xi = rng.standard_normal(bs.bi.shape)
+    xj = rng.standard_normal(bs.nj_global)
+    yi0, yj0 = _block_matvec(bs, xi, xj)
+    yi1, yj1 = da.matvec(xi, xj)
+    sc = max(np.abs(yi0).max(), 1.0)
+    assert np.abs(yi0 - yi1).max() / sc < 1e-13
+    assert np.abs(yj0 - yj1).max() / sc < 1e-13
+
+
+@pytest.mark.parametrize("super_blocks", [0, 2])
+def test_end_to_end_device_vs_host(monkeypatch, super_blocks):
+    """Full adjustment: device-assembled vs host-assembled paths converge
+    to the same coordinates and covariances."""
+    def run(host):
+        monkeypatch.setenv("DTA_HOST_ASSEMBLY", "1" if host else "")
+        net, seg = synthetic_mixed_network(12, 12, block_rows=6,
+                                           block_cols=6)
+        return adjust_tpu_blocked(net, AdjustmentOptions(), seg=seg,
+                                  super_blocks=super_blocks)
+
+    r_host = run(True)
+    r_dev = run(False)
+    assert r_dev.status == "Converged"
+    assert r_dev.iterations == r_host.iterations
+    assert np.abs(r_host.xyz - r_dev.xyz).max() < 1e-7
+    assert abs(r_host.sigma_zero - r_dev.sigma_zero) < 1e-9
+    sc = np.abs(r_host.cov_stn).max()
+    assert np.abs(r_host.cov_stn - r_dev.cov_stn).max() / sc < 1e-9
+
+
+def test_block_super_validation():
+    """ADVICE r2: explicit block_super must be length-checked, and
+    passing it without the nested path must fail loudly."""
+    net, seg = synthetic_mixed_network(8, 8, block_rows=4, block_cols=4)
+    with pytest.raises(ValueError):
+        adjust_tpu_blocked(net, AdjustmentOptions(), seg=seg,
+                           super_blocks=0,
+                           block_super=np.zeros(seg.block_count))
+    with pytest.raises(ValueError):
+        adjust_tpu_blocked(net, AdjustmentOptions(), seg=seg,
+                           super_blocks=2,
+                           block_super=np.zeros(seg.block_count - 1,
+                                                dtype=np.int64))
