@@ -144,10 +144,19 @@ class DeviceAssembly:
         self.jmap_np, self.jmask_np, self.imask_np = jmap, jmask, imask
 
         if mesh is not None:
-            shard = NamedSharding(mesh, P(axis))
-            repl = NamedSharding(mesh, P())
-            self._putb = lambda x: jax.device_put(jnp.asarray(x), shard)
-            self._putr = lambda x: jax.device_put(jnp.asarray(x), repl)
+            from ..parallel.multihost import (shard_blocks, put_replicated,
+                                              is_multiprocess)
+            if is_multiprocess():
+                self._putb = lambda x: shard_blocks(np.asarray(x), mesh,
+                                                    P(axis))
+                self._putr = lambda x: put_replicated(x, mesh)
+            else:
+                shard = NamedSharding(mesh, P(axis))
+                repl = NamedSharding(mesh, P())
+                self._putb = lambda x: jax.device_put(jnp.asarray(x),
+                                                      shard)
+                self._putr = lambda x: jax.device_put(jnp.asarray(x),
+                                                      repl)
         else:
             self._putb = self._putr = jnp.asarray
 

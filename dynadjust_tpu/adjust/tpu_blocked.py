@@ -375,6 +375,15 @@ def adjust_tpu_blocked(net: NetworkData,
     N64 = da.build_f64() if device_asm else None
     if super_blocks == 0:
         cov_factors = factors.newton_factors(N64=N64)
+        import jax
+        if mesh is not None and jax.process_count() > 1:
+            # multi-process: the refined factor pools are block-sharded
+            # across hosts; replicate once for the host-side statistics
+            # pass (dryrun scale — the distributed statistics pass is
+            # the sharded-writers extension)
+            from ..parallel.multihost import gather_to_host
+            cov_factors = tuple(gather_to_host(a, mesh)
+                                for a in cov_factors)
     else:
         cov_factors = None
         factors.newton_refine_cov(N64=N64)

@@ -884,11 +884,29 @@ def _cmd_adjust(args) -> int:
             # TPU-native phased: parallel two-level blocked Schur instead
             # of the sequential forward/reverse/combine sweeps
             from .adjust.tpu_blocked import adjust_tpu_blocked
+            mesh = None
+            ndev = getattr(args, "devices", 0)
+            if ndev:
+                # multi-chip: shard the blocks axis over the first N
+                # devices (jax.distributed multi-host when initialised —
+                # DTA_COORDINATOR/DTA_NUM_PROCESSES/DTA_PROCESS_ID env,
+                # parallel/multihost.py)
+                import numpy as _np
+                import jax as _jax
+                from jax.sharding import Mesh as _Mesh
+                from .parallel.multihost import init_distributed
+                init_distributed()
+                devs = _jax.devices()
+                if ndev > len(devs):
+                    print(f"- Error: --devices {ndev} but only "
+                          f"{len(devs)} devices visible", file=sys.stderr)
+                    return 1
+                mesh = _Mesh(_np.array(devs[:ndev]), ("blocks",))
             res = adjust_tpu_blocked(
                 net, opts,
                 seg_file if os.path.exists(seg_file) else None,
                 super_blocks=getattr(args, "tpu_super_blocks", 0),
-                staged=bool(args.staged_adjustment))
+                staged=bool(args.staged_adjustment), mesh=mesh)
         else:
             from .adjust.phased import adjust_phased
             res = adjust_phased(
@@ -1364,6 +1382,12 @@ def _add_adjust_args(p):
                    help="solve the normal equations on the TPU (blocked "
                         "f32 MXU factorization + on-device Newton-refined "
                         "f64 inverse)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="with --phased --tpu: shard the adjustment over "
+                        "this many devices (a jax.sharding.Mesh over the "
+                        "blocks axis; junction reductions ride psum over "
+                        "ICI). Multi-host via DTA_COORDINATOR/"
+                        "DTA_NUM_PROCESSES/DTA_PROCESS_ID")
     p.add_argument("--tpu-super-blocks", type=int, default=0,
                    help="with --phased --tpu: group the segmentation "
                         "blocks into this many super-blocks and solve "
@@ -1433,6 +1457,13 @@ def _add_adjust_args(p):
 
 
 def main(argv=None) -> int:
+    # DTA_PLATFORM=cpu pins the JAX backend before first device use
+    # (needed for virtual-device mesh validation: this environment's
+    # sitecustomize overrides the JAX_PLATFORMS env var)
+    plat = os.environ.get("DTA_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     parser = argparse.ArgumentParser(
         prog="dynadjust_tpu",
         description="TPU-native geodetic network adjustment")

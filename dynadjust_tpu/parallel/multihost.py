@@ -145,6 +145,16 @@ def shard_blocks(full: np.ndarray, mesh: Mesh,
     return jax.make_array_from_process_local_data(sh, local)
 
 
+def put_replicated(x, mesh: Mesh) -> jax.Array:
+    """Place a host array fully replicated on a (possibly multi-process)
+    mesh."""
+    sh = NamedSharding(mesh, P())
+    x = np.asarray(x)
+    if not is_multiprocess():
+        return jax.device_put(x, sh)
+    return jax.make_array_from_process_local_data(sh, x)
+
+
 def gather_to_host(arr: jax.Array, mesh: Mesh) -> np.ndarray:
     """Replicate a (possibly sharded) global array to every host."""
     out = jax.jit(lambda x: x,

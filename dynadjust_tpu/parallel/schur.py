@@ -789,10 +789,15 @@ class DeviceSchurFactors:
             jmap, jmask, imask = bs.jmap, bs.jmask, bs.imask
             owner = bs.owner_mask()
             if mesh is not None:
-                shard = NamedSharding(mesh, P(axis))
+                from .multihost import shard_blocks, is_multiprocess
+                if is_multiprocess():
+                    def put(x):
+                        return shard_blocks(np.asarray(x), mesh, P(axis))
+                else:
+                    shard = NamedSharding(mesh, P(axis))
 
-                def put(x):
-                    return jax.device_put(jnp.asarray(x), shard)
+                    def put(x):
+                        return jax.device_put(jnp.asarray(x), shard)
             else:
                 def put(x):
                     return jnp.asarray(x)
@@ -973,6 +978,10 @@ class DeviceSchurFactors:
 
     def solve(self, bi, bj, refine: int = 2):
         xi, xj = self.solve_device(bi, bj, refine)
+        if self.mesh is not None and jax.process_count() > 1:
+            from .multihost import gather_to_host
+            xi = gather_to_host(xi, self.mesh)
+            xj = gather_to_host(xj, self.mesh)
         return (np.asarray(xi, dtype=np.float64)[:self.B_real],
                 np.asarray(xj, dtype=np.float64)[:self.bs.nj_global])
 
@@ -984,9 +993,11 @@ class DeviceSchurFactors:
         device and no host f64 copy exists."""
         if self.method == "inv64":
             return self.factors
-        if self.method != "inv" or self.mesh is not None:
-            raise ValueError("newton_factors requires method='inv' "
-                             "(single-device)")
+        if self.method != "inv":
+            raise ValueError("newton_factors requires method='inv'")
+        # with a mesh the refinement jit compiles SPMD over the sharded
+        # factor pools (GSPMD propagates the blocks-axis sharding; the
+        # junction matmuls replicate)
         if N64 is not None:
             pass
         elif self.device_f64:

@@ -30,9 +30,15 @@ def synthetic_mixed_network(rows: int, cols: int, spacing_deg: float = 0.05,
                             seed: int = 0, lat0: float = -37.0,
                             lon0: float = 143.0,
                             block_rows: int = 16, block_cols: int = 16,
-                            perturb: float = 0.15):
+                            perturb: float = 0.15,
+                            return_truth: bool = False):
     """Returns (net, seg): a NetworkData with a mixed measurement set and
-    a grid-tile Segmentation (boundary rows/cols are junctions)."""
+    a grid-tile Segmentation (boundary rows/cols are junctions).
+
+    return_truth=True additionally returns the (S, 3) true cartesian
+    coordinates the measurements were simulated from — callers checking
+    adjusted-vs-truth error must use this instead of re-deriving the
+    generator's internals (rng draw order, grid formulas)."""
     rng = np.random.default_rng(seed)
     S = rows * cols
     latd = lat0 + spacing_deg * np.arange(rows)
@@ -166,4 +172,6 @@ def synthetic_mixed_network(rows: int, cols: int, spacing_deg: float = 0.05,
         networks=[0] * B)
     for ri, b in enumerate(rec_block):
         seg.measurements[b].append(ri)
+    if return_truth:
+        return net, seg, X
     return net, seg

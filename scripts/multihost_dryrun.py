@@ -73,10 +73,38 @@ def child(args):
         "max_dxj": float(np.abs(xj - xj_ref).max()),
     }
 
+    # ---- END-TO-END production adjustment across processes ----------
+    # The real pipeline (Assembler -> constraint elimination -> device
+    # assembly -> sharded factor/solve -> statistics) over the global
+    # mesh, compared against the same adjustment run single-device.
+    from dynadjust_tpu.utils.synthetic_mixed import synthetic_mixed_network
+    from dynadjust_tpu.adjust import AdjustmentOptions
+    from dynadjust_tpu.adjust.tpu_blocked import adjust_tpu_blocked
+
+    net1, seg1 = synthetic_mixed_network(12, 12, block_rows=4,
+                                         block_cols=4)
+    res_ref = adjust_tpu_blocked(net1, AdjustmentOptions(), seg=seg1)
+    net2, seg2 = synthetic_mixed_network(12, 12, block_rows=4,
+                                         block_cols=4)
+    res_mh = adjust_tpu_blocked(net2, AdjustmentOptions(), seg=seg2,
+                                mesh=mesh_flat)
+    results["end_to_end_adjustment"] = {
+        "stations": int(net1.nstations),
+        "blocks": int(seg1.block_count),
+        "iterations": int(res_mh.iterations),
+        "max_dxyz_m": float(np.abs(res_mh.xyz - res_ref.xyz).max()),
+        "d_sigma0": float(abs(res_mh.sigma_zero - res_ref.sigma_zero)),
+        "max_dcov": float(np.abs(res_mh.cov_stn - res_ref.cov_stn).max()),
+    }
+
     if args.process_id == 0:
+        e2e = results["end_to_end_adjustment"]
         out = {
-            "ok": all(r["max_dxi"] < 1e-8 and r["max_dxj"] < 1e-8
-                      for r in results.values()),
+            "ok": (all(r["max_dxi"] < 1e-8 and r["max_dxj"] < 1e-8
+                       for k, r in results.items()
+                       if k != "end_to_end_adjustment")
+                   and e2e["max_dxyz_m"] < 1e-8
+                   and e2e["d_sigma0"] < 1e-9),
             "num_processes": args.nproc,
             "local_devices": args.local_devices,
             "blocks": int(bs.Nii.shape[0]),

@@ -54,8 +54,9 @@ def main():
     from dynadjust_tpu.output.uncertainty import write_apu
 
     t0 = time.time()
-    net, seg = synthetic_mixed_network(ROWS, COLS, block_rows=BLOCK,
-                                       block_cols=BLOCK)
+    net, seg, truth = synthetic_mixed_network(ROWS, COLS, block_rows=BLOCK,
+                                              block_cols=BLOCK,
+                                              return_truth=True)
     S = net.nstations
     log(f"generated {S} stations, {len(net.measurements)} records, "
         f"{seg.block_count} blocks in {time.time()-t0:.1f}s")
@@ -96,21 +97,10 @@ def main():
     log(f"outputs written to {base}.adj/.xyz/.apu "
         f"in {time.time()-t0:.1f}s")
 
-    # plausibility cross-check vs the noise-free truth: with the stated
-    # measurement SDs the adjusted coordinates must sit within a few SDs
-    # of the generating truth (a converged national solution), and the
-    # per-station formal SDs must be finite and O(cm).
-    from dynadjust_tpu.utils.synthetic_mixed import synthetic_mixed_network \
-        as _regen
-    from dynadjust_tpu.geodesy.conversions import geo_to_cart
-    from dynadjust_tpu.params.ellipsoids import GRS80
-    rng = np.random.default_rng(0)
-    latd = -37.0 + 0.05 * np.arange(ROWS)
-    lond = 143.0 + 0.05 * np.arange(COLS)
-    LA, LO = np.meshgrid(np.radians(latd), np.radians(lond), indexing="ij")
-    h = 300.0 + 50.0 * rng.standard_normal(S)
-    xt, yt, zt = geo_to_cart(LA.ravel(), LO.ravel(), h, GRS80)
-    truth = np.stack([xt, yt, zt], -1)
+    # plausibility cross-check vs the noise-free truth (returned by the
+    # generator itself): with the stated measurement SDs the adjusted
+    # coordinates must sit within a few SDs of the generating truth, and
+    # the per-station formal SDs must be finite and O(cm).
     err = np.linalg.norm(res.xyz - truth, axis=1)
     sd = np.sqrt(np.maximum(
         res.cov_stn[:, 0, 0] + res.cov_stn[:, 1, 1] + res.cov_stn[:, 2, 2],

@@ -175,3 +175,31 @@ def test_cli_reference_conventions(tmp_path, sample_dir):
               f"{sample_dir}/dsg.msr", "--seg-file",
               str(tmp_path / "custom.seg"), "--import-block-stn-msr", "2")
     assert "block 2" in out
+
+
+def test_cli_adjust_tpu_devices_mesh(sample_dir, tmp_path):
+    """adjust --phased --tpu --devices 8: the production CLI path sharded
+    over an 8-device mesh (virtual CPU devices here; chips on a pod) must
+    reproduce the phased statistics on the urban sample network."""
+    for f in ("urban-network.stn", "urban-network.msr",
+              "urban-network-geoid.gsb"):
+        (tmp_path / f).write_bytes(open(f"{sample_dir}/{f}", "rb").read())
+    cwd = str(tmp_path)
+    _run(["import", "-n", "urban", "urban-network.stn",
+          "urban-network.msr", "--flag-unused-stations"], cwd)
+    _run(["geoid", "urban", "-g", "urban-network-geoid.gsb"], cwd)
+    _run(["segment", "urban", "--min-inner-stns", "50",
+          "--max-block-stns", "150"], cwd)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["DTA_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run([sys.executable, "-m", "dynadjust_tpu", "adjust",
+                        "urban", "--output-adj-msr", "--phased", "--tpu",
+                        "--devices", "8"],
+                       cwd=cwd, env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-800:])
+    assert "Sigma zero 0.857" in r.stdout
+    assert "Chi squared 635.53" in r.stdout

@@ -36,3 +36,10 @@ def test_multihost_dryrun(tmp_path):
     assert res["results"]["hierarchical"]["max_dxj"] < 1e-10
     assert res["results"]["hierarchical"]["mesh_shape"] == {
         "hosts": 2, "blocks": 4}
+    # the PRODUCTION path (Assembler -> constraint elimination -> device
+    # assembly -> sharded factors -> statistics) end-to-end across the
+    # 2 processes, vs the same adjustment single-device
+    e2e = res["results"]["end_to_end_adjustment"]
+    assert e2e["max_dxyz_m"] < 1e-8
+    assert e2e["d_sigma0"] < 1e-9
+    assert e2e["max_dcov"] < 1e-12
