@@ -341,17 +341,192 @@ class DeviceAssembly:
         return N[:, :ni, :ni], N[:, :ni, ni:], N[:, ni:, ni:]
 
     def build_f64(self):
-        """One-time f64 pools for the covariance stage (device f64
-        matmuls — emulated on TPU, exact; ~2 orders cheaper than a host
-        GEMM pass on this class of host)."""
-        base64 = self.A_base.astype(jnp.float64)   # GPS ±1 entries: exact
-        wdiag64 = self._putb(self._wdiag64_h)
-        vt64 = [(k, self._putr(bb), self._putr(rr), self._putr(V))
-                for k, bb, rr, V in self._v_buckets64_h]
-        return self.build_device(values=self.scalar_values(np.float64),
-                                 dtype=np.float64, base=base64,
-                                 wdiag=wdiag64, vt_buckets=vt64,
-                                 pmat=self.Pmat64, diag_vals=self._d_v64)
+        """One-time near-f64 pools for the covariance stage.
+
+        Formed as the Gram product N = B̃ᵀB̃ with B̃ = V^{-1/2}A (weighted,
+        projected, permuted — assembled on host as sparse double-float
+        tiles, scattered on device) through ops/slicegemm.xgram64: on
+        TPU that is the mantissa-sliced exact bf16-MXU product (native
+        f64 emulation measured ~5 GFLOP/s — unusable); on CPU a native
+        f64 einsum.  Constraint/pad diagonal tiles are added exactly in
+        f64 afterwards."""
+        if not hasattr(self, "_g_idx"):
+            self._compile_gram_plan()
+        hi, lo = self._gram_values()
+        gb, gr, gc3 = self._g_idx
+        zeros = jnp.zeros((self.Bp, self.M, self.Pp), dtype=jnp.float32)
+        Bhi = _scatter_scalar_tiles(zeros, gb, gr, gc3, self._putr(hi))
+        Blo = _scatter_scalar_tiles(zeros, gb, gr, gc3, self._putr(lo))
+        N = self._xgram_pair(Bhi, Blo)
+        N = _add_diag_tiles(N, self._d_b, self._d_c3, self._d_v64)
+        ni = self.ni
+        return N[:, :ni, :ni], N[:, :ni, ni:], N[:, ni:, ni:]
+
+    def _xgram_pair(self, Bhi, Blo):
+        from ..ops.slicegemm import _use_sliced, gram_f64
+        if _use_sliced():
+            return gram_f64(Bhi, Blo)
+        B64 = Bhi.astype(jnp.float64) + Blo.astype(jnp.float64)
+        return jnp.einsum("bmi,bmj->bij", B64, B64)
+
+    def a64_pool(self):
+        """Projected design-matrix pool in f64 (device): GPS base (±1,
+        exact) + double-float scalar tiles, column projection in f64.
+        One-time, for the statistics pass."""
+        from ..ops.slicegemm import split_f32_pair
+        vals = np.concatenate(
+            [blk.asm.A.ravel()[g]
+             for blk, g in zip(self.blocks, self._gather)]) \
+            if self._gather else np.zeros((0, 3))
+        hi, lo = split_f32_pair(vals)
+        Ahi = _scatter_scalar_tiles(self.A_base, self._t_b, self._t_r,
+                                    self._t_c3, self._putr(hi))
+        zeros = jnp.zeros_like(self.A_base)
+        Alo = _scatter_scalar_tiles(zeros, self._t_b, self._t_r,
+                                    self._t_c3, self._putr(lo))
+        A64 = Ahi.astype(jnp.float64) + Alo.astype(jnp.float64)
+        if self._has_proj:
+            B, Mr, Pp = A64.shape
+            A64 = jnp.einsum("bmsk,bskl->bmsl",
+                             A64.reshape(B, Mr, Pp // 3, 3),
+                             self.Pmat64).reshape(B, Mr, Pp)
+        return A64
+
+    def gps_row_plan(self):
+        """Per block: array of GNSS observation base rows (row0 + 3i) —
+        the rows whose 3×3 adjusted VCVs the reporting path prints."""
+        if not hasattr(self, "_gps_rows_per_block"):
+            out = []
+            for blk in self.blocks:
+                rows = []
+                for g in blk.asm.gps_items:
+                    rows.extend(g.row0 + 3 * i
+                                for i in range(len(g.stations1)))
+                out.append(np.asarray(rows, dtype=np.int64))
+            self._gps_rows_per_block = out
+        return self._gps_rows_per_block
+
+    # -- gram (W^{1/2}A) tile plan --------------------------------------
+    def _compile_gram_plan(self):
+        """Sparse tile plan for B̃ = V^{-1/2}A: scalar rows keep A's
+        sparsity with a √w row scale; direction-set/GPS-cluster rows are
+        Lᵀ·A_rows (W = L·Lᵀ) over the union of the entry's stations.
+        Tiles are (row, station) 3-vectors; values are recomputed per
+        build from the current host A fill (gathers + small batched
+        matmuls), and constrained-station tiles are projected on host."""
+        gb, gr, gc = [], [], []
+        self._g_scalar = []        # per block: (gather (K,3), sqrtw (K,),
+                                   #            tile offset)
+        bucket_groups = {}
+        T = 0
+        for b, blk in enumerate(self.blocks):
+            asm = blk.asm
+            n = asm.A.shape[1]
+            scol = self._scol[b]
+            src, w = [], []
+            for it in asm.scalar_items:
+                for s in (it.s1, it.s2, it.s3):
+                    if s < 0:
+                        continue
+                    l = asm.local[s]
+                    gb.append(b)
+                    gr.append(it.row)
+                    gc.append(scol[l])
+                    src.append(it.row * n + 3 * l)
+                    w.append(1.0 / np.sqrt(it.var))
+            self._g_scalar.append((
+                (np.asarray(src, dtype=np.int64)[:, None] + np.arange(3))
+                if src else np.zeros((0, 3), dtype=np.int64),
+                np.asarray(w), T))
+            T += len(src)
+            # correlated-weight entries: direction sets + GPS clusters
+            for obj in list(asm.dirn_sets) + list(asm.gps_items):
+                V = np.asarray(obj.vinv, dtype=np.float64)
+                L = np.linalg.cholesky(0.5 * (V + V.T))
+                k = V.shape[0]
+                r0 = obj.row0
+                if hasattr(obj, "angles"):          # direction set
+                    stns = sorted({s for a in obj.angles
+                                   for s in (a.s1, a.s2, a.s3) if s >= 0})
+                else:                               # GPS cluster
+                    stns = sorted(set(obj.stations1) | set(obj.stations2))
+                u = len(stns)
+                cols = np.asarray([asm.local[s] for s in stns],
+                                  dtype=np.int64)
+                gidx = ((r0 + np.arange(k))[:, None] * n +
+                        (3 * cols)[None, :])        # (k, u) base indices
+                grp = bucket_groups.setdefault((k, u), ([], [], []))
+                grp[0].append(gidx)
+                grp[1].append(L.T)
+                grp[2].append(T)                    # this entry's tiles
+                for i in range(k):
+                    for c in cols:
+                        gb.append(b)
+                        gr.append(r0 + i)
+                        gc.append(scol[c])
+                T += k * u
+        self._g_total = T
+        self._g_buckets = [
+            (k, u, np.stack(gidxs), np.stack(LTs),
+             np.asarray(offs, dtype=np.int64))
+            for (k, u), (gidxs, LTs, offs) in sorted(bucket_groups.items())]
+        c = np.asarray(gc, dtype=np.int32)
+        self._g_idx = (self._putr(np.asarray(gb, dtype=np.int32)),
+                       self._putr(np.asarray(gr, dtype=np.int32)),
+                       self._putr(3 * c[:, None]
+                                  + np.arange(3, dtype=np.int32)))
+        # constrained-station tiles: projected on host (v ← v·P)
+        self._g_proj = None
+        if self.basis.proj:
+            tile_station = {}       # (b, scol) -> P
+            for b, blk in enumerate(self.blocks):
+                scol = self._scol[b]
+                for g, Pg in self.basis.proj.items():
+                    l = blk.asm.local.get(g)
+                    if l is not None:
+                        tile_station[(b, int(scol[l]))] = Pg
+            sel, mats = [], []
+            for t, (bb, cc) in enumerate(zip(gb, gc)):
+                Pg = tile_station.get((int(bb), int(cc)))
+                if Pg is not None:
+                    sel.append(t)
+                    mats.append(Pg)
+            if sel:
+                self._g_proj = (np.asarray(sel, dtype=np.int64),
+                                np.stack(mats))
+
+    def _gram_values(self):
+        """Current B̃ tile values as a double-float (hi, lo) pair."""
+        from ..ops.slicegemm import split_f32_pair
+        vals = np.zeros((self._g_total, 3))
+        for b, blk in enumerate(self.blocks):
+            g, w, off = self._g_scalar[b]
+            if len(g):
+                vals[off:off + len(g)] = \
+                    blk.asm.A.ravel()[g] * w[:, None]
+        # per (k, u) group: rows = LTᵀ… B_rows = Lᵀ @ A_rows, batched
+        flats = [blk.asm.A.ravel() for blk in self.blocks]
+        # entries of a group can span blocks; gather per entry from its
+        # block's flat A.  Entries were appended per block in order, so
+        # map entry -> block via the tile's block index.
+        gb_np = np.asarray(self._g_idx[0])
+        for k, u, gidx, LT, offs in self._g_buckets:
+            nE = gidx.shape[0]
+            rows = np.empty((nE, k, 3 * u))
+            for e in range(nE):
+                blk_of = int(gb_np[offs[e]])
+                idx = (gidx[e][:, :, None] + np.arange(3)) \
+                    .reshape(k, 3 * u)
+                rows[e] = flats[blk_of][idx]
+            out = LT @ rows                          # (nE, k, 3u)
+            out = out.reshape(nE, k, u, 3)
+            for e in range(nE):
+                vals[offs[e]:offs[e] + k * u] = \
+                    out[e].reshape(k * u, 3)
+        if self._g_proj is not None:
+            sel, mats = self._g_proj
+            vals[sel] = np.einsum("tj,tjk->tk", vals[sel], mats)
+        return split_f32_pair(vals)
 
     # ------------------------------------------------------------------
     # host-side f64: rhs pools and the refinement matvec

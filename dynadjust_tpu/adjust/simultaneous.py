@@ -93,6 +93,8 @@ class AdjustmentResult:
     initial_xyz: np.ndarray = None
     oscillation: list = field(default_factory=list)
     elapsed: float = 0.0
+    # per-phase wall-clock seconds when DTA_PROFILE is set (tpu_blocked)
+    profile: dict = None
 
     def station_cov(self, i: int) -> np.ndarray:
         """(3,3) cartesian covariance of station i."""
@@ -347,8 +349,13 @@ def _update_geographic(net: NetworkData, est: np.ndarray):
 
 
 def _measurement_stats(asm: Assembler, net: NetworkData, Ninv: np.ndarray,
-                       est: np.ndarray, crit: float):
+                       est: np.ndarray, crit: float,
+                       adj_prec: np.ndarray = None, adj_vcv3: dict = None):
     """Adjusted measurement corrections, precisions, N-stats, chi-square.
+
+    adj_prec/adj_vcv3: precomputed per-row adjusted variances and per-GNSS
+    3×3 adjusted VCVs (device_stats.device_block_stats) — when given, the
+    O(m·n²) host products are skipped and Ninv may be None.
 
     Parity: ComputePrecisionAdjMsrs + UpdateMsrRecords + ComputeChiSquare."""
     if getattr(asm, "_vector_plan", None) is not None:
@@ -356,9 +363,11 @@ def _measurement_stats(asm: Assembler, net: NetworkData, Ninv: np.ndarray,
         # to the work items the reporting path reads
         asm._vector_plan.sync_items()
     A, mmc = asm.A, asm.mmc
-    # diag(A Ninv Aᵀ) gives the adjusted-measurement variance per row
-    ANi = A @ Ninv
-    adj_prec = np.einsum("ij,ij->i", ANi, A)
+    ANi = None
+    if adj_prec is None:
+        # diag(A Ninv Aᵀ) gives the adjusted-measurement variance per row
+        ANi = A @ Ninv
+        adj_prec = np.einsum("ij,ij->i", ANi, A)
 
     rows: list[MsrStatRow] = []
     chi_sq = 0.0
@@ -413,7 +422,10 @@ def _measurement_stats(asm: Assembler, net: NetworkData, Ninv: np.ndarray,
             chi_sq += float(v @ item.vinv @ v)
             for i in range(n):
                 sl = slice(item.row0 + 3 * i, item.row0 + 3 * i + 3)
-                adj_vcv3 = ANi[sl] @ A[sl].T
+                if ANi is not None:
+                    av3 = ANi[sl] @ A[sl].T
+                else:
+                    av3 = adj_vcv3[item.row0 + 3 * i]
                 vcv3 = item.vcv[3 * i:3 * i + 3, 3 * i:3 * i + 3]
                 for k, card in enumerate("XYZ"):
                     ri = item.row0 + 3 * i + k
@@ -427,7 +439,7 @@ def _measurement_stats(asm: Assembler, net: NetworkData, Ninv: np.ndarray,
                         pre_adj_corr=0.0)
                     if k == 0:
                         r.vcv3 = np.asarray(vcv3)
-                        r.adj_vcv3 = np.asarray(adj_vcv3)
+                        r.adj_vcv3 = np.asarray(av3)
                     finish(r, ri)
         for r in rows[_row_start:]:
             r.rec_idx = rec_i

@@ -219,9 +219,18 @@ def adjust_tpu_blocked(net: NetworkData,
         from .device_assembly import DeviceAssembly
         da = DeviceAssembly(blocks, part, basis, first_fwd, mesh=mesh)
         matvec = da.matvec
-    prof = ({"fill": 0.0, "normals": 0.0, "build": 0.0, "factor": 0.0,
-             "solve": 0.0, "update": 0.0}
+    prof = ({"fill": 0.0, "normals": 0.0, "rhs": 0.0, "build": 0.0,
+             "factor": 0.0, "solve": 0.0, "update": 0.0, "stats": 0.0}
             if _os.environ.get("DTA_PROFILE") else None)
+
+    def _sync(x):
+        # phase timers must not attribute async device work to the next
+        # phase; only pay the sync when profiling
+        if prof is not None:
+            import jax as _jax
+            _jax.block_until_ready(x)
+        return x
+
     for _ in range(opts.max_iterations):
         iteration += 1
         _t_iter = _time.perf_counter()
@@ -229,7 +238,14 @@ def adjust_tpu_blocked(net: NetworkData,
         prev_bs = bs
         if device_asm:
             Nii, Nij, Njj = da.build_device()
+            _sync(Njj)
+            if prof is not None:
+                prof["normals"] += _time.perf_counter() - _t
+                _t = _time.perf_counter()
             bi, bj = da.rhs_pools()
+            if prof is not None:
+                prof["rhs"] += _time.perf_counter() - _t
+                _t = _time.perf_counter()
             bs = BlockSystem(Nii=Nii, Nij=Nij, Njj=Njj, bi=bi, bj=bj,
                              jmap=da.jmap_np, jmask=da.jmask_np,
                              imask=da.imask_np, nj_global=da.nj_global)
@@ -252,9 +268,8 @@ def adjust_tpu_blocked(net: NetworkData,
                                     [p[2] for p in part])
         if prev_bs is not None:
             bs.copy_topology_caches(prev_bs)
-        if prof is not None:
-            prof["build" if not device_asm else "normals"] += \
-                _time.perf_counter() - _t
+        if prof is not None and not device_asm:
+            prof["build"] += _time.perf_counter() - _t
         # re-factor when geometry changed (non-GPS present) or first pass
         refactor = factors is None or any(blk.asm.has_non_gps
                                           for blk in blocks)
@@ -346,15 +361,9 @@ def adjust_tpu_blocked(net: NetworkData,
         status = "Failed to converge"
     if abs(max_corr) > opts.iteration_threshold:
         status = "Failed to converge"
-    if prof is not None:
-        import sys as _sys
-        tot = sum(prof.values())
-        print("DTA_PROFILE per-phase (s, over {} iters): ".format(iteration) +
-              "  ".join(f"{k}={v:.3f} ({100*v/max(tot,1e-12):.0f}%)"
-                        for k, v in prof.items()),
-              file=_sys.stderr, flush=True)
 
     # ---- statistics from the factored covariances -------------------------
+    _t_stats = _time.perf_counter()
     crit = _critical_value(opts.confidence_interval)
     m_count = sum(blk.asm.measurement_count() for blk in blocks)
     all_stations = sorted({g for blk in blocks for g in blk.stations})
@@ -396,31 +405,59 @@ def adjust_tpu_blocked(net: NetworkData,
     dense_max = int(_os.environ.get("DTA_DENSE_COV_MAX_STN", "5000"))
     cov = np.zeros((3 * S, 3 * S)) if S <= dense_max else None
     cov_stn = np.zeros((S, 3, 3))
+    # device statistics: adj_prec / GNSS VCVs / station covariance blocks
+    # batched on device via sliced near-f64 MXU products — replaces the
+    # per-block host O(m n^2) products (ComputePrecisionAdjMsrs,
+    # dnaadjust.cpp:7784).  The dense-covariance route (small networks)
+    # keeps the host path, which the full-VCV exports need anyway.
+    use_dev_stats = (device_asm and cov is None
+                     and _os.environ.get("DTA_DEVICE_STATS", "1") != "0")
+    dev_prec = dev_vcv3 = dev_cov3 = None
+    if use_dev_stats:
+        from .device_stats import device_block_stats
+        dev_prec, dev_vcv3, dev_cov3 = device_block_stats(
+            da, bs,
+            cov_factors=cov_factors if super_blocks == 0 else None,
+            nested=((factors, nested_part) if super_blocks > 0 else None))
     for b, blk in enumerate(blocks):
         inner_p, junc_p, junc_g = part[b]
-        if super_blocks > 0:
-            cov_b = _block_cov_from_nested(
-                factors, b, len(inner_p), len(junc_p),
-                inner_p, junc_p, bs.jmap[b])
+        if use_dev_stats:
+            vb = {r: m for (bb, r), m in dev_vcv3.items() if bb == b} \
+                if dev_vcv3 else {}
+            rows, c2, outl, ps, pn = _measurement_stats(
+                blk.asm, net, None, blk.est, crit,
+                adj_prec=dev_prec[b][:blk.asm.nrows], adj_vcv3=vb)
+            scol = da._scol[b]
+            c3 = dev_cov3[b][scol]               # (k_b, 3, 3) station covs
+            for li, g in enumerate(blk.stations):
+                Pg = basis.proj.get(g)
+                cov_stn[g] = (Pg @ c3[li] @ Pg if Pg is not None
+                              else c3[li])
         else:
-            cov_b = _block_cov_from_factors(
-                cov_factors, b, len(inner_p), len(junc_p),
-                inner_p, junc_p, bs.jmap[b], bs.jmask[b])
-        # eliminated constrained directions carry a unit pin in the
-        # factored system; project them out so they report zero variance
-        basis.project_cov(blk.stations, blk.asm.local, cov_b)
-        rows, c2, outl, ps, pn = _measurement_stats(
-            blk.asm, net, cov_b, blk.est, crit)
+            if super_blocks > 0:
+                cov_b = _block_cov_from_nested(
+                    factors, b, len(inner_p), len(junc_p),
+                    inner_p, junc_p, bs.jmap[b])
+            else:
+                cov_b = _block_cov_from_factors(
+                    cov_factors, b, len(inner_p), len(junc_p),
+                    inner_p, junc_p, bs.jmap[b], bs.jmask[b])
+            # eliminated constrained directions carry a unit pin in the
+            # factored system; project them out so they report zero
+            # variance
+            basis.project_cov(blk.stations, blk.asm.local, cov_b)
+            rows, c2, outl, ps, pn = _measurement_stats(
+                blk.asm, net, cov_b, blk.est, crit)
+            for g in blk.stations:
+                l = blk.asm.local[g]
+                cov_stn[g] = cov_b[3 * l:3 * l + 3, 3 * l:3 * l + 3]
+                if cov is not None:
+                    cov[3 * g:3 * g + 3, 3 * g:3 * g + 3] = cov_stn[g]
         stats_rows.extend(rows)
         chi_sq += c2
         outliers += outl
         pelzer_sum += ps
         pelzer_n += pn
-        for g in blk.stations:
-            l = blk.asm.local[g]
-            cov_stn[g] = cov_b[3 * l:3 * l + 3, 3 * l:3 * l + 3]
-            if cov is not None:
-                cov[3 * g:3 * g + 3, 3 * g:3 * g + 3] = cov_stn[g]
 
     stats_rows.sort(key=lambda r: r.rec_idx)
     dof = m_count - unknown_count
@@ -439,6 +476,15 @@ def adjust_tpu_blocked(net: NetworkData,
                    [net.names[g] for g in blk.stations if g in jpi],
                    blk.asm.measurement_count()) for blk in blocks]
 
+    if prof is not None:
+        import sys as _sys
+        prof["stats"] = _time.perf_counter() - _t_stats
+        tot = sum(prof.values())
+        print("DTA_PROFILE per-phase (s, over {} iters): ".format(iteration) +
+              "  ".join(f"{k}={v:.3f} ({100*v/max(tot,1e-12):.0f}%)"
+                        for k, v in prof.items()),
+              file=_sys.stderr, flush=True)
+
     return AdjustmentResult(
         status=status, iterations=iteration, max_corr=float(max_corr),
         chi_squared=float(chi_sq), sigma_zero=float(sigma0),
@@ -450,4 +496,5 @@ def adjust_tpu_blocked(net: NetworkData,
         lat=net.lat.copy(), lon=net.lon.copy(), height=net.height.copy(),
         cov_xyz=cov, cov_stn=cov_stn, msr_stats=stats_rows,
         iteration_log=it_log, block_info=block_info,
-        initial_xyz=initial_xyz, elapsed=time.time() - t0)
+        initial_xyz=initial_xyz, elapsed=time.time() - t0,
+        profile=prof)

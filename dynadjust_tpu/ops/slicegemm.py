@@ -1,0 +1,224 @@
+"""Near-f64 matrix products on the bf16 MXU via mantissa slicing.
+
+The TPU has no native f64 matmul path: XLA's emulation runs at a few
+GFLOP/s on a v5e (measured ~5 GF/s), which makes f64 normals formation
+and Newton covariance refinement the wall-clock wall at national scale.
+This module implements the Ozaki-style split-product scheme tuned for
+the MXU:
+
+  * column-scale the operand by exact powers of two so entries are ≤ 1,
+  * peel it into K fixed-point slices of SLICE_BITS mantissa bits each
+    (pure f32 elementwise ops; every subtraction is exact),
+  * every cross-slice product S_p ᵀ S_q is then EXACT in bf16 MXU
+    arithmetic: slice entries carry ≤ 7 mantissa bits (bf16 holds 8),
+    products are multiples of a common quantum, and the f32 accumulator
+    holds ≤ 2^24 quanta for row depths up to 2^10 per product term —
+    so each GEMM runs at full bf16 speed with zero rounding,
+  * the exact partial products are combined in f64 (elementwise — cheap)
+    with pairs p+q > CROSS_MAX truncated, giving ~2^-(6·CROSS_MAX)
+    relative accuracy (≈1e-11 normwise at the defaults).
+
+Used for the covariance-stage normals Gram product (N = BᵀB with
+B = V^{-1/2}A) and the f64 Newton–Schulz refinement products — the
+TPU-native replacement for the reference's LAPACK dpotri f64 pipeline
+(dnamatrix_contiguous.cpp:963-1006) at MXU speed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+SLICE_BITS = 6          # mantissa bits per slice (bf16-exact with margin)
+NSLICES = 8             # 48 bits of the operand captured
+CROSS_MAX = 8           # keep products with p + q <= CROSS_MAX
+
+
+def split_f32_pair(x64: np.ndarray):
+    """Host double-float split: x64 ≈ hi + lo with both f32."""
+    hi = x64.astype(np.float32)
+    lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def _pow2_colscale(hi):
+    """Exact power-of-two per-column scale: 2^ceil(log2(max|col|)).
+
+    Built with ldexp on an integer exponent — XLA's f32 exp2 is
+    approximate even at integer arguments (measured one-ulp error at
+    2^-22 on TPU and CPU), which would silently break the exactness of
+    the slice grids."""
+    m = jnp.max(jnp.abs(hi), axis=-2, keepdims=True)
+    e = jnp.ceil(jnp.log2(jnp.maximum(m, jnp.float32(1e-30))))
+    e = e.astype(jnp.int32)
+    one = jnp.ones((), dtype=hi.dtype)
+    return jnp.ldexp(one, e), jnp.ldexp(one, -e)
+
+
+def _slices(hi, lo, nslices=NSLICES, bits=SLICE_BITS):
+    """Peel (hi + lo) — both f32, entries ≤ 1 — into fixed-point slices.
+
+    Slice k holds the bits at positions (k·bits, (k+1)·bits]; every
+    extraction and subtraction is exact in f32 (common power-of-two
+    grids), so Σ slices reproduces hi + lo to 2^-(bits·nslices)."""
+    out = []
+    r = hi
+    folded = False
+    for k in range(nslices):
+        q = jnp.float32(2.0 ** (bits * (k + 1)))
+        sk = jnp.round(r * q) / q
+        out.append(sk)
+        r = r - sk
+        if not folded and bits * (k + 1) >= 24:
+            # the remainder has descended to lo's scale (2^-24): folding
+            # lo in now costs ≤ 2^-48 relative — below the slice budget
+            r = r + lo
+            folded = True
+    return out
+
+
+@partial(jax.jit, static_argnames=("nslices", "cross_max", "bits"))
+def _gram_sliced(hi, lo, nslices, cross_max, bits):
+    s, sinv = _pow2_colscale(hi)
+    sl = _slices(hi * sinv, lo * sinv, nslices, bits)
+    P = hi.shape[-1]
+    acc = jnp.zeros(hi.shape[:-2] + (P, P), dtype=jnp.float64)
+    for p in range(nslices):
+        for q in range(p, nslices):
+            if p + q > cross_max:
+                continue
+            a = sl[p].astype(jnp.bfloat16)
+            b = sl[q].astype(jnp.bfloat16)
+            g = jnp.einsum("...mi,...mj->...ij", a, b,
+                           preferred_element_type=jnp.float32)
+            g64 = g.astype(jnp.float64)
+            acc = acc + (g64 if p == q
+                         else g64 + jnp.swapaxes(g64, -1, -2))
+    scale = s[..., 0, :]
+    return acc * scale[..., :, None] * scale[..., None, :]
+
+
+def gram_f64(hi, lo, nslices=NSLICES, cross_max=CROSS_MAX,
+             bits=SLICE_BITS):
+    """N = BᵀB to near-f64 from the double-float pair (hi, lo) of B.
+
+    Batched over leading dims; B is (..., M, P) with M ≤ 2^(24-2·bits)
+    rows per product (1024 at the 6-bit default — callers with deeper
+    row dims chunk the row axis and sum, which is exact)."""
+    M = hi.shape[-2]
+    rmax = 1 << (24 - 2 * bits - 2)   # safety margin on the 2^24 bound
+    if M <= rmax:
+        return _gram_sliced(hi, lo, nslices, cross_max, bits)
+    acc = None
+    for m0 in range(0, M, rmax):
+        g = _gram_sliced(hi[..., m0:m0 + rmax, :],
+                         lo[..., m0:m0 + rmax, :], nslices, cross_max,
+                         bits)
+        acc = g if acc is None else acc + g
+    return acc
+
+
+@partial(jax.jit, static_argnames=("nslices", "cross_max", "bits",
+                                   "transa"))
+def _matmul_sliced(ahi, alo, bhi, blo, nslices, cross_max, bits,
+                   transa=False):
+    if transa:
+        # C = Aᵀ B: contraction over A's -2 axis; scale A's columns
+        sa, sainv = _pow2_colscale(ahi)
+        A_hi, A_lo = ahi * sainv, alo * sainv
+    else:
+        # C = A B: contraction over A's -1 axis; scale A's rows
+        sa, sainv = _pow2_colscale(jnp.swapaxes(ahi, -1, -2))
+        sainv_r = jnp.swapaxes(sainv, -1, -2)
+        A_hi, A_lo = ahi * sainv_r, alo * sainv_r
+    sb, sbinv = _pow2_colscale(bhi)
+    B_hi, B_lo = bhi * sbinv, blo * sbinv
+    sla = _slices(A_hi, A_lo, nslices, bits)
+    slb = _slices(B_hi, B_lo, nslices, bits)
+    shape = ((A_hi.shape[:-2] + (A_hi.shape[-1], B_hi.shape[-1]))
+             if transa else
+             (A_hi.shape[:-2] + (A_hi.shape[-2], B_hi.shape[-1])))
+    acc = jnp.zeros(shape, dtype=jnp.float64)
+    eq = "...mi,...mj->...ij" if transa else "...im,...mj->...ij"
+    for p in range(nslices):
+        for q in range(nslices):
+            if p + q > cross_max:
+                continue
+            g = jnp.einsum(eq, sla[p].astype(jnp.bfloat16),
+                           slb[q].astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            acc = acc + g.astype(jnp.float64)
+    sa_out = sa[..., 0, :]
+    sb_out = sb[..., 0, :]
+    return acc * sa_out[..., :, None] * sb_out[..., None, :]
+
+
+def matmul_f64(ahi, alo, bhi, blo, nslices=NSLICES,
+               cross_max=CROSS_MAX, bits=SLICE_BITS, transa=False):
+    """C = A @ B (or Aᵀ @ B with transa) to near-f64 from double-float
+    pairs, batched over leading dims.  Contraction depth ≤ 1024 per
+    call at the defaults (chunk + sum beyond — exact)."""
+    M = ahi.shape[-2] if transa else ahi.shape[-1]
+    rmax = 1 << (24 - 2 * bits - 2)
+    if M <= rmax:
+        return _matmul_sliced(ahi, alo, bhi, blo, nslices, cross_max,
+                              bits, transa)
+    acc = None
+    for m0 in range(0, M, rmax):
+        if transa:
+            g = _matmul_sliced(ahi[..., m0:m0 + rmax, :],
+                               alo[..., m0:m0 + rmax, :],
+                               bhi[..., m0:m0 + rmax, :],
+                               blo[..., m0:m0 + rmax, :],
+                               nslices, cross_max, bits, True)
+        else:
+            g = _matmul_sliced(ahi[..., :, m0:m0 + rmax],
+                               alo[..., :, m0:m0 + rmax],
+                               bhi[..., m0:m0 + rmax, :],
+                               blo[..., m0:m0 + rmax, :],
+                               nslices, cross_max, bits, False)
+        acc = g if acc is None else acc + g
+    return acc
+
+
+def split_device(x64):
+    """Device double-float split of an f64 array."""
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# backend-adaptive near-f64 products
+# ---------------------------------------------------------------------------
+# On CPU (tests, virtual meshes) native f64 einsums are exact and fast;
+# on TPU they fall off the MXU into ~5 GFLOP/s emulation, so the sliced
+# kernels take over.  DTA_SLICED_F64=0/1 overrides the choice.
+
+def _use_sliced() -> bool:
+    import os
+    v = os.environ.get("DTA_SLICED_F64", "")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() not in ("cpu",)
+
+
+def xgram64(B64):
+    """N = BᵀB in near-f64 from an f64 (batched) operand."""
+    if _use_sliced():
+        hi, lo = split_device(B64)
+        return gram_f64(hi, lo)
+    return jnp.einsum("...mi,...mj->...ij", B64, B64)
+
+
+def xmatmul64(A64, B64, transa: bool = False):
+    """C = A @ B (Aᵀ @ B with transa) in near-f64, batched."""
+    if _use_sliced():
+        ahi, alo = split_device(A64)
+        bhi, blo = split_device(B64)
+        return matmul_f64(ahi, alo, bhi, blo, transa=transa)
+    eq = "...mi,...mj->...ij" if transa else "...im,...mj->...ij"
+    return jnp.einsum(eq, A64, B64)

@@ -484,20 +484,21 @@ def _schur_factor_inv64_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
     return Ainv, Y, Sinv, di, dj, djg, Nij_s
 
 
-@partial(jax.jit, static_argnames=("nj_total", "rounds"))
-def _newton_refine_factors_jit(Ainv, Y, Sinv, di, dj, djg, Nij_s,
-                               Nii64, Nij64, Njj64, jmap, jmask64,
-                               nj_total, rounds=1):
+def _newton_refine_factors(Ainv, Y, Sinv, di, dj, djg, Nij_s,
+                           Nii64, Nij64, Njj64, jmap, jmask64,
+                           nj_total, rounds=1):
     """f64 Newton-Schulz rounds on the explicit f32 Schur inverses.
 
     X <- X (2I - N X) squares the relative error per round
     (~kappa*eps32 -> (kappa*eps32)^2), giving f64-quality covariance
     factors from the f32 MXU factorization — the variance-extraction
     counterpart of the rhs refinement in the solve path (the reference
-    computes dpotri in f64 once, dnamatrix_contiguous.cpp:996-1006; here
-    the one-time cost is two batched f64 matmul rounds instead of an f64
-    factorization).  Returns a refined (Ainv, Y, Sinv, di, dj, djg,
-    Nij_s) tuple, all f64."""
+    computes dpotri in f64 once, dnamatrix_contiguous.cpp:996-1006).
+    All O(n^3) products go through ops/slicegemm.xmatmul64: native f64
+    einsum on CPU, mantissa-sliced exact bf16 MXU products on TPU (f64
+    emulation there runs at ~5 GFLOP/s — 2 orders too slow).  Returns a
+    refined (Ainv, Y, Sinv, di, dj, djg, Nij_s) tuple, all f64."""
+    from ..ops.slicegemm import xmatmul64
     di64 = di.astype(jnp.float64)
     dj64 = dj.astype(jnp.float64)
     Nii_s = Nii64 * di64[:, :, None] * di64[:, None, :]
@@ -507,13 +508,12 @@ def _newton_refine_factors_jit(Ainv, Y, Sinv, di, dj, djg, Nij_s,
     A = Ainv.astype(jnp.float64)
     eye2 = 2.0 * jnp.eye(A.shape[1], dtype=jnp.float64)
     for _ in range(rounds):
-        A = jnp.einsum("bij,bjk->bik",
-                       A, eye2 - jnp.einsum("bij,bjk->bik", Nii_s, A))
+        A = xmatmul64(A, eye2 - xmatmul64(Nii_s, A))
         A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
-    Y64 = jnp.einsum("bij,bjk->bik", A, Nij_s64)
+    Y64 = xmatmul64(A, Nij_s64)
 
     # rebuild the junction Schur complement in f64 from the refined A
-    S_b = Njj_s64 - jnp.einsum("bki,bkj->bij", Nij_s64, Y64)
+    S_b = Njj_s64 - xmatmul64(Nij_s64, Y64, transa=True)
     S_b = S_b * jmask64[:, :, None] * jmask64[:, None, :]
     S = jnp.zeros((nj_total, nj_total), dtype=jnp.float64)
     nj = jmap.shape[1]
@@ -526,7 +526,7 @@ def _newton_refine_factors_jit(Ainv, Y, Sinv, di, dj, djg, Nij_s,
     Si = Sinv.astype(jnp.float64)
     eye2j = 2.0 * jnp.eye(nj_total, dtype=jnp.float64)
     for _ in range(rounds):
-        Si = Si @ (eye2j - S @ Si)
+        Si = xmatmul64(Si, eye2j - xmatmul64(S, Si))
         Si = 0.5 * (Si + Si.T)
     return (A, Y64, Si, di64, dj64, djg.astype(jnp.float64), Nij_s64)
 
@@ -1012,7 +1012,7 @@ class DeviceSchurFactors:
             N64 = (jnp.asarray(bs.Nii.astype(np.float64)),
                    jnp.asarray(bs.Nij.astype(np.float64)),
                    jnp.asarray(bs.Njj.astype(np.float64)))
-        return _newton_refine_factors_jit(
+        return _newton_refine_factors(
             *self.factors, *N64,
             self.jmap, self.jmask64, self.nj_total, rounds)
 
@@ -1958,49 +1958,50 @@ class StreamedNestedSchurFactors:
 # nested a-posteriori covariance extraction (for adjusted-measurement stats)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("rounds",))
 def _newton_l1_chunk(Nii_c, Nij_c, Njj_c, di_c, dj_c, Ainv_c, rounds=2):
     """f64 Newton-Schulz on one host-resident chunk of level-1 inverses:
     returns (refined Ainv, Y = Ainv·Nij, Schur piece S) all f64.  The
     covariance counterpart of the solve path's rhs refinement — see
-    _newton_refine_factors_jit."""
+    _newton_refine_factors.  O(n^3) products via xmatmul64 (sliced bf16
+    MXU on TPU, native f64 on CPU)."""
+    from ..ops.slicegemm import xmatmul64
     Nii_c = Nii_c * di_c[:, :, None] * di_c[:, None, :]
     Nij_c = Nij_c * di_c[:, :, None] * dj_c[:, None, :]
     Njj_c = Njj_c * dj_c[:, :, None] * dj_c[:, None, :]
     A = Ainv_c.astype(jnp.float64)
     eye2 = 2.0 * jnp.eye(Nii_c.shape[1], dtype=jnp.float64)
     for _ in range(rounds):
-        A = jnp.einsum("bij,bjk->bik",
-                       A, eye2 - jnp.einsum("bij,bjk->bik", Nii_c, A))
+        A = xmatmul64(A, eye2 - xmatmul64(Nii_c, A))
         A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
-    Y = jnp.einsum("bij,bjk->bik", A, Nij_c)
-    S_c = Njj_c - jnp.einsum("bki,bkj->bij", Nij_c, Y)
+    Y = xmatmul64(A, Nij_c)
+    S_c = Njj_c - xmatmul64(Nij_c, Y, transa=True)
     return A, Y, S_c
 
 
-@partial(jax.jit, static_argnames=("rounds",))
 def _newton_l2_one(Nii2, Nij2, i2mask, A2inv32, k, rounds=2):
     """f64 Newton-Schulz on ONE level-2 inverse (same pinning as
-    _nested_l2_factor_one); returns (A2inv, Y2, S2) f64."""
-    Nii2b = jax.lax.dynamic_slice_in_dim(Nii2, k, 1)[0]
-    Nij2b = jax.lax.dynamic_slice_in_dim(Nij2, k, 1)[0]
-    mask_b = jax.lax.dynamic_slice_in_dim(i2mask, k, 1)[0]
+    _nested_l2_factor_one); returns (A2inv, Y2, S2) f64.  Products via
+    xmatmul64 (sliced bf16 MXU on TPU)."""
+    from ..ops.slicegemm import xmatmul64
+    Nii2b = Nii2[k]
+    Nij2b = Nij2[k]
+    mask_b = i2mask[k]
     eye = jnp.eye(Nii2b.shape[0], dtype=jnp.float64)
     Nii2b = Nii2b + eye * (1.0 - mask_b)[None, :]
-    A2 = jax.lax.dynamic_slice_in_dim(A2inv32, k, 1)[0].astype(jnp.float64)
+    A2 = A2inv32[k].astype(jnp.float64)
     eye2 = 2.0 * eye
     for _ in range(rounds):
-        A2 = A2 @ (eye2 - Nii2b @ A2)
+        A2 = xmatmul64(A2, eye2 - xmatmul64(Nii2b, A2))
         A2 = 0.5 * (A2 + A2.T)
-    Y2b = A2 @ Nij2b
-    S2b = - jnp.einsum("ki,kj->ij", Nij2b, Y2b)
+    Y2b = xmatmul64(A2, Nij2b)
+    S2b = - xmatmul64(Nij2b, Y2b, transa=True)
     return A2, Y2b, S2b
 
 
-@partial(jax.jit, static_argnames=("nsj_total", "rounds"))
 def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, rounds=2):
     """Assemble the f64 super-junction system and Newton-refine its
-    inverse from the f32 one."""
+    inverse from the f32 one (products via xmatmul64)."""
+    from ..ops.slicegemm import xmatmul64
     S2_b = (Njj2 + S2_b) * j2mask[:, :, None] * j2mask[:, None, :]
     S2, _ = _scatter_junction(S2_b, jnp.zeros_like(S2_b[..., 0]), j2map,
                               nsj_total)
@@ -2009,7 +2010,7 @@ def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, rounds=2):
     Si = Sinv32.astype(jnp.float64)
     eye2 = 2.0 * jnp.eye(nsj_total, dtype=jnp.float64)
     for _ in range(rounds):
-        Si = Si @ (eye2 - S2 @ Si)
+        Si = xmatmul64(Si, eye2 - xmatmul64(S2, Si))
         Si = 0.5 * (Si + Si.T)
     return Si
 

@@ -138,3 +138,35 @@ def test_block_super_validation():
                            super_blocks=2,
                            block_super=np.zeros(seg.block_count - 1,
                                                 dtype=np.int64))
+
+
+@pytest.mark.parametrize("super_blocks", [0, 2])
+def test_device_stats_match_host(monkeypatch, super_blocks):
+    """The device statistics path (adj_prec / GNSS VCVs / station covs
+    via sliced near-f64 MXU products) must reproduce the host per-block
+    covariance statistics.  Forced on a small network by shrinking the
+    dense-covariance threshold."""
+    def run(dev_stats):
+        monkeypatch.setenv("DTA_HOST_ASSEMBLY", "")
+        if dev_stats:
+            monkeypatch.setenv("DTA_DENSE_COV_MAX_STN", "1")
+            monkeypatch.setenv("DTA_DEVICE_STATS", "1")
+        else:
+            monkeypatch.delenv("DTA_DENSE_COV_MAX_STN", raising=False)
+            monkeypatch.setenv("DTA_DEVICE_STATS", "0")
+        net, seg = synthetic_mixed_network(12, 12, block_rows=6,
+                                           block_cols=6)
+        return adjust_tpu_blocked(net, AdjustmentOptions(), seg=seg,
+                                  super_blocks=super_blocks)
+
+    r_host = run(False)
+    r_dev = run(True)
+    assert abs(r_host.sigma_zero - r_dev.sigma_zero) < 1e-12
+    sc = np.abs(r_host.cov_stn).max()
+    assert np.abs(r_host.cov_stn - r_dev.cov_stn).max() / sc < 1e-9
+    for a, b in zip(r_dev.msr_stats, r_host.msr_stats):
+        assert abs(a.adj_prec - b.adj_prec) <= \
+            1e-9 * abs(b.adj_prec) + 1e-18
+        if a.adj_vcv3 is not None:
+            assert np.abs(a.adj_vcv3 - b.adj_vcv3).max() <= \
+                1e-9 * np.abs(b.adj_vcv3).max() + 1e-18

@@ -1,0 +1,82 @@
+"""Mantissa-sliced near-f64 MXU products (ops/slicegemm).
+
+Accuracy is checked normwise against native f64 numpy on operands with
+large per-column and per-row dynamic range (the weighted geodetic design
+matrices' regime: angle weights span ~10 orders)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dynadjust_tpu.ops.slicegemm import (gram_f64, matmul_f64,
+                                         split_f32_pair, xgram64,
+                                         xmatmul64)
+
+
+@pytest.fixture(scope="module")
+def stress():
+    rng = np.random.default_rng(0)
+    B, M, P = 3, 900, 64
+    X = rng.standard_normal((B, M, P)) * \
+        (10.0 ** rng.uniform(-6, 6, (1, 1, P)))
+    X *= 10.0 ** rng.uniform(-3, 3, (1, M, 1))
+    return X
+
+
+def _normwise(err, A_norm_rows, B_norm_cols):
+    return (err / np.maximum(A_norm_rows[..., :, None]
+                             * B_norm_cols[..., None, :], 1e-300)).max()
+
+
+def test_gram_accuracy(stress):
+    X = stress
+    hi, lo = split_f32_pair(X)
+    N = np.asarray(gram_f64(jnp.asarray(hi), jnp.asarray(lo)))
+    N_ref = np.einsum("bmi,bmj->bij", X, X)
+    nrm = np.sqrt(np.abs(np.einsum("bii->bi", N_ref)))
+    assert _normwise(np.abs(N - N_ref), nrm, nrm) < 1e-12
+
+
+def test_matmul_transa_accuracy(stress):
+    X = stress
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((3, 900, 48)) * \
+        (10.0 ** rng.uniform(-4, 4, (1, 1, 48)))
+    ahi, alo = split_f32_pair(A)
+    bhi, blo = split_f32_pair(X)
+    C = np.asarray(matmul_f64(jnp.asarray(ahi), jnp.asarray(alo),
+                              jnp.asarray(bhi), jnp.asarray(blo),
+                              transa=True))
+    C_ref = np.einsum("bmi,bmj->bij", A, X)
+    assert _normwise(np.abs(C - C_ref), np.linalg.norm(A, axis=1),
+                     np.linalg.norm(X, axis=1)) < 1e-12
+
+
+def test_matmul_accuracy_and_deep_contraction():
+    rng = np.random.default_rng(2)
+    # contraction depth beyond the exactness bound forces row chunking
+    A = rng.standard_normal((2, 64, 3000)) * \
+        (10.0 ** rng.uniform(-5, 5, (2, 64, 1)))
+    Bm = rng.standard_normal((2, 3000, 32))
+    ahi, alo = split_f32_pair(A)
+    bhi, blo = split_f32_pair(Bm)
+    C = np.asarray(matmul_f64(jnp.asarray(ahi), jnp.asarray(alo),
+                              jnp.asarray(bhi), jnp.asarray(blo)))
+    C_ref = A @ Bm
+    assert _normwise(np.abs(C - C_ref), np.linalg.norm(A, axis=2),
+                     np.linalg.norm(Bm, axis=1)) < 1e-12
+
+
+def test_backend_adaptive_wrappers(stress, monkeypatch):
+    """xgram64/xmatmul64 must give near-identical results through both
+    the sliced and the native-f64 routes."""
+    X = jnp.asarray(stress[:1, :128])
+    monkeypatch.setenv("DTA_SLICED_F64", "0")
+    N_native = np.asarray(xgram64(X))
+    C_native = np.asarray(xmatmul64(X, X, transa=True))
+    monkeypatch.setenv("DTA_SLICED_F64", "1")
+    N_sliced = np.asarray(xgram64(X))
+    C_sliced = np.asarray(xmatmul64(X, X, transa=True))
+    sc = np.abs(N_native).max()
+    assert np.abs(N_native - N_sliced).max() / sc < 1e-11
+    assert np.abs(C_native - C_sliced).max() / sc < 1e-11
