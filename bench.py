@@ -187,8 +187,10 @@ def bench_mixed():
 
     def sync(x):
         # block_until_ready does not actually block over the axon
-        # tunnel; a tiny host materialisation does
-        np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+        # tunnel; a tiny host materialisation does (slice BEFORE the
+        # transfer — np.asarray of the full leaf would download it)
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(leaf.ravel()[:1])
 
     n_f = max(2, ITERS)
     if NESTED:

@@ -95,6 +95,10 @@ class AdjustmentResult:
     elapsed: float = 0.0
     # per-phase wall-clock seconds when DTA_PROFILE is set (tpu_blocked)
     profile: dict = None
+    # lazy block-scoped covariance access past the dense cap
+    # (adjust/block_cov.BlockCovProvider) — the reference's phased-mode
+    # per-block variance semantics (dnaadjust_printer.cpp:4330-4390)
+    block_cov: object = None
 
     def station_cov(self, i: int) -> np.ndarray:
         """(3,3) cartesian covariance of station i."""

@@ -451,8 +451,16 @@ def adjust_tpu_blocked(net: NetworkData,
             for g in blk.stations:
                 l = blk.asm.local[g]
                 cov_stn[g] = cov_b[3 * l:3 * l + 3, 3 * l:3 * l + 3]
-                if cov is not None:
-                    cov[3 * g:3 * g + 3, 3 * g:3 * g + 3] = cov_stn[g]
+            if cov is not None:
+                # full within-block covariances into the dense matrix
+                # (the reference's phased mode prints within-block
+                # inter-station covariances; cross-block stay zero)
+                gp = (3 * np.asarray(blk.stations,
+                                     dtype=np.int64)[:, None]
+                      + np.arange(3)).reshape(-1)
+                lp = (3 * np.arange(len(blk.stations))[:, None]
+                      + np.arange(3)).reshape(-1)
+                cov[np.ix_(gp, gp)] = cov_b[np.ix_(lp, lp)]
         stats_rows.extend(rows)
         chi_sq += c2
         outliers += outl
@@ -476,6 +484,32 @@ def adjust_tpu_blocked(net: NetworkData,
                    [net.names[g] for g in blk.stations if g in jpi],
                    blk.asm.measurement_count()) for blk in blocks]
 
+    # block-scoped covariance provider: past the dense cap the writers
+    # (--output-all-covariances .apu, SINEX full VCV) get within-block
+    # inter-station covariances rebuilt lazily from the retained factors
+    # — the reference's phased-mode semantics (per-block rigorous
+    # variances only; no cross-block covariances printed)
+    block_cov = None
+    if cov is None:
+        from .block_cov import BlockCovProvider
+
+        def _compute_block_cov(b, _f=factors, _cf=cov_factors):
+            inner_p, junc_p, junc_g = part[b]
+            if super_blocks > 0:
+                cb = _block_cov_from_nested(
+                    _f, b, len(inner_p), len(junc_p),
+                    inner_p, junc_p, bs.jmap[b])
+            else:
+                cb = _block_cov_from_factors(
+                    _cf, b, len(inner_p), len(junc_p),
+                    inner_p, junc_p, bs.jmap[b], bs.jmask[b])
+            blk = blocks[b]
+            basis.project_cov(blk.stations, blk.asm.local, cb)
+            return cb
+
+        block_cov = BlockCovProvider(
+            _compute_block_cov, [blk.stations for blk in blocks])
+
     if prof is not None:
         import sys as _sys
         prof["stats"] = _time.perf_counter() - _t_stats
@@ -497,4 +531,4 @@ def adjust_tpu_blocked(net: NetworkData,
         cov_xyz=cov, cov_stn=cov_stn, msr_stats=stats_rows,
         iteration_log=it_log, block_info=block_info,
         initial_xyz=initial_xyz, elapsed=time.time() - t0,
-        profile=prof)
+        profile=prof, block_cov=block_cov)

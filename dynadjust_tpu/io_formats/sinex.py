@@ -178,10 +178,25 @@ def write_sinex(path: str, net, res, agency: str = "DTA"):
                         vals.append(f"{res.cov_xyz[r - 1, c + k - 1]: .14E}")
                 L.append(f" {r:5d} {c:5d} " + " ".join(vals))
                 c += 3
+    elif getattr(res, "block_cov", None) is not None:
+        # national scale: within-block inter-station covariances from the
+        # per-block factors (the reference's phased-mode block-scoped
+        # variances); SINEX permits omitting unstored (zero) lower-
+        # triangle elements, so cross-block pairs are simply absent
+        bc = res.block_cov
+        for i in range(S):
+            partners = sorted(int(j) for j in bc.partners(i) if j < i)
+            for rr in range(3):
+                r = 3 * i + rr + 1
+                for j in partners:
+                    C = bc.pair_cov(j, i)      # lower triangle: row i
+                    L.append(f" {r:5d} {3 * j + 1:5d} " + " ".join(
+                        f"{C[k, rr]: .14E}" for k in range(3)))
+                Vc = res.station_cov(i)
+                vals = [f"{Vc[rr, k]: .14E}" for k in range(rr + 1)]
+                L.append(f" {r:5d} {3 * i + 1:5d} " + " ".join(vals))
     else:
-        # national scale: only per-station blocks are materialised —
-        # SINEX permits omitting unstored (zero) elements of the lower
-        # triangle, so write each station's 3x3 block
+        # per-station 3x3 blocks only
         for i in range(S):
             Vc = res.station_cov(i)
             for rr in range(3):

@@ -114,14 +114,30 @@ def write_apu(path: str, net: NetworkData, res, vcv_units: str = "ENU",
         L.append(f"{'':{pad + MSR}}{V[1, 1]:>{MSR}.9e}{V[1, 2]:>{MSR}.9e}")
         L.append(f"{'':{pad + 2 * MSR}}{V[2, 2]:>{MSR}.9e}")
         if all_covariances:
-            if res.cov_xyz is None:
-                raise ValueError(
-                    "--output-all-covariances needs the dense covariance, "
-                    "which is not materialised at this network size "
-                    "(set DTA_DENSE_COV_MAX_STN to force it)")
             Ri = R
-            for j in range(i + 1, net.nstations):
-                C = res.cov_xyz[3 * i:3 * i + 3, 3 * j:3 * j + 3]
+            if res.cov_xyz is not None:
+                js = range(i + 1, net.nstations)
+
+                def _pair(jv):
+                    return res.cov_xyz[3 * i:3 * i + 3,
+                                       3 * jv:3 * jv + 3]
+            elif getattr(res, "block_cov", None) is not None:
+                # past the dense cap: within-block covariances from the
+                # per-block factors — the reference's phased-mode output
+                # (per-block rigorous variances; cross-block pairs are
+                # not printed, dnaadjust_printer.cpp:4330-4390)
+                js = sorted(int(j) for j in res.block_cov.partners(i)
+                            if j > i)
+                _pair = lambda jv: res.block_cov.pair_cov(i, jv)
+            else:
+                raise ValueError(
+                    "--output-all-covariances needs the dense covariance "
+                    "or a blocked adjustment's covariance provider "
+                    "(set DTA_DENSE_COV_MAX_STN to force dense)")
+            for j in js:
+                C = _pair(j)
+                if C is None:
+                    continue
                 if vcv_units == "ENU":
                     Rj = rotation_cart_to_local(res.lat[j], res.lon[j])
                     C = Ri @ C @ Rj.T

@@ -1714,6 +1714,13 @@ def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
     if factors is None:
         if streamed:
             factors = StreamedNestedSchurFactors(bs, part, dtype)
+            if os.environ.get("DTA_STREAMED_F64", "1") != "0":
+                # one-time Newton refinement of the streamed factor
+                # pools (sliced-MXU products): applies become
+                # near-f64-exact, so national-scale streamed solves
+                # converge to ~1e-12 instead of stalling at the f32
+                # contraction floor (~1e-4 at 200k stations)
+                factors.newton_refine_cov()
         else:
             factors = NestedSchurFactors(bs, part, dtype, mesh=mesh,
                                          axis=axis)
@@ -1851,6 +1858,8 @@ class StreamedNestedSchurFactors:
         djg = 1.0 / np.sqrt(np.where(djg <= 0.0, 1.0, djg))
         di = 1.0 / np.sqrt(np.where(dii <= 0.0, 1.0, dii))
         dj = np.where(bs.jmask > 0, djg[bs.jmap], 1.0)
+        self.di64_h = di
+        self.dj64_h = dj
         self.di_h = di.astype(dtype)
         self.dj_h = dj.astype(dtype)
         self.djg_h = djg
@@ -1901,11 +1910,26 @@ class StreamedNestedSchurFactors:
 
     def solve(self, bi, bj):
         bs, part = self.bs, self.part
-        dtype = self.dtype
         B, ni = bs.bi.shape
         C = self.C
-        bi_s = (np.asarray(bi) * self.di_h).astype(dtype)
-        bj_s = (np.asarray(bj) * self.dj_h).astype(dtype)
+        # after refine_factors() the Newton-refined f64 pools drive the
+        # applies: each apply is then near-f64-exact, so refinement
+        # converges in 1-2 rounds instead of stalling at the f32
+        # contraction floor — the 0.1 mm-at-national-scale requirement
+        # (matvecs are O(n^2): emulated f64 on TPU is fine here)
+        refined = getattr(self, "_cov_l1_h", None)
+        if refined is not None:
+            Ah, Yh = refined
+            A2inv, Y2, Sinv = [jnp.asarray(a) for a in self._l2_host]
+            di_v, dj_v = self.di64_h, self.dj64_h
+            dtype = np.float64
+        else:
+            Ah, Yh = self.Ainv_h, self.Y_h
+            A2inv, Y2, Sinv = self.l2_factors
+            di_v, dj_v = self.di_h, self.dj_h
+            dtype = self.dtype
+        bi_s = (np.asarray(bi) * di_v).astype(dtype)
+        bj_s = (np.asarray(bj) * dj_v).astype(dtype)
 
         # forward elimination, streamed
         W = np.empty((B, ni), dtype=dtype)
@@ -1914,7 +1938,7 @@ class StreamedNestedSchurFactors:
         for k in range(0, B, C):
             sl = slice(k, k + C)
             w_c, t_c = _streamed_fwd_chunk(
-                jnp.asarray(self.Ainv_h[sl]), jnp.asarray(self.Y_h[sl]),
+                jnp.asarray(Ah[sl]), jnp.asarray(Yh[sl]),
                 jnp.asarray(bi_s[sl]), jnp.asarray(bj_s[sl]),
                 jnp.asarray(bs.jmask[sl].astype(dtype)))
             bi2, bj2 = _l2rhs_accumulate(
@@ -1926,9 +1950,9 @@ class StreamedNestedSchurFactors:
             del w_c, t_c
 
         # level-2/3 solve (device-resident, junction-sized)
-        A2inv, Y2, Sinv = self.l2_factors
         xi2, xsj = _streamed_mid_solve(A2inv, Y2, Sinv, bi2, bj2,
-                                       self.j2map, self.j2mask,
+                                       self.j2map.astype(jnp.int32),
+                                       self.j2mask.astype(dtype),
                                        nsj_total=self.nsj_total)
 
         # junction reconstruction on host (same as NestedSchurFactors)
@@ -1947,8 +1971,9 @@ class StreamedNestedSchurFactors:
         for k in range(0, B, C):
             sl = slice(k, k + C)
             xi_c = _streamed_bwd_chunk(
-                jnp.asarray(self.Y_h[sl]), jnp.asarray(W[sl]),
-                jnp.asarray(xj_b[sl]), jnp.asarray(self.di_h[sl]))
+                jnp.asarray(Yh[sl]), jnp.asarray(W[sl]),
+                jnp.asarray(xj_b[sl]),
+                jnp.asarray(np.asarray(di_v[sl], dtype=dtype)))
             xi[sl] = np.asarray(xi_c, dtype=np.float64)
             del xi_c
         return xi, np.asarray(xj, dtype=np.float64) * self.djg_h[:njg]

@@ -170,3 +170,62 @@ def test_device_stats_match_host(monkeypatch, super_blocks):
         if a.adj_vcv3 is not None:
             assert np.abs(a.adj_vcv3 - b.adj_vcv3).max() <= \
                 1e-9 * np.abs(b.adj_vcv3).max() + 1e-18
+
+
+def test_block_scoped_covariance_output(monkeypatch, tmp_path):
+    """Past the dense cap, --output-all-covariances (.apu) and the SINEX
+    VCV must emit within-block inter-station covariances from the
+    per-block factors, matching the dense covariance on the same pairs
+    (the reference's phased-mode block-scoped semantics,
+    dnaadjust_printer.cpp:4330-4390)."""
+    def run(dense):
+        if dense:
+            monkeypatch.delenv("DTA_DENSE_COV_MAX_STN", raising=False)
+        else:
+            monkeypatch.setenv("DTA_DENSE_COV_MAX_STN", "1")
+        net, seg = synthetic_mixed_network(10, 10, block_rows=5,
+                                           block_cols=5)
+        res = adjust_tpu_blocked(net, AdjustmentOptions(), seg=seg)
+        return net, res
+
+    net_d, res_d = run(True)
+    net_b, res_b = run(False)
+    assert res_b.cov_xyz is None and res_b.block_cov is not None
+
+    # the rigorous full covariance from the simultaneous adjustment is
+    # the ground truth for every pair
+    from dynadjust_tpu.adjust.simultaneous import adjust_simultaneous
+    net_s, seg_s = synthetic_mixed_network(10, 10, block_rows=5,
+                                           block_cols=5)
+    res_s = adjust_simultaneous(net_s, AdjustmentOptions())
+    sc = np.abs(res_s.cov_xyz).max()
+
+    bc = res_b.block_cov
+    checked = 0
+    for i in (0, 7, 33, 60):
+        for j in bc.partners(i):
+            j = int(j)
+            if j <= i:
+                continue
+            C = bc.pair_cov(i, j)
+            Cs = res_s.cov_xyz[3 * i:3 * i + 3, 3 * j:3 * j + 3]
+            assert np.abs(C - Cs).max() <= 1e-6 * sc
+            # the dense blocked path must carry the same within-block
+            # off-diagonals
+            Cd = res_d.cov_xyz[3 * i:3 * i + 3, 3 * j:3 * j + 3]
+            assert np.abs(Cd - Cs).max() <= 1e-6 * sc
+            checked += 1
+    assert checked > 10
+
+    # writers run in O(S*k) without the dense matrix
+    from dynadjust_tpu.output.uncertainty import write_apu
+    from dynadjust_tpu.io_formats.sinex import write_sinex
+    apu = tmp_path / "blocked.apu"
+    write_apu(str(apu), net_b, res_b, all_covariances=True)
+    text = apu.read_text()
+    assert text.count("e") > 100            # covariance rows present
+    snx = tmp_path / "blocked.snx"
+    write_sinex(str(snx), net_b, res_b)
+    stext = snx.read_text()
+    # off-diagonal (cross-station) rows exist in the matrix block
+    assert "+SOLUTION/MATRIX_ESTIMATE L COVA" in stext

@@ -347,3 +347,28 @@ def test_nested_junction_cov_matches_dense(grid_system):
             sel = gparam[jm]
             np.testing.assert_allclose(
                 C, Ninv[np.ix_(sel, sel)], rtol=1e-6, atol=1e-12)
+
+
+def test_streamed_refined_factors_residual(grid_system):
+    """Newton-refined streamed factor pools make each apply near-f64:
+    the refined solve's true residual must reach ~1e-12 relative — the
+    convergence the 0.1 mm national-scale requirement needs (round-2
+    stalled at 2.6e-4 at 200k with f32-only streamed factors)."""
+    from dynadjust_tpu.parallel.schur import (
+        build_nested_partition, schur_solve_nested_factored,
+        StreamedNestedSchurFactors, _block_matvec, _gather_rhs_junction,
+    )
+    from dynadjust_tpu.utils.synthetic import grid_super_assignment
+
+    bs, bn, rows, cols, blk = grid_system
+    part = build_nested_partition(
+        bs, grid_super_assignment(rows, cols, blk, blk, 2, 2))
+    factors = StreamedNestedSchurFactors(bs, part, chunk=3)
+    factors.newton_refine_cov()
+    xi, xj, _ = schur_solve_nested_factored(bs, part, refine=1,
+                                            factors=factors)
+    yi, yj = _block_matvec(bs, xi, xj)
+    ri = np.abs(bs.bi * bs.imask - yi).max()
+    rj = np.abs(_gather_rhs_junction(bs) - yj).max()
+    scale = max(np.abs(bs.bi).max(), 1.0)
+    assert max(ri, rj) / scale < 1e-11
