@@ -34,6 +34,7 @@ f32 inverses) without a host GEMM pass.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -363,11 +364,23 @@ class DeviceAssembly:
         return N[:, :ni, :ni], N[:, :ni, ni:], N[:, ni:, ni:]
 
     def _xgram_pair(self, Bhi, Blo):
-        from ..ops.slicegemm import _use_sliced, gram_f64
-        if _use_sliced():
+        from ..ops.slicegemm import _use_sliced, gram_f64, NSLICES
+        if not _use_sliced():
+            B64 = Bhi.astype(jnp.float64) + Blo.astype(jnp.float64)
+            return jnp.einsum("bmi,bmj->bij", B64, B64)
+        # chunk the block axis: the sliced kernel materialises NSLICES
+        # f32 copies of its operand — a full national-scale pool would
+        # blow HBM.  Divisor chunks keep one compiled program set.
+        budget = float(os.environ.get("DTA_GRAM_CHUNK_BYTES", 2e9))
+        per_block = self.M * self.Pp * 4.0 * (NSLICES + 2)
+        want = max(1, int(budget / per_block))
+        Bp = Bhi.shape[0]
+        C = next(c for c in range(min(want, Bp), 0, -1) if Bp % c == 0)
+        if C == Bp:
             return gram_f64(Bhi, Blo)
-        B64 = Bhi.astype(jnp.float64) + Blo.astype(jnp.float64)
-        return jnp.einsum("bmi,bmj->bij", B64, B64)
+        parts = [gram_f64(Bhi[k:k + C], Blo[k:k + C])
+                 for k in range(0, Bp, C)]
+        return jnp.concatenate(parts)
 
     def a64_pool(self):
         """Projected design-matrix pool in f64 (device): GPS base (±1,

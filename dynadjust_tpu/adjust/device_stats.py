@@ -121,6 +121,8 @@ def device_block_stats(da, bs, cov_factors=None, nested=None,
     cov3 (B, Pn, 3, 3) np.float64) — cov3 indexed by station slot."""
     B, M, P = da.B, da.M, da.Pp
     Pn = P // 3
+    # one compiled program set: the chunk divides the block count
+    chunk = next(c for c in range(min(chunk, B), 0, -1) if B % c == 0)
     adj_prec = np.zeros((B, M))
     cov3 = np.zeros((B, Pn, 3, 3))
     vcv3 = {}

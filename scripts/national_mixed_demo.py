@@ -120,6 +120,11 @@ def main():
         "pass_fail": res.pass_fail,
         "max_corr_m": float(res.max_corr),
         "t_adjust_s": round(t_adjust, 1),
+        "phase_profile_s": ({k: round(v, 2)
+                             for k, v in res.profile.items()}
+                            if res.profile else None),
+        "stats_share_of_adjust": (round(res.profile["stats"] / t_adjust, 3)
+                                  if res.profile else None),
         "iter_s": [round(it["elapsed"], 2) for it in res.iteration_log],
         "err_vs_truth_mm": {"median": round(float(np.median(err))*1e3, 3),
                             "p99": round(float(np.percentile(err, 99))*1e3, 3),
