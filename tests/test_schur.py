@@ -372,3 +372,48 @@ def test_streamed_refined_factors_residual(grid_system):
     rj = np.abs(_gather_rhs_junction(bs) - yj).max()
     scale = max(np.abs(bs.bi).max(), 1.0)
     assert max(ri, rj) / scale < 1e-11
+
+
+def test_nested_junction_cov_selected_rows_vs_full(grid_system):
+    """ADVICE r2: the selected-rows covariance recovery
+    (U_sel C U_selᵀ, O(k nj2²)) must equal the full-matrix formula
+    (A2inv + U C Uᵀ then row/col selection) on a tiny nested
+    partition — guards future edits to the C_loc/j2mask handling."""
+    from dynadjust_tpu.parallel.schur import (
+        build_nested_partition, NestedSchurFactors, nested_junction_cov)
+    from dynadjust_tpu.utils.synthetic import grid_super_assignment
+
+    bs, bn, rows, cols, blk = grid_system
+    part = build_nested_partition(
+        bs, grid_super_assignment(rows, cols, blk, blk, 2, 2))
+    f = NestedSchurFactors(bs, part, dtype=np.float64)
+    A2h = np.asarray(f.factors[2], dtype=np.float64)
+    Y2h = np.asarray(f.factors[3], dtype=np.float64)
+    Sh = np.asarray(f.factors[4], dtype=np.float64)
+
+    for b in (0, len(bs.Nii) - 1):
+        gsel = bs.jmap[b][bs.jmask[b] > 0]
+        C_sel = nested_junction_cov(part, A2h, Y2h, Sh, gsel)
+
+        # full-matrix reference: Cov(inner2_sb) = A2inv + U C Uᵀ over the
+        # WHOLE super-block space, then select rows/cols
+        kind = part.xj_kind[gsel]
+        slot = part.xj_slot[gsel]
+        assert (kind == 0).any()
+        sb = int(part.xj_sb[gsel[kind == 0][0]])
+        jm2 = part.j2map[sb]
+        m2 = part.j2mask[sb]
+        Cloc = Sh[np.ix_(jm2, jm2)] * np.outer(m2, m2)
+        U = Y2h[sb]
+        cov_full = A2h[sb] + U @ Cloc @ U.T
+        i0 = np.nonzero(kind == 0)[0]
+        r0 = slot[i0]
+        np.testing.assert_allclose(
+            C_sel[np.ix_(i0, i0)], cov_full[np.ix_(r0, r0)],
+            rtol=1e-12, atol=1e-15)
+        i1 = np.nonzero(kind == 1)[0]
+        if len(i1):
+            X_full = -(U * m2[None, :]) @ Sh[np.ix_(jm2, slot[i1])]
+            np.testing.assert_allclose(
+                C_sel[np.ix_(i0, i1)], X_full[r0], rtol=1e-12,
+                atol=1e-15)
