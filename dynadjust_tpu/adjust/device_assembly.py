@@ -167,49 +167,62 @@ class DeviceAssembly:
                              lambda b: blocks[b].Wc)
 
     # ------------------------------------------------------------------
+    def _scalar_row_tiles(self, b):
+        """(rows, local-station, flat-A-index) triples of every scalar
+        design-row tile of block b, vectorised over the vector-fill
+        buckets (row/l1/l2/l3 columnar arrays — no per-item Python)."""
+        asm = self.blocks[b].asm
+        n = asm.A.shape[1]
+        if asm._vector_plan is None:
+            from .vector_fill import VectorPlan
+            asm._vector_plan = VectorPlan(asm)
+        rows, locs = [], []
+        for bk in asm._vector_plan.b.values():
+            for l in (bk.l1, bk.l2, bk.l3):
+                m = l >= 0
+                rows.append(bk.row[m])
+                locs.append(l[m] // 3)
+        rows = (np.concatenate(rows) if rows
+                else np.zeros(0, dtype=np.int64))
+        locs = (np.concatenate(locs) if locs
+                else np.zeros(0, dtype=np.int64))
+        order = np.argsort(rows * n + 3 * locs, kind="stable")
+        rows, locs = rows[order], locs[order]
+        return rows, locs, rows * n + 3 * locs
+
     def _compile_tiles(self):
         """Scalar-row gather/scatter plan + constant GPS base pool."""
-        from .assembler import GpsItem
         bidx, ridx, cidx = [], [], []
         self._gather = []                       # per block (Kb, 3) flat idx
         A_base = np.zeros((self.Bp, self.M, self.Pp), dtype=self.dtype)
         for b, blk in enumerate(self.blocks):
             asm = blk.asm
-            n = asm.A.shape[1]
             scol = self._scol[b]
-            items = list(asm.scalar_items)
-            for ds in asm.dirn_sets:
-                items.extend(ds.angles)
-            g_rows, g_src = [], []
-            for it in items:
-                for s in (it.s1, it.s2, it.s3):
-                    if s < 0:
-                        continue
-                    l = asm.local[s]
-                    bidx.append(b)
-                    ridx.append(it.row)
-                    cidx.append(scol[l])
-                    g_src.append(it.row * n + 3 * l)
-            self._gather.append(
-                (np.asarray(g_src, dtype=np.int64)[:, None]
-                 + np.arange(3)) if g_src else
-                np.zeros((0, 3), dtype=np.int64))
-            # constant GPS design entries (±I), folded into the base pool
-            for g in asm.gps_items:
-                for i, s1 in enumerate(g.stations1):
-                    r = g.row0 + 3 * i
-                    c1 = 3 * scol[asm.local[s1]]
-                    if g.mtype == "Y":
-                        for k in range(3):
-                            A_base[b, r + k, c1 + k] = 1.0
-                    else:
-                        c2 = 3 * scol[asm.local[g.stations2[i]]]
-                        for k in range(3):
-                            A_base[b, r + k, c1 + k] = -1.0
-                            A_base[b, r + k, c2 + k] = 1.0
-        self._t_b = self._putr(np.asarray(bidx, dtype=np.int32))
-        self._t_r = self._putr(np.asarray(ridx, dtype=np.int32))
-        c = np.asarray(cidx, dtype=np.int32)
+            rows, locs, src = self._scalar_row_tiles(b)
+            bidx.append(np.full(len(rows), b, dtype=np.int32))
+            ridx.append(rows)
+            cidx.append(scol[locs])
+            self._gather.append(src[:, None] + np.arange(3))
+            # constant GPS design entries (±I), folded into the base
+            # pool — vectorised over the assembler's flat GNSS plan
+            if not hasattr(asm, "_gps_rows"):
+                asm._compile_gps_plan()
+            r0 = asm._gps_rows
+            if len(r0):
+                kk = np.arange(3)
+                c1 = 3 * scol[asm._gps_l1 // 3]
+                ymask = asm._gps_l2 < 0
+                A_base[b, (r0[:, None] + kk).ravel(),
+                       (c1[:, None] + kk).ravel()] = \
+                    np.repeat(np.where(ymask, 1.0, -1.0), 3)
+                nz = ~ymask
+                if nz.any():
+                    c2 = 3 * scol[asm._gps_l2[nz] // 3]
+                    A_base[b, (r0[nz][:, None] + kk).ravel(),
+                           (c2[:, None] + kk).ravel()] = 1.0
+        self._t_b = self._putr(np.concatenate(bidx).astype(np.int32))
+        self._t_r = self._putr(np.concatenate(ridx).astype(np.int32))
+        c = np.concatenate(cidx).astype(np.int32)
         self._t_c3 = self._putr(3 * c[:, None] + np.arange(3,
                                                            dtype=np.int32))
         self.A_base = self._putb(A_base)
@@ -427,36 +440,38 @@ class DeviceAssembly:
         Tiles are (row, station) 3-vectors; values are recomputed per
         build from the current host A fill (gathers + small batched
         matmuls), and constrained-station tiles are projected on host."""
-        gb, gr, gc = [], [], []
         self._g_scalar = []        # per block: (gather (K,3), sqrtw (K,),
                                    #            tile offset)
+        self._flat_off = np.zeros(len(self.blocks) + 1, dtype=np.int64)
+        for b, blk in enumerate(self.blocks):
+            self._flat_off[b + 1] = self._flat_off[b] + blk.asm.A.size
         bucket_groups = {}
         T = 0
+        scalar_parts = []          # (offset, b, rows, cols)
         for b, blk in enumerate(self.blocks):
             asm = blk.asm
             n = asm.A.shape[1]
             scol = self._scol[b]
-            src, w = [], []
-            for it in asm.scalar_items:
-                for s in (it.s1, it.s2, it.s3):
-                    if s < 0:
-                        continue
-                    l = asm.local[s]
-                    gb.append(b)
-                    gr.append(it.row)
-                    gc.append(scol[l])
-                    src.append(it.row * n + 3 * l)
-                    w.append(1.0 / np.sqrt(it.var))
-            self._g_scalar.append((
-                (np.asarray(src, dtype=np.int64)[:, None] + np.arange(3))
-                if src else np.zeros((0, 3), dtype=np.int64),
-                np.asarray(w), T))
-            T += len(src)
+            if not hasattr(asm, "_w_rows"):
+                asm._compile_weight_plan()
+            # scalar (diagonal-weight) rows: the vector-plan tiles,
+            # filtered to rows carrying a scalar weight (direction-set
+            # angles belong to correlated buckets below)
+            rows, locs, src = self._scalar_row_tiles(b)
+            wrow = np.full(asm.nrows, np.nan)
+            if len(asm._w_rows):
+                # _w_diag is the weight 1/sigma^2; rows scale by sqrt(w)
+                wrow[asm._w_rows] = np.sqrt(asm._w_diag)
+            keep = np.isfinite(wrow[rows]) if len(rows) else \
+                np.zeros(0, dtype=bool)
+            rows, locs, src = rows[keep], locs[keep], src[keep]
+            scalar_parts.append((T, b, rows, scol[locs]))
+            self._g_scalar.append((src[:, None] + np.arange(3),
+                                   wrow[rows], T))
+            T += len(rows)
             # correlated-weight entries: direction sets + GPS clusters
             for obj in list(asm.dirn_sets) + list(asm.gps_items):
-                V = np.asarray(obj.vinv, dtype=np.float64)
-                L = np.linalg.cholesky(0.5 * (V + V.T))
-                k = V.shape[0]
+                k = obj.vinv.shape[0]
                 r0 = obj.row0
                 if hasattr(obj, "angles"):          # direction set
                     stns = sorted({s for a in obj.angles
@@ -467,27 +482,48 @@ class DeviceAssembly:
                 cols = np.asarray([asm.local[s] for s in stns],
                                   dtype=np.int64)
                 gidx = ((r0 + np.arange(k))[:, None] * n +
-                        (3 * cols)[None, :])        # (k, u) base indices
-                grp = bucket_groups.setdefault((k, u), ([], [], []))
-                grp[0].append(gidx)
-                grp[1].append(L.T)
-                grp[2].append(T)                    # this entry's tiles
-                for i in range(k):
-                    for c in cols:
-                        gb.append(b)
-                        gr.append(r0 + i)
-                        gc.append(scol[c])
+                        (3 * cols)[None, :] + self._flat_off[b])
+                grp = bucket_groups.setdefault((k, u), ([], [], [], []))
+                grp[0].append(gidx)                  # concat-flat indices
+                grp[1].append(np.asarray(obj.vinv, dtype=np.float64))
+                grp[2].append(T)                     # this entry's tiles
+                grp[3].append((b, r0, scol[cols]))
                 T += k * u
         self._g_total = T
-        self._g_buckets = [
-            (k, u, np.stack(gidxs), np.stack(LTs),
-             np.asarray(offs, dtype=np.int64))
-            for (k, u), (gidxs, LTs, offs) in sorted(bucket_groups.items())]
-        c = np.asarray(gc, dtype=np.int32)
-        self._g_idx = (self._putr(np.asarray(gb, dtype=np.int32)),
-                       self._putr(np.asarray(gr, dtype=np.int32)),
-                       self._putr(3 * c[:, None]
-                                  + np.arange(3, dtype=np.int32)))
+        # position-indexed scatter arrays + one batched Cholesky and one
+        # vectorised index fill per (k, u) group — no per-entry Python
+        gb_full = np.empty(T, dtype=np.int64)
+        gr_full = np.empty(T, dtype=np.int64)
+        gc_full = np.empty(T, dtype=np.int64)
+        for off, b, rows, cols in scalar_parts:
+            gb_full[off:off + len(rows)] = b
+            gr_full[off:off + len(rows)] = rows
+            gc_full[off:off + len(rows)] = cols
+        self._g_buckets = []
+        for (k, u), (gidxs, Vs, offs, meta) in sorted(
+                bucket_groups.items()):
+            offs = np.asarray(offs, dtype=np.int64)
+            nE = len(offs)
+            pos = offs[:, None] + np.arange(k * u)   # (nE, k*u)
+            bs_ = np.asarray([m[0] for m in meta], dtype=np.int64)
+            r0s = np.asarray([m[1] for m in meta], dtype=np.int64)
+            cs = np.stack([m[2] for m in meta])      # (nE, u)
+            p = pos.reshape(-1)
+            gb_full[p] = np.repeat(bs_, k * u)
+            gr_full[p] = (r0s[:, None, None] + np.arange(k)[:, None]
+                          + np.zeros((1, 1, u), dtype=np.int64)) \
+                .reshape(nE, -1).reshape(-1)
+            gc_full[p] = np.broadcast_to(
+                cs[:, None, :], (nE, k, u)).reshape(-1)
+            V = np.stack(Vs)
+            LT = np.linalg.cholesky(
+                0.5 * (V + V.transpose(0, 2, 1))).transpose(0, 2, 1)
+            self._g_buckets.append((k, u, np.stack(gidxs),
+                                    np.ascontiguousarray(LT), pos))
+        self._g_idx = (self._putr(gb_full.astype(np.int32)),
+                       self._putr(gr_full.astype(np.int32)),
+                       self._putr((3 * gc_full[:, None]
+                                   + np.arange(3)).astype(np.int32)))
         # constrained-station tiles: projected on host (v ← v·P)
         self._g_proj = None
         if self.basis.proj:
@@ -499,43 +535,35 @@ class DeviceAssembly:
                     if l is not None:
                         tile_station[(b, int(scol[l]))] = Pg
             sel, mats = [], []
-            for t, (bb, cc) in enumerate(zip(gb, gc)):
-                Pg = tile_station.get((int(bb), int(cc)))
-                if Pg is not None:
-                    sel.append(t)
-                    mats.append(Pg)
+            for (b, c), Pg in tile_station.items():
+                hit = np.nonzero((gb_full == b) & (gc_full == c))[0]
+                sel.append(hit)
+                mats.append(np.broadcast_to(Pg, (len(hit), 3, 3)))
             if sel:
-                self._g_proj = (np.asarray(sel, dtype=np.int64),
-                                np.stack(mats))
+                self._g_proj = (np.concatenate(sel),
+                                np.concatenate(mats))
 
     def _gram_values(self):
         """Current B̃ tile values as a double-float (hi, lo) pair."""
         from ..ops.slicegemm import split_f32_pair
         vals = np.zeros((self._g_total, 3))
+        flat = np.concatenate([blk.asm.A.ravel()
+                               for blk in self.blocks]) \
+            if self.blocks else np.zeros(0)
         for b, blk in enumerate(self.blocks):
             g, w, off = self._g_scalar[b]
             if len(g):
                 vals[off:off + len(g)] = \
                     blk.asm.A.ravel()[g] * w[:, None]
-        # per (k, u) group: rows = LTᵀ… B_rows = Lᵀ @ A_rows, batched
-        flats = [blk.asm.A.ravel() for blk in self.blocks]
-        # entries of a group can span blocks; gather per entry from its
-        # block's flat A.  Entries were appended per block in order, so
-        # map entry -> block via the tile's block index.
-        gb_np = np.asarray(self._g_idx[0])
-        for k, u, gidx, LT, offs in self._g_buckets:
+        # per (k, u) group: B_rows = Lᵀ @ A_rows over the station union,
+        # one gather + one batched matmul
+        for k, u, gidx, LT, pos in self._g_buckets:
             nE = gidx.shape[0]
-            rows = np.empty((nE, k, 3 * u))
-            for e in range(nE):
-                blk_of = int(gb_np[offs[e]])
-                idx = (gidx[e][:, :, None] + np.arange(3)) \
-                    .reshape(k, 3 * u)
-                rows[e] = flats[blk_of][idx]
-            out = LT @ rows                          # (nE, k, 3u)
-            out = out.reshape(nE, k, u, 3)
-            for e in range(nE):
-                vals[offs[e]:offs[e] + k * u] = \
-                    out[e].reshape(k * u, 3)
+            idx3 = (gidx[:, :, :, None] + np.arange(3)) \
+                .reshape(nE, k, 3 * u)
+            out = LT @ flat[idx3]                    # (nE, k, 3u)
+            vals[pos.reshape(-1)] = \
+                out.reshape(nE, k, u, 3).reshape(-1, 3)
         if self._g_proj is not None:
             sel, mats = self._g_proj
             vals[sel] = np.einsum("tj,tjk->tk", vals[sel], mats)

@@ -206,19 +206,45 @@ def _use_sliced() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _batch_chunks(nbytes_per_batch, n, budget=None):
+    """Divisor batch-chunk size keeping the sliced kernel's transient
+    slice copies (~(NSLICES+2)x f32 of the operands) under budget."""
+    import os
+    budget = budget or float(os.environ.get("DTA_SLICE_CHUNK_BYTES", 2e9))
+    want = max(1, int(budget / max(nbytes_per_batch, 1)))
+    return next(c for c in range(min(want, n), 0, -1) if n % c == 0)
+
+
 def xgram64(B64):
     """N = BᵀB in near-f64 from an f64 (batched) operand."""
-    if _use_sliced():
-        hi, lo = split_device(B64)
+    if not _use_sliced():
+        return jnp.einsum("...mi,...mj->...ij", B64, B64)
+    hi, lo = split_device(B64)
+    if hi.ndim < 3:
         return gram_f64(hi, lo)
-    return jnp.einsum("...mi,...mj->...ij", B64, B64)
+    n = hi.shape[0]
+    C = _batch_chunks(hi[0].size * 4 * (NSLICES + 2), n)
+    if C == n:
+        return gram_f64(hi, lo)
+    return jnp.concatenate([gram_f64(hi[k:k + C], lo[k:k + C])
+                            for k in range(0, n, C)])
 
 
 def xmatmul64(A64, B64, transa: bool = False):
-    """C = A @ B (Aᵀ @ B with transa) in near-f64, batched."""
-    if _use_sliced():
-        ahi, alo = split_device(A64)
-        bhi, blo = split_device(B64)
+    """C = A @ B (Aᵀ @ B with transa) in near-f64, batched; the batch
+    axis is chunked so the slice transients fit HBM."""
+    if not _use_sliced():
+        eq = "...mi,...mj->...ij" if transa else "...im,...mj->...ij"
+        return jnp.einsum(eq, A64, B64)
+    ahi, alo = split_device(A64)
+    bhi, blo = split_device(B64)
+    if ahi.ndim < 3 or bhi.ndim < 3 or ahi.shape[0] != bhi.shape[0]:
         return matmul_f64(ahi, alo, bhi, blo, transa=transa)
-    eq = "...mi,...mj->...ij" if transa else "...im,...mj->...ij"
-    return jnp.einsum(eq, A64, B64)
+    n = ahi.shape[0]
+    C = _batch_chunks((ahi[0].size + bhi[0].size) * 4 * (NSLICES + 2), n)
+    if C == n:
+        return matmul_f64(ahi, alo, bhi, blo, transa=transa)
+    return jnp.concatenate(
+        [matmul_f64(ahi[k:k + C], alo[k:k + C], bhi[k:k + C],
+                    blo[k:k + C], transa=transa)
+         for k in range(0, n, C)])
