@@ -395,27 +395,37 @@ class DeviceAssembly:
                  for k in range(0, Bp, C)]
         return jnp.concatenate(parts)
 
-    def a64_pool(self):
-        """Projected design-matrix pool in f64 (device): GPS base (±1,
-        exact) + double-float scalar tiles, column projection in f64.
-        One-time, for the statistics pass."""
+    def a64_chunk(self, b0: int, b1: int):
+        """Projected design-matrix pool in f64 for blocks [b0, b1):
+        GPS base (±1, exact) + double-float scalar tiles, column
+        projection in f64.  Chunked — the full national-scale f64 pool
+        would not fit HBM; the statistics pass consumes one chunk at a
+        time."""
         from ..ops.slicegemm import split_f32_pair
+        # scalar tiles are appended per block: contiguous ranges
+        if not hasattr(self, "_t_range"):
+            off = np.zeros(self.B + 1, dtype=np.int64)
+            for b, g in enumerate(self._gather):
+                off[b + 1] = off[b] + len(g)
+            self._t_range = off
+        t0, t1 = int(self._t_range[b0]), int(self._t_range[b1])
         vals = np.concatenate(
-            [blk.asm.A.ravel()[g]
-             for blk, g in zip(self.blocks, self._gather)]) \
-            if self._gather else np.zeros((0, 3))
+            [self.blocks[b].asm.A.ravel()[self._gather[b]]
+             for b in range(b0, b1)]) if t1 > t0 else np.zeros((0, 3))
         hi, lo = split_f32_pair(vals)
-        Ahi = _scatter_scalar_tiles(self.A_base, self._t_b, self._t_r,
-                                    self._t_c3, self._putr(hi))
-        zeros = jnp.zeros_like(self.A_base)
-        Alo = _scatter_scalar_tiles(zeros, self._t_b, self._t_r,
-                                    self._t_c3, self._putr(lo))
+        tb = self._t_b[t0:t1] - b0
+        tr = self._t_r[t0:t1]
+        tc3 = self._t_c3[t0:t1]
+        base = self.A_base[b0:b1]
+        Ahi = _scatter_scalar_tiles(base, tb, tr, tc3, self._putr(hi))
+        Alo = _scatter_scalar_tiles(jnp.zeros_like(base), tb, tr, tc3,
+                                    self._putr(lo))
         A64 = Ahi.astype(jnp.float64) + Alo.astype(jnp.float64)
         if self._has_proj:
-            B, Mr, Pp = A64.shape
+            C, Mr, Pp = A64.shape
             A64 = jnp.einsum("bmsk,bskl->bmsl",
-                             A64.reshape(B, Mr, Pp // 3, 3),
-                             self.Pmat64).reshape(B, Mr, Pp)
+                             A64.reshape(C, Mr, Pp // 3, 3),
+                             self.Pmat64[b0:b1]).reshape(C, Mr, Pp)
         return A64
 
     def gps_row_plan(self):

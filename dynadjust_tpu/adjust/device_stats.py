@@ -126,7 +126,6 @@ def device_block_stats(da, bs, cov_factors=None, nested=None,
     adj_prec = np.zeros((B, M))
     cov3 = np.zeros((B, Pn, 3, 3))
     vcv3 = {}
-    A64 = da.a64_pool()                   # (Bp, M, P) f64, projected
     gps_rows = da.gps_row_plan()          # per block: (rows0 array)
 
     for c0 in range(0, B, chunk):
@@ -140,7 +139,7 @@ def device_block_stats(da, bs, cov_factors=None, nested=None,
         else:
             factors, part = nested
             cov = _chunk_cov_nested(factors, part, jmap_c, jmask_c, sl)
-        A_c = A64[sl]
+        A_c = da.a64_chunk(sl.start, sl.stop)
         G = xmatmul64(A_c, cov)                      # (C, M, P)
         ap = jnp.sum(G * A_c, axis=2)
         adj_prec[sl] = np.asarray(ap)

@@ -298,9 +298,14 @@ def adjust_tpu_blocked(net: NetworkData,
                     bs, np.asarray(block_super, dtype=np.int64))
             if not refactor:
                 factors.bs = bs
+            else:
+                # drop the previous factor pools before re-factoring —
+                # holding old Ainv/Y/bs alongside the new construction
+                # tips HBM over at national scale
+                factors = None
             xi, xj, factors = schur_solve_nested_factored(
                 bs, nested_part, dtype=np.float32,
-                factors=(None if refactor else factors),
+                factors=factors,
                 streamed=staged, mesh=mesh, matvec=matvec)
         else:
             # device assembly: the f32 pools are already device-resident
@@ -381,6 +386,13 @@ def adjust_tpu_blocked(net: NetworkData,
     # extraction (solve-path refinement handles the estimates; the
     # covariances need refined inverses).  Device-assembled runs build
     # the f64 pools once on device (build_f64) — no host GEMM pass.
+    if device_asm:
+        # the f32 normals pools are no longer needed (Newton refines
+        # against the exact f64 build) — free them before the f64 stats
+        # build to keep national-scale HBM headroom
+        bs.Nii = bs.Nij = bs.Njj = None
+        if super_blocks == 0 and getattr(factors, "_N32", None):
+            factors._N32 = None
     N64 = da.build_f64() if device_asm else None
     if super_blocks == 0:
         cov_factors = factors.newton_factors(N64=N64)

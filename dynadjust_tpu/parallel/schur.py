@@ -2060,7 +2060,7 @@ def _nested_newton_refine_cov(self, rounds: int = 2, N64=None):
         if not isinstance(bs.Nii, np.ndarray):
             raise ValueError("device-assembled normals: pass N64 "
                              "(DeviceAssembly.build_f64())")
-    B, ni = bs.Nii.shape[:2]
+    B, ni = N64[0].shape[:2]
     if hasattr(self, "Ainv_h"):                      # streamed layout
         di_h, dj_h = self.di_h, self.dj_h
         ainv_src = lambda s: self.Ainv_h[s]
@@ -2073,7 +2073,7 @@ def _nested_newton_refine_cov(self, rounds: int = 2, N64=None):
 
     C = next(c for c in range(min(16, B), 0, -1) if B % c == 0)
     Ah = np.empty((B, ni, ni))
-    Yh = np.empty((B, ni, bs.Njj.shape[1]))
+    Yh = np.empty((B, ni, N64[2].shape[1]))
     Nii2 = jnp.zeros((part.SB, part.ni2, part.ni2), dtype=jnp.float64)
     Nij2 = jnp.zeros((part.SB, part.ni2, part.nj2), dtype=jnp.float64)
     Njj2 = jnp.zeros((part.SB, part.nj2, part.nj2), dtype=jnp.float64)
