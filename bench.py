@@ -273,6 +273,11 @@ def bench_mixed():
             "reference_note": ("measured C++ OpenBLAS AdjustPhased replay,"
                                " assembly excluded (lower bound); see"
                                " baseline_measured.json"),
+            "host_caveat": ("reference baseline measured on this 2-vCPU "
+                            "host; a many-core MKL node would narrow the "
+                            "gap roughly linearly in cores, though the "
+                            "reference's junction sweeps remain "
+                            "sequential (BASELINE.md)"),
             "device": _device_name(),
         },
     }
