@@ -45,9 +45,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _HI = jax.lax.Precision.HIGHEST
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, donate_argnums=(0,))
 def _scatter_scalar_tiles(A_base, bidx, ridx, c3, vals):
-    """Write (K, 3) scalar-row tiles into the pooled design matrix."""
+    """Write (K, 3) scalar-row tiles into the pooled design matrix.
+    The base buffer is donated — callers pass a fresh zeros (or a
+    single-use base) so the scatter updates in place instead of
+    doubling a national-scale pool."""
     return A_base.at[bidx[:, None], ridx[:, None], c3].set(vals)
 
 
@@ -167,6 +170,15 @@ class DeviceAssembly:
                              lambda b: blocks[b].Wc)
 
     # ------------------------------------------------------------------
+    def _zeros_pool(self, shape, dtype):
+        """Zeros created with the pools' sharding (block axis over the
+        mesh when one is set) — never a host upload."""
+        if self.mesh is None:
+            return jnp.zeros(shape, dtype)
+        sh = NamedSharding(self.mesh, P(self.axis))
+        return jax.jit(lambda: jnp.zeros(shape, dtype),
+                       out_shardings=sh)()
+
     def _scalar_row_tiles(self, b):
         """(rows, local-station, flat-A-index) triples of every scalar
         design-row tile of block b, vectorised over the vector-fill
@@ -191,42 +203,59 @@ class DeviceAssembly:
         return rows, locs, rows * n + 3 * locs
 
     def _compile_tiles(self):
-        """Scalar-row gather/scatter plan + constant GPS base pool."""
+        """Tile scatter plan: scalar rows (values gathered from the host
+        fill each iteration) + constant GPS ±e_k tiles.  Everything
+        scatters into zeros per build — no persistent dense base pool
+        (3.2 GB of HBM at national scale)."""
         bidx, ridx, cidx = [], [], []
         self._gather = []                       # per block (Kb, 3) flat idx
-        A_base = np.zeros((self.Bp, self.M, self.Pp), dtype=self.dtype)
+        self._gps_vals = []                     # per block (Kg, 3) const
         for b, blk in enumerate(self.blocks):
             asm = blk.asm
             scol = self._scol[b]
             rows, locs, src = self._scalar_row_tiles(b)
-            bidx.append(np.full(len(rows), b, dtype=np.int32))
-            ridx.append(rows)
-            cidx.append(scol[locs])
             self._gather.append(src[:, None] + np.arange(3))
-            # constant GPS design entries (±I), folded into the base
-            # pool — vectorised over the assembler's flat GNSS plan
+            # constant GPS design tiles (±e_k at (row0+k, station)),
+            # vectorised over the assembler's flat GNSS plan
             if not hasattr(asm, "_gps_rows"):
                 asm._compile_gps_plan()
             r0 = asm._gps_rows
+            gb_rows, gb_cols, gb_vals = [rows], [scol[locs]], [None]
             if len(r0):
                 kk = np.arange(3)
-                c1 = 3 * scol[asm._gps_l1 // 3]
+                eye = np.eye(3)
+                c1 = scol[asm._gps_l1 // 3]
                 ymask = asm._gps_l2 < 0
-                A_base[b, (r0[:, None] + kk).ravel(),
-                       (c1[:, None] + kk).ravel()] = \
-                    np.repeat(np.where(ymask, 1.0, -1.0), 3)
+                sign = np.where(ymask, 1.0, -1.0)
+                gb_rows.append((r0[:, None] + kk).reshape(-1))
+                gb_cols.append(np.repeat(c1, 3))
+                gb_vals.append((sign[:, None, None] * eye).reshape(-1, 3))
                 nz = ~ymask
                 if nz.any():
-                    c2 = 3 * scol[asm._gps_l2[nz] // 3]
-                    A_base[b, (r0[nz][:, None] + kk).ravel(),
-                           (c2[:, None] + kk).ravel()] = 1.0
+                    c2 = scol[asm._gps_l2[nz] // 3]
+                    gb_rows.append((r0[nz][:, None] + kk).reshape(-1))
+                    gb_cols.append(np.repeat(c2, 3))
+                    gb_vals.append(np.broadcast_to(
+                        eye, (nz.sum(), 3, 3)).reshape(-1, 3))
+            all_rows = np.concatenate(gb_rows)
+            all_cols = np.concatenate(gb_cols)
+            self._gps_vals.append(
+                np.concatenate([v for v in gb_vals[1:]])
+                if len(gb_vals) > 1 else np.zeros((0, 3)))
+            bidx.append(np.full(len(all_rows), b, dtype=np.int32))
+            ridx.append(all_rows)
+            cidx.append(all_cols)
         self._t_b = self._putr(np.concatenate(bidx).astype(np.int32))
         self._t_r = self._putr(np.concatenate(ridx).astype(np.int32))
         c = np.concatenate(cidx).astype(np.int32)
         self._t_c3 = self._putr(3 * c[:, None] + np.arange(3,
                                                            dtype=np.int32))
-        self.A_base = self._putb(A_base)
-        del A_base
+        # per-block combined tile counts (scalar then gps), for chunked
+        # scatters (a64_chunk)
+        self._t_range = np.zeros(self.B + 1, dtype=np.int64)
+        for b in range(self.B):
+            self._t_range[b + 1] = self._t_range[b] + \
+                len(self._gather[b]) + len(self._gps_vals[b])
 
     def _compile_weights(self):
         """Device weight plan: scalar 1/var row scale + per-k bucketed
@@ -319,12 +348,16 @@ class DeviceAssembly:
         del Pm
 
     # ------------------------------------------------------------------
-    def scalar_values(self, dtype=None):
-        """Gather the current scalar-row tile values from the host-filled
-        A matrices: (K, 3) in tile order."""
+    def scalar_values(self, dtype=None, b0=None, b1=None):
+        """Current tile values — scalar rows gathered from the host A
+        fill + constant GPS ±e_k tiles — (K, 3) in tile order, optionally
+        restricted to blocks [b0, b1)."""
         dtype = dtype or self.dtype
-        parts = [blk.asm.A.ravel()[g]
-                 for blk, g in zip(self.blocks, self._gather)]
+        rng = range(b0 or 0, self.B if b1 is None else b1)
+        parts = []
+        for b in rng:
+            parts.append(self.blocks[b].asm.A.ravel()[self._gather[b]])
+            parts.append(self._gps_vals[b])
         if not parts:
             return np.zeros((0, 3), dtype=dtype)
         return np.concatenate(parts).astype(dtype)
@@ -338,9 +371,10 @@ class DeviceAssembly:
         dtype = dtype or self.dtype
         vals = self._putr(values if values is not None
                           else self.scalar_values(dtype))
-        A = _scatter_scalar_tiles(
-            base if base is not None else self.A_base,
-            self._t_b, self._t_r, self._t_c3, vals)
+        if base is None:
+            base = self._zeros_pool((self.Bp, self.M, self.Pp), dtype)
+        A = _scatter_scalar_tiles(base, self._t_b, self._t_r,
+                                  self._t_c3, vals)
         if self._has_proj:
             A = _project_columns(A, pmat if pmat is not None else self.Pmat)
         WA = A * (wdiag if wdiag is not None else self.wdiag)[:, :, None]
@@ -364,36 +398,49 @@ class DeviceAssembly:
         f64 emulation measured ~5 GFLOP/s — unusable); on CPU a native
         f64 einsum.  Constraint/pad diagonal tiles are added exactly in
         f64 afterwards."""
+        from ..ops.slicegemm import (_use_sliced, gram_f64, NSLICES,
+                                     split_f32_pair)
         if not hasattr(self, "_g_idx"):
             self._compile_gram_plan()
         hi, lo = self._gram_values()
         gb, gr, gc3 = self._g_idx
-        zeros = jnp.zeros((self.Bp, self.M, self.Pp), dtype=jnp.float32)
-        Bhi = _scatter_scalar_tiles(zeros, gb, gr, gc3, self._putr(hi))
-        Blo = _scatter_scalar_tiles(zeros, gb, gr, gc3, self._putr(lo))
-        N = self._xgram_pair(Bhi, Blo)
+        if not _use_sliced():
+            shape = (self.Bp, self.M, self.Pp)
+            Bhi = _scatter_scalar_tiles(jnp.zeros(shape, jnp.float32),
+                                        gb, gr, gc3, self._putr(hi))
+            Blo = _scatter_scalar_tiles(jnp.zeros(shape, jnp.float32),
+                                        gb, gr, gc3, self._putr(lo))
+            B64 = Bhi.astype(jnp.float64) + Blo.astype(jnp.float64)
+            N = jnp.einsum("bmi,bmj->bij", B64, B64)
+        else:
+            # chunk scatter AND product over the block axis: the sliced
+            # kernel materialises ~NSLICES f32 copies of its operand and
+            # a full national-scale pool pair would blow HBM by itself
+            budget = float(os.environ.get("DTA_GRAM_CHUNK_BYTES", 2e9))
+            per_block = self.M * self.Pp * 4.0 * (NSLICES + 4)
+            want = max(1, int(budget / per_block))
+            Bp = self.Bp
+            C = next(c for c in range(min(want, Bp), 0, -1)
+                     if Bp % c == 0)
+            gr_np = self._g_range
+            B = self.B
+            parts = []
+            for b0 in range(0, Bp, C):
+                b1 = min(b0 + C, Bp)
+                t0 = int(gr_np[min(b0, B)])
+                t1 = int(gr_np[min(b1, B)])
+                shape = (b1 - b0, self.M, self.Pp)
+                Bhi = _scatter_scalar_tiles(
+                    jnp.zeros(shape, jnp.float32), gb[t0:t1] - b0,
+                    gr[t0:t1], gc3[t0:t1], self._putr(hi[t0:t1]))
+                Blo = _scatter_scalar_tiles(
+                    jnp.zeros(shape, jnp.float32), gb[t0:t1] - b0,
+                    gr[t0:t1], gc3[t0:t1], self._putr(lo[t0:t1]))
+                parts.append(gram_f64(Bhi, Blo))
+            N = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         N = _add_diag_tiles(N, self._d_b, self._d_c3, self._d_v64)
         ni = self.ni
         return N[:, :ni, :ni], N[:, :ni, ni:], N[:, ni:, ni:]
-
-    def _xgram_pair(self, Bhi, Blo):
-        from ..ops.slicegemm import _use_sliced, gram_f64, NSLICES
-        if not _use_sliced():
-            B64 = Bhi.astype(jnp.float64) + Blo.astype(jnp.float64)
-            return jnp.einsum("bmi,bmj->bij", B64, B64)
-        # chunk the block axis: the sliced kernel materialises NSLICES
-        # f32 copies of its operand — a full national-scale pool would
-        # blow HBM.  Divisor chunks keep one compiled program set.
-        budget = float(os.environ.get("DTA_GRAM_CHUNK_BYTES", 2e9))
-        per_block = self.M * self.Pp * 4.0 * (NSLICES + 2)
-        want = max(1, int(budget / per_block))
-        Bp = Bhi.shape[0]
-        C = next(c for c in range(min(want, Bp), 0, -1) if Bp % c == 0)
-        if C == Bp:
-            return gram_f64(Bhi, Blo)
-        parts = [gram_f64(Bhi[k:k + C], Blo[k:k + C])
-                 for k in range(0, Bp, C)]
-        return jnp.concatenate(parts)
 
     def a64_chunk(self, b0: int, b1: int):
         """Projected design-matrix pool in f64 for blocks [b0, b1):
@@ -402,24 +449,18 @@ class DeviceAssembly:
         would not fit HBM; the statistics pass consumes one chunk at a
         time."""
         from ..ops.slicegemm import split_f32_pair
-        # scalar tiles are appended per block: contiguous ranges
-        if not hasattr(self, "_t_range"):
-            off = np.zeros(self.B + 1, dtype=np.int64)
-            for b, g in enumerate(self._gather):
-                off[b + 1] = off[b] + len(g)
-            self._t_range = off
+        # tiles are appended per block: contiguous ranges (_t_range)
         t0, t1 = int(self._t_range[b0]), int(self._t_range[b1])
-        vals = np.concatenate(
-            [self.blocks[b].asm.A.ravel()[self._gather[b]]
-             for b in range(b0, b1)]) if t1 > t0 else np.zeros((0, 3))
+        vals = self.scalar_values(np.float64, b0, b1)
         hi, lo = split_f32_pair(vals)
         tb = self._t_b[t0:t1] - b0
         tr = self._t_r[t0:t1]
         tc3 = self._t_c3[t0:t1]
-        base = self.A_base[b0:b1]
-        Ahi = _scatter_scalar_tiles(base, tb, tr, tc3, self._putr(hi))
-        Alo = _scatter_scalar_tiles(jnp.zeros_like(base), tb, tr, tc3,
-                                    self._putr(lo))
+        shape = (b1 - b0, self.M, self.Pp)
+        Ahi = _scatter_scalar_tiles(jnp.zeros(shape, jnp.float32),
+                                    tb, tr, tc3, self._putr(hi))
+        Alo = _scatter_scalar_tiles(jnp.zeros(shape, jnp.float32),
+                                    tb, tr, tc3, self._putr(lo))
         A64 = Ahi.astype(jnp.float64) + Alo.astype(jnp.float64)
         if self._has_proj:
             C, Mr, Pp = A64.shape
@@ -458,7 +499,9 @@ class DeviceAssembly:
         bucket_groups = {}
         T = 0
         scalar_parts = []          # (offset, b, rows, cols)
+        self._g_range = np.zeros(len(self.blocks) + 1, dtype=np.int64)
         for b, blk in enumerate(self.blocks):
+            self._g_range[b] = T
             asm = blk.asm
             n = asm.A.shape[1]
             scol = self._scol[b]
@@ -499,6 +542,7 @@ class DeviceAssembly:
                 grp[2].append(T)                     # this entry's tiles
                 grp[3].append((b, r0, scol[cols]))
                 T += k * u
+        self._g_range[len(self.blocks)] = T
         self._g_total = T
         # position-indexed scatter arrays + one batched Cholesky and one
         # vectorised index fill per (k, u) group — no per-entry Python

@@ -307,6 +307,13 @@ def adjust_tpu_blocked(net: NetworkData,
                 bs, nested_part, dtype=np.float32,
                 factors=factors,
                 streamed=staged, mesh=mesh, matvec=matvec)
+            if device_asm:
+                # the nested factors are self-contained (Ainv/Y + level
+                # 2/3 inverses); the f32 normals pools are rebuilt next
+                # re-linearisation — free them now (HBM at national
+                # scale).  Refinement residuals come from the A-based
+                # host matvec, not these pools.
+                bs.Nii = bs.Nij = bs.Njj = None
         else:
             # device assembly: the f32 pools are already device-resident
             # (zero per-iteration upload beyond the scalar tiles); host
