@@ -436,7 +436,9 @@ class DeviceAssembly:
                 Blo = _scatter_scalar_tiles(
                     jnp.zeros(shape, jnp.float32), gb[t0:t1] - b0,
                     gr[t0:t1], gc3[t0:t1], self._putr(lo[t0:t1]))
-                parts.append(gram_f64(Bhi, Blo))
+                g = gram_f64(Bhi, Blo)
+                np.asarray(g.ravel()[:1])    # real barrier (tunnel)
+                parts.append(g)
             N = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         N = _add_diag_tiles(N, self._d_b, self._d_c3, self._d_v64)
         ni = self.ni

@@ -114,9 +114,9 @@ def gram_f64(hi, lo, nslices=NSLICES, cross_max=CROSS_MAX,
         return _gram_sliced(hi, lo, nslices, cross_max, bits)
     acc = None
     for m0 in range(0, M, rmax):
-        g = _gram_sliced(hi[..., m0:m0 + rmax, :],
-                         lo[..., m0:m0 + rmax, :], nslices, cross_max,
-                         bits)
+        g = _sync(_gram_sliced(hi[..., m0:m0 + rmax, :],
+                               lo[..., m0:m0 + rmax, :], nslices,
+                               cross_max, bits))
         acc = g if acc is None else acc + g
     return acc
 
@@ -180,6 +180,7 @@ def matmul_f64(ahi, alo, bhi, blo, nslices=NSLICES,
                                bhi[..., m0:m0 + rmax, :],
                                blo[..., m0:m0 + rmax, :],
                                nslices, cross_max, bits, False)
+        _sync(g)
         acc = g if acc is None else acc + g
     return acc
 
@@ -206,6 +207,14 @@ def _use_sliced() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _sync(x):
+    """Genuine completion barrier (block_until_ready is a no-op over
+    the tunnel runtime): serialises chunked dispatches so their slice
+    transients never coexist in HBM."""
+    np.asarray(x.ravel()[:1])
+    return x
+
+
 def _batch_chunks(nbytes_per_batch, n, budget=None):
     """Divisor batch-chunk size keeping the sliced kernel's transient
     slice copies (~(NSLICES+2)x f32 of the operands) under budget."""
@@ -226,7 +235,7 @@ def xgram64(B64):
     C = _batch_chunks(hi[0].size * 4 * (NSLICES + 2), n)
     if C == n:
         return gram_f64(hi, lo)
-    return jnp.concatenate([gram_f64(hi[k:k + C], lo[k:k + C])
+    return jnp.concatenate([_sync(gram_f64(hi[k:k + C], lo[k:k + C]))
                             for k in range(0, n, C)])
 
 
@@ -245,6 +254,6 @@ def xmatmul64(A64, B64, transa: bool = False):
     if C == n:
         return matmul_f64(ahi, alo, bhi, blo, transa=transa)
     return jnp.concatenate(
-        [matmul_f64(ahi[k:k + C], alo[k:k + C], bhi[k:k + C],
-                    blo[k:k + C], transa=transa)
+        [_sync(matmul_f64(ahi[k:k + C], alo[k:k + C], bhi[k:k + C],
+                          blo[k:k + C], transa=transa))
          for k in range(0, n, C)])

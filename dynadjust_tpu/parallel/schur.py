@@ -45,6 +45,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _hard_sync(x):
+    """Actually wait for a device value.  jax.block_until_ready is a
+    silent no-op over the tunnel-attached device runtime in this
+    environment — chunked dispatch loops that rely on it for workspace
+    serialisation instead enqueue everything at once and exhaust HBM at
+    national scale.  A 1-element host materialisation genuinely blocks
+    (4-byte download)."""
+    np.asarray(x.ravel()[:1])
+    return x
+
+
 @dataclass
 class BlockSystem:
     """Padded batched block normal systems.
@@ -1453,8 +1464,11 @@ def _nested_factor_stage1(Nii, Nij, Njj, jmap, jmask, sb_of_block,
     di, dj, djg = _nested_scale_vecs(Nii, Njj, jmap, jmask,
                                      nj_total=nj_total)
     C = next(c for c in range(min(16, B), 0, -1) if B % c == 0)
-    parts = [_nested_chunk_factor(Nii, Nij, Njj, di, dj, k, C=C)
-             for k in range(B // C)]
+    parts = []
+    for k in range(B // C):
+        pk = _nested_chunk_factor(Nii, Nij, Njj, di, dj, k, C=C)
+        _hard_sync(pk[0])        # serialise chunk workspaces (HBM)
+        parts.append(pk)
     # free the unscaled normals before concatenating the factor pieces:
     # the concat transient (one full-size copy) plus the inputs would
     # exceed HBM at national scale (dispatch order guarantees the queued
@@ -1523,8 +1537,11 @@ def _nested_factor_stage2(Nii2, Nij2, Njj2, i2mask, j2mask, j2map,
     python-chunked (one dispatch per super-block; measured 6.1G temp
     arena for the monolithic jit at 250k stations)."""
     SB = Nii2.shape[0]
-    parts = [_nested_l2_factor_one(Nii2, Nij2, i2mask, k)
-             for k in range(SB)]
+    parts = []
+    for k in range(SB):
+        pk = _nested_l2_factor_one(Nii2, Nij2, i2mask, k)
+        _hard_sync(pk[0])
+        parts.append(pk)
     del Nii2, Nij2
     A2inv = jnp.stack([p[0] for p in parts])
     Y2 = jnp.stack([p[1] for p in parts])
@@ -1655,24 +1672,22 @@ class NestedSchurFactors:
         # serialise the big dispatches: async enqueue keeps several
         # matvec workspaces (transposed operand copies) alive at once,
         # which tips HBM over at national scale
-        w = jax.block_until_ready(jnp.einsum("bij,bj->bi", Ainv, bi))
+        w = _hard_sync(jnp.einsum("bij,bj->bi", Ainv, bi))
         self._probe("apply w", w)
-        t_b = jax.block_until_ready(
+        t_b = _hard_sync(
             (bj - jnp.einsum("bkj,bk->bj", Y, bi)) * self.jmask)
         self._probe("apply t_b", t_b)
         bi2, bj2 = _scatter_l2_rhs(t_b, self.sbb, self.l2slot,
                                    part.SB, part.ni2, part.nj2)
-        w2 = jax.block_until_ready(
-            jnp.einsum("bij,bj->bi", A2inv, bi2))
+        w2 = _hard_sync(jnp.einsum("bij,bj->bi", A2inv, bi2))
         self._probe("apply w2", w2)
         t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2)) * self.j2mask
         t2 = jnp.zeros((self.nsj_total,), dtype=t2_b.dtype)
         t2 = t2.at[self.j2map.reshape(-1)].add(t2_b.reshape(-1))
-        xsj = jax.block_until_ready(Sinv @ t2)
+        xsj = _hard_sync(Sinv @ t2)
         self._probe("apply xsj", xsj)
         xsj_b = xsj[self.j2map] * self.j2mask
-        xi2 = jax.block_until_ready(
-            w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b))
+        xi2 = _hard_sync(w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b))
 
         # junction reconstruction on host: two-level gathers compile
         # pathologically slowly on the TPU toolchain, and the vectors are
