@@ -362,31 +362,47 @@ class DeviceAssembly:
             return np.zeros((0, 3), dtype=dtype)
         return np.concatenate(parts).astype(dtype)
 
-    def build_device(self, values=None, dtype=None, base=None,
-                     wdiag=None, vt_buckets=None, pmat=None,
-                     diag_vals=None):
+    def build_device(self, values=None):
         """Assemble the (Nii, Nij, Njj) pools on device from the current
-        host A fill.  All overrides default to the compiled f32 plan;
-        build_f64() passes f64 variants for the covariance stage."""
-        dtype = dtype or self.dtype
+        host A fill — ONE fused jitted program (scatter, projection,
+        weight application, AᵀV⁻¹A, constraint diagonals, slicing), so
+        XLA's buffer assignment reuses the pool-sized intermediates
+        instead of a chain of op-by-op dispatches each holding its
+        operands live (the difference between ~7 GB and ~13 GB of HBM at
+        national scale)."""
         vals = self._putr(values if values is not None
-                          else self.scalar_values(dtype))
-        if base is None:
-            base = self._zeros_pool((self.Bp, self.M, self.Pp), dtype)
-        A = _scatter_scalar_tiles(base, self._t_b, self._t_r,
-                                  self._t_c3, vals)
-        if self._has_proj:
-            A = _project_columns(A, pmat if pmat is not None else self.Pmat)
-        WA = A * (wdiag if wdiag is not None else self.wdiag)[:, :, None]
-        for k, bb, rr, VT in (vt_buckets if vt_buckets is not None
-                              else self._vt_buckets):
-            WA = _bucket_weight_rows(A, WA, bb, rr, VT, k)
-        N = _gemm_pools(A, WA)
-        N = _add_diag_tiles(N, self._d_b, self._d_c3,
-                            diag_vals if diag_vals is not None
-                            else self._d_v)
-        ni = self.ni
-        return N[:, :ni, :ni], N[:, :ni, ni:], N[:, ni:, ni:]
+                          else self.scalar_values(self.dtype))
+        if not hasattr(self, "_build_jit"):
+            shape = (self.Bp, self.M, self.Pp)
+            ni = self.ni
+            has_proj = self._has_proj
+            nbuckets = [k for k, _, _, _ in self._vt_buckets]
+
+            def f(vals, tb, tr, tc3, wdiag, pmat, db, dc3, dv, bucket):
+                A = jnp.zeros(shape, vals.dtype) \
+                    .at[tb[:, None], tr[:, None], tc3].set(vals)
+                if has_proj:
+                    B_, M_, P_ = A.shape
+                    A = jnp.einsum("bmsk,bskl->bmsl",
+                                   A.reshape(B_, M_, P_ // 3, 3), pmat,
+                                   precision=_HI).reshape(B_, M_, P_)
+                WA = A * wdiag[:, :, None]
+                for k, (bb, rr, VT) in zip(nbuckets, bucket):
+                    rows = rr[:, None] + jnp.arange(k)
+                    G = A[bb[:, None], rows, :]
+                    out = jnp.einsum("nij,njp->nip", VT, G,
+                                     precision=_HI)
+                    WA = WA.at[bb[:, None], rows, :].set(out)
+                N = jnp.einsum("bmi,bmj->bij", A, WA, precision=_HI)
+                N = N.at[db[:, None, None], dc3[:, :, None],
+                         dc3[:, None, :]].add(dv)
+                return N[:, :ni, :ni], N[:, :ni, ni:], N[:, ni:, ni:]
+
+            self._build_jit = jax.jit(f)
+        return self._build_jit(
+            vals, self._t_b, self._t_r, self._t_c3, self.wdiag,
+            self.Pmat, self._d_b, self._d_c3, self._d_v,
+            tuple((bb, rr, VT) for _, bb, rr, VT in self._vt_buckets))
 
     def build_f64(self):
         """One-time near-f64 pools for the covariance stage.
