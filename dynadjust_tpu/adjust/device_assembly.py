@@ -393,7 +393,16 @@ class DeviceAssembly:
                     out = jnp.einsum("nij,njp->nip", VT, G,
                                      precision=_HI)
                     WA = WA.at[bb[:, None], rows, :].set(out)
-                N = jnp.einsum("bmi,bmj->bij", A, WA, precision=_HI)
+                # row-chunked product: HIGHEST-precision f32 einsums
+                # materialise 3x bf16 slice copies of both operands —
+                # chunking the contraction keeps those slice transients
+                # to a few hundred MB at national scale
+                RC = 256
+                N = None
+                for m0 in range(0, shape[1], RC):
+                    g = jnp.einsum("bmi,bmj->bij", A[:, m0:m0 + RC],
+                                   WA[:, m0:m0 + RC], precision=_HI)
+                    N = g if N is None else N + g
                 N = N.at[db[:, None, None], dc3[:, :, None],
                          dc3[:, None, :]].add(dv)
                 return N[:, :ni, :ni], N[:, :ni, ni:], N[:, ni:, ni:]
