@@ -375,24 +375,49 @@ class DeviceAssembly:
         if not hasattr(self, "_build_jit"):
             shape = (self.Bp, self.M, self.Pp)
             ni = self.ni
-            has_proj = self._has_proj
-            nbuckets = [k for k, _, _, _ in self._vt_buckets]
+            nbuckets = [int(k) for k, _, _, _ in self._vt_buckets]
+            # constrained-station projection as a sparse column update
+            # (a full-pool reshape+einsum forces two 3 GB layout copies)
+            pb, pc, pm = [], [], []
+            for b, blk in enumerate(self.blocks):
+                scol = self._scol[b]
+                for g, Pg in self.basis.proj.items():
+                    l = blk.asm.local.get(g)
+                    if l is not None:
+                        pb.append(b)
+                        pc.append(int(scol[l]))
+                        pm.append(Pg)
+            proj_idx = (np.asarray(pb, dtype=np.int32),
+                        3 * np.asarray(pc, dtype=np.int32)[:, None]
+                        + np.arange(3, dtype=np.int32),
+                        np.stack(pm).astype(self.dtype)
+                        if pm else np.zeros((0, 3, 3), self.dtype))
+            # bucket entry chunks: the dominant single-baseline GNSS
+            # group gathers most of the pool's rows — bound each gather
+            bc_budget = float(os.environ.get("DTA_BUCKET_CHUNK_BYTES",
+                                             4e8))
 
-            def f(vals, tb, tr, tc3, wdiag, pmat, db, dc3, dv, bucket):
+            def f(vals, tb, tr, tc3, wdiag, db, dc3, dv, bucket, proj):
                 A = jnp.zeros(shape, vals.dtype) \
                     .at[tb[:, None], tr[:, None], tc3].set(vals)
-                if has_proj:
-                    B_, M_, P_ = A.shape
-                    A = jnp.einsum("bmsk,bskl->bmsl",
-                                   A.reshape(B_, M_, P_ // 3, 3), pmat,
-                                   precision=_HI).reshape(B_, M_, P_)
+                prb, prc3, prm = proj
+                if prb.shape[0]:
+                    G = A[prb[:, None], :, prc3]       # (n, 3, M)
+                    out = jnp.einsum("nkm,nkl->nlm", G, prm,
+                                     precision=_HI)
+                    A = A.at[prb[:, None], :, prc3].set(out)
                 WA = A * wdiag[:, :, None]
                 for k, (bb, rr, VT) in zip(nbuckets, bucket):
-                    rows = rr[:, None] + jnp.arange(k)
-                    G = A[bb[:, None], rows, :]
-                    out = jnp.einsum("nij,njp->nip", VT, G,
-                                     precision=_HI)
-                    WA = WA.at[bb[:, None], rows, :].set(out)
+                    nE = bb.shape[0]
+                    ec = max(1, int(bc_budget / (k * shape[2] * 4)))
+                    for e0 in range(0, nE, ec):
+                        bbc = bb[e0:e0 + ec]
+                        rows = rr[e0:e0 + ec][:, None] + jnp.arange(k)
+                        G = A[bbc[:, None], rows, :]
+                        out = jnp.einsum("nij,njp->nip",
+                                         VT[e0:e0 + ec], G,
+                                         precision=_HI)
+                        WA = WA.at[bbc[:, None], rows, :].set(out)
                 # row-chunked product: HIGHEST-precision f32 einsums
                 # materialise 3x bf16 slice copies of both operands —
                 # chunking the contraction keeps those slice transients
@@ -408,10 +433,12 @@ class DeviceAssembly:
                 return N[:, :ni, :ni], N[:, :ni, ni:], N[:, ni:, ni:]
 
             self._build_jit = jax.jit(f)
+            self._proj_idx = tuple(self._putr(x) for x in proj_idx)
         return self._build_jit(
             vals, self._t_b, self._t_r, self._t_c3, self.wdiag,
-            self.Pmat, self._d_b, self._d_c3, self._d_v,
-            tuple((bb, rr, VT) for _, bb, rr, VT in self._vt_buckets))
+            self._d_b, self._d_c3, self._d_v,
+            tuple((bb, rr, VT) for _, bb, rr, VT in self._vt_buckets),
+            self._proj_idx)
 
     def build_f64(self):
         """One-time near-f64 pools for the covariance stage.
