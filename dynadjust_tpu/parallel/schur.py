@@ -1750,6 +1750,11 @@ def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
     # with `refine` as the floor
     rhs_scale = max(float(np.abs(bs.bi).max()),
                     float(np.abs(rhs_j_global).max()), 1e-30)
+    # DTA_MAX_REFINE bounds the residual-driven rounds: each streamed
+    # apply re-uploads the factor pools over the tunnel (~GBs at
+    # national scale), so capacity runs trade tail accuracy for
+    # wall-clock explicitly
+    max_refine = int(os.environ.get("DTA_MAX_REFINE", max_refine))
     max_refine = max(refine, max_refine)
     prev_rel = np.inf
     for round_no in range(max_refine):
