@@ -31,14 +31,19 @@ class BlockCovProvider:
         # primary (first-appearance) block per station — the block whose
         # rigorous variances the reference reports for the station
         self._primary = {}
+        self._blocks_of = {}
         for b, st in enumerate(self.block_stations):
             for g in st:
                 self._primary.setdefault(int(g), b)
+                self._blocks_of.setdefault(int(g), []).append(b)
         self._cache = OrderedDict()
         self._cache_blocks = cache_blocks
 
-    def block_of(self, g: int) -> int:
-        return self._primary[int(g)]
+    def block_of(self, g: int) -> int | None:
+        """Primary (first-appearance) block of station g, or None for a
+        station absent from every block (the writers then print no
+        covariances for it instead of crashing)."""
+        return self._primary.get(int(g))
 
     def block_cov(self, b: int) -> np.ndarray:
         c = self._cache.get(b)
@@ -52,24 +57,32 @@ class BlockCovProvider:
         return c
 
     def partners(self, g: int):
-        """Stations sharing g's primary block (including g)."""
-        return self.block_stations[self.block_of(g)]
+        """Stations sharing ANY block with g (including g itself) —
+        junction stations co-occur with different partners in each block
+        they appear in, and the per-block variance printing covers every
+        such pair (pair_cov resolves whichever block holds the pair).
+        Empty for a station absent from every block."""
+        bl = self._blocks_of.get(int(g))
+        if not bl:
+            return np.zeros(0, dtype=np.int64)
+        if len(bl) == 1:
+            return self.block_stations[bl[0]]
+        seen = {}
+        for b in bl:
+            for s in self.block_stations[b]:
+                seen.setdefault(int(s), None)
+        return np.fromiter(seen.keys(), dtype=np.int64, count=len(seen))
 
     def pair_cov(self, i: int, j: int) -> np.ndarray | None:
         """(3,3) covariance of stations i, j, or None when they share no
-        block (the reference's phased mode likewise prints none)."""
-        b = self._primary.get(int(i))
-        if b is None:
-            return None
-        lj = self._local[b].get(int(j))
-        if lj is None:
-            bj = self._primary.get(int(j))
-            if bj is None:
-                return None
-            if int(i) in self._local[bj]:
-                b, lj = bj, self._local[bj][int(j)]
-            else:
-                return None
-        li = self._local[b][int(i)]
-        C = self.block_cov(b)
-        return C[3 * li:3 * li + 3, 3 * lj:3 * lj + 3]
+        block (the reference's phased mode likewise prints none).
+        Resolved in whichever block holds BOTH stations — junction
+        pairs may co-occur only in a non-primary block of either."""
+        i, j = int(i), int(j)
+        for b in self._blocks_of.get(i, ()):
+            lj = self._local[b].get(j)
+            if lj is not None:
+                li = self._local[b][i]
+                C = self.block_cov(b)
+                return C[3 * li:3 * li + 3, 3 * lj:3 * lj + 3]
+        return None

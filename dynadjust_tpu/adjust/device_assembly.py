@@ -55,32 +55,6 @@ def _scatter_scalar_tiles(A_base, bidx, ridx, c3, vals):
 
 
 @partial(jax.jit, static_argnames=())
-def _project_columns(A_pool, Pmat):
-    """Per-station-column 3×3 projection: A[:, :, 3s:3s+3] @ Pmat[b, s]."""
-    B, M, Pp = A_pool.shape
-    Ap = A_pool.reshape(B, M, Pp // 3, 3)
-    Ap = jnp.einsum("bmsk,bskl->bmsl", Ap, Pmat, precision=_HI)
-    return Ap.reshape(B, M, Pp)
-
-
-@partial(jax.jit, static_argnames=("k",))
-def _bucket_weight_rows(A_pool, WA, bidx, r0, VT, k):
-    """Overwrite the k consecutive rows of each bucket entry with
-    Vᵀ @ A_rows (the host weight plan's exact convention,
-    assembler.py _compile_weight_plan)."""
-    rows = r0[:, None] + jnp.arange(k)
-    G = A_pool[bidx[:, None], rows, :]                 # (n, k, P)
-    out = jnp.einsum("nij,njp->nip", VT, G, precision=_HI)
-    return WA.at[bidx[:, None], rows, :].set(out)
-
-
-@partial(jax.jit, static_argnames=())
-def _gemm_pools(A_pool, WA):
-    """N = Aᵀ (V A): one batched MXU matmul per block pool."""
-    return jnp.einsum("bmi,bmj->bij", A_pool, WA, precision=_HI)
-
-
-@partial(jax.jit, static_argnames=())
 def _add_diag_tiles(N_pool, bidx, c3, vals):
     """Scatter-add (K, 3, 3) constraint/padding tiles onto the diagonal."""
     return N_pool.at[bidx[:, None, None], c3[:, :, None],
@@ -108,8 +82,11 @@ class DeviceAssembly:
 
         ki_l = [len(p[0]) for p in part]
         kj_l = [len(p[1]) for p in part]
-        ni = max(ki_l) if ki_l else 1
-        nj = max(max(kj_l), 1) if kj_l else 1
+        ni = max(ki_l) if ki_l else 3
+        # pad an all-inner segmentation's junction dim to 3 (not 1): Pp
+        # must stay a multiple of 3 for the per-station-column reshapes
+        # (projection, Pmat, device_stats)
+        nj = max(max(kj_l), 3) if kj_l else 3
         M = max(blk.asm.nrows for blk in blocks)
         self.ni, self.nj, self.M = ni, nj, M
         self.Pp = ni + nj                      # pooled params per block
@@ -170,15 +147,6 @@ class DeviceAssembly:
                              lambda b: blocks[b].Wc)
 
     # ------------------------------------------------------------------
-    def _zeros_pool(self, shape, dtype):
-        """Zeros created with the pools' sharding (block axis over the
-        mesh when one is set) — never a host upload."""
-        if self.mesh is None:
-            return jnp.zeros(shape, dtype)
-        sh = NamedSharding(self.mesh, P(self.axis))
-        return jax.jit(lambda: jnp.zeros(shape, dtype),
-                       out_shardings=sh)()
-
     def _scalar_row_tiles(self, b):
         """(rows, local-station, flat-A-index) triples of every scalar
         design-row tile of block b, vectorised over the vector-fill

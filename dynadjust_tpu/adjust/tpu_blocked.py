@@ -438,11 +438,16 @@ def adjust_tpu_blocked(net: NetworkData,
             da, bs,
             cov_factors=cov_factors if super_blocks == 0 else None,
             nested=((factors, nested_part) if super_blocks > 0 else None))
+    # pre-group the device GNSS VCVs per block once — the per-block
+    # filtering scan was O(B x total_GNSS_rows) python at national scale
+    vcv3_by_block = {}
+    if use_dev_stats and dev_vcv3:
+        for (bb, r), m in dev_vcv3.items():
+            vcv3_by_block.setdefault(bb, {})[r] = m
     for b, blk in enumerate(blocks):
         inner_p, junc_p, junc_g = part[b]
         if use_dev_stats:
-            vb = {r: m for (bb, r), m in dev_vcv3.items() if bb == b} \
-                if dev_vcv3 else {}
+            vb = vcv3_by_block.get(b, {})
             rows, c2, outl, ps, pn = _measurement_stats(
                 blk.asm, net, None, blk.est, crit,
                 adj_prec=dev_prec[b][:blk.asm.nrows], adj_vcv3=vb)

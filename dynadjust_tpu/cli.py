@@ -133,7 +133,19 @@ def _cmd_import(args) -> int:
                       "file to be listed first", file=sys.stderr)
                 return 1
             rows_m, _ = read_bms(path)
-            measurements.extend(records_from_rows(rows_m, _bst_names))
+            recs_m = records_from_rows(rows_m, _bst_names)
+            dbid_path = path[:-4] + ".dbid"
+            if os.path.exists(dbid_path):
+                # re-attach measurement database ids (LoadDatabaseId)
+                from .io_formats.dbid import read_dbid, apply_dbid
+                from types import SimpleNamespace
+                try:
+                    apply_dbid(SimpleNamespace(measurements=recs_m),
+                               read_dbid(dbid_path))
+                except ValueError as e:
+                    print(f"- Warning: ignoring {dbid_path}: {e}",
+                          file=sys.stderr)
+            measurements.extend(recs_m)
         elif path.endswith(".msr"):
             recs, mframe, mepoch = read_dna_msr(path)
             measurements.extend(recs)
@@ -495,12 +507,17 @@ def _cmd_import(args) -> int:
         # import writes: bst/bms/asl/aml/map)
         from .io_formats.binary import (write_bst, write_bms,
                                         write_asl_aml, write_map)
+        from .io_formats.dbid import write_dbid
         base = os.path.join(args.output_folder, args.network_name)
         write_bst(f"{base}.bst", net)
         write_bms(f"{base}.bms", net)
         write_asl_aml(f"{base}.asl", f"{base}.aml", net)
         write_map(f"{base}.map", net)
-        print(f"+ Exported binary files: {base}.bst/.bms/.asl/.aml/.map")
+        # measurement database ids, one record per binary row (the
+        # reference's SerialiseDatabaseId, dnainterop.cpp:5117)
+        write_dbid(f"{base}.dbid", net)
+        print(f"+ Exported binary files: "
+              f"{base}.bst/.bms/.asl/.aml/.map/.dbid")
     if getattr(args, "output_msr_to_stn", False):
         from .output.adj_writer import msr_to_stn_lines
         sort = {0: "name", 1: "count", 2: "file_order"}.get(
@@ -886,6 +903,13 @@ def _cmd_adjust(args) -> int:
             from .adjust.tpu_blocked import adjust_tpu_blocked
             mesh = None
             ndev = getattr(args, "devices", 0)
+            if ndev and args.staged_adjustment:
+                # host-streamed factors are single-device; a mesh would
+                # raise deep inside adjust_tpu_blocked
+                print("- Error: --devices cannot be combined with "
+                      "--staged-adjustment (host-streamed factors are "
+                      "single-device)", file=sys.stderr)
+                return 1
             if ndev:
                 # multi-chip: shard the blocks axis over the first N
                 # devices (jax.distributed multi-host when initialised —

@@ -244,9 +244,16 @@ def frame_epsg_string(frame: str) -> str:
 
 def frame_from_epsg(epsg: str) -> str:
     try:
-        return _EPSG_FRAME.get(int(epsg), "")
+        code = int(epsg)
     except (TypeError, ValueError):
         return ""
+    hit = _EPSG_FRAME.get(code, "")
+    if hit:
+        return hit
+    # full registry fallback: any code the reference accepts
+    # (params/epsg.py — NAD83(CSRS) family, SIRGAS, WGS84 variants)
+    from ..params.datums import frame_from_epsg_code
+    return frame_from_epsg_code(code)
 
 
 # ---------------------------------------------------------------------------

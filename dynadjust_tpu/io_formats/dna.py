@@ -93,6 +93,7 @@ class GpsObs:
     vec: np.ndarray             # (3,) X/Y/Z or lat/lon/h (Y LLH)
     vcv: np.ndarray             # (3, 3) full (symmetrised) apriori VCV
     covs: list = field(default_factory=list)  # 3x3 blocks to FOLLOWING obs
+    msr_id: int | None = None   # measurement database id (msr_database_id_map)
 
 
 @dataclass
@@ -110,6 +111,10 @@ class GpsCluster:
     cluster_id: int = 0
     obs_epoch: str = ""         # epoch of observation (v1.2 metadata)
     source: str = ""            # provenance tag (<Source>, issue #317)
+    # database ids (msr_database_id_map, dnameasurement.hpp:497): the
+    # cluster-level database id printed by --output-database-ids and
+    # serialised to .dbid (dnainterop.cpp:5117)
+    db_cluster_id: int | None = None
 
 
 @dataclass
@@ -127,6 +132,7 @@ class Measurement:
     epoch: str = ""
     obs_epoch: str = ""         # epoch of observation (v1.2 metadata)
     source: str = ""            # provenance tag (<Source>, issue #317)
+    msr_id: int | None = None   # measurement database id
 
 
 @dataclass
@@ -142,6 +148,10 @@ class DirectionSet:
     epoch: str = ""
     obs_epoch: str = ""         # epoch of observation (v1.2 metadata)
     source: str = ""            # provenance tag (<Source>, issue #317)
+    msr_id: int | None = None   # database id of the set (RO row)
+    db_cluster_id: int | None = None
+    # per-direction database ids, parallel to `directions` (None = unset)
+    direction_ids: list | None = None
 
 
 def _ffld(line: str, layout: dict, name: str) -> float:
@@ -278,6 +288,19 @@ class _MsrReader:
         except ValueError:
             return _float_prefix(v)
 
+    def dbids(self, line):
+        """(msr_id, cluster_id) database ids, None when blank — the
+        trailing columns the reference writes when database ids are set
+        (WriteDNAMsr, dmw.msr_id_msr/msr_id_cluster)."""
+        out = []
+        for name in ("id_msr", "id_cluster"):
+            v = self.f(line, name)
+            try:
+                out.append(int(v) if v else None)
+            except ValueError:
+                out.append(None)
+        return tuple(out)
+
 
 def read_dna_msr(path: str):
     """Read a DNA measurement file.
@@ -340,6 +363,7 @@ def _read_angular(rd: _MsrReader, line, mtype, ignore) -> Measurement:
     m.targ_height = _float_prefix(rd.f(line, "targ_ht"))
     m.epoch = rd.f(line, "epoch") or rd.epoch
     m.obs_epoch = rd.f(line, "obs_epoch")
+    m.msr_id = rd.dbids(line)[0]
     return m
 
 
@@ -354,6 +378,7 @@ def _read_linear(rd: _MsrReader, line, mtype, ignore) -> Measurement:
     m.targ_height = _float_prefix(rd.f(line, "targ_ht"))
     m.epoch = rd.f(line, "epoch") or rd.epoch
     m.obs_epoch = rd.f(line, "obs_epoch")
+    m.msr_id = rd.dbids(line)[0]
     return m
 
 
@@ -367,7 +392,9 @@ def _read_directions(rd: _MsrReader, line, ignore):
         epoch=rd.f(line, "epoch") or rd.epoch,
         obs_epoch=rd.f(line, "obs_epoch"),
     )
+    ds.msr_id, ds.db_cluster_id = rd.dbids(line)
     count = int(rd.f(line, "targ2"))
+    dir_ids = []
     for _ in range(count):
         dline = rd.next()
         d_ignore = _fld(dline, rd.layout, "ignore") == "*"
@@ -377,6 +404,9 @@ def _read_directions(rd: _MsrReader, line, ignore):
             rd.stddev(dline) * _SEC_TO_RAD,
             d_ignore,
         ))
+        dir_ids.append(rd.dbids(dline)[0])
+    if any(i is not None for i in dir_ids):
+        ds.direction_ids = dir_ids
     return ds
 
 
@@ -443,13 +473,16 @@ def _read_gps_baselines(rd: _MsrReader, line, mtype, ignore, cid) -> GpsCluster:
                     vscale=vscale, pscale=pscale, lscale=lscale,
                     hscale=hscale, epsg_frame=refframe, epoch=ep,
                     cluster_id=cid, obs_epoch=rd.f(line, "obs_epoch"))
+    mid, cl.db_cluster_id = rd.dbids(line)
     first, second = rd.f(line, "inst"), rd.f(line, "targ1")
     for b in range(count):
         if b > 0:
             hline = rd.next()
             first, second = rd.f(hline, "inst"), rd.f(hline, "targ1")
+            mid = rd.dbids(hline)[0]
         vec, vcv = _read_vcv_rows(rd)
-        obs = GpsObs(first=first, second=second, vec=vec, vcv=vcv)
+        obs = GpsObs(first=first, second=second, vec=vec, vcv=vcv,
+                     msr_id=mid)
         for _ in range(count - 1 - b):
             obs.covs.append(_read_cov_block(rd))
         cl.obs.append(obs)
@@ -464,17 +497,20 @@ def _read_gps_points(rd: _MsrReader, line, ignore, cid) -> GpsCluster:
                     vscale=vscale, pscale=pscale, lscale=lscale,
                     hscale=hscale, epsg_frame=refframe, epoch=ep,
                     cluster_id=cid, obs_epoch=rd.f(line, "obs_epoch"))
+    mid, cl.db_cluster_id = rd.dbids(line)
     first = rd.f(line, "inst")
     for p in range(count):
         if p > 0:
             hline = rd.next()
             first = rd.f(hline, "inst")
+            mid = rd.dbids(hline)[0]
         vec, vcv = _read_vcv_rows(rd)
         if coord_type.upper() in ("LLH", "LLH".lower(), "LLh"):
             # lat/lon given in packed DMS; convert to radians
             vec = np.array([float(dms_to_rad(vec[0])),
                             float(dms_to_rad(vec[1])), vec[2]])
-        obs = GpsObs(first=first, second="", vec=vec, vcv=vcv)
+        obs = GpsObs(first=first, second="", vec=vec, vcv=vcv,
+                     msr_id=mid)
         for _ in range(count - 1 - p):
             obs.covs.append(_read_cov_block(rd))
         cl.obs.append(obs)

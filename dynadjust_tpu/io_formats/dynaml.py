@@ -74,6 +74,13 @@ def _parse_measurement(el, frame, epoch, cluster_id):
     m_epoch = _txt(el, "Epoch", epoch)
     obs_epoch = _txt(el, "EpochOfObservation", "")
 
+    def _id(e, tag="MeasurementID"):
+        v = _txt(e, tag)
+        try:
+            return int(v) if v else None
+        except ValueError:
+            return None
+
     if mtype in ("G", "X", "Y"):
         cl = GpsCluster(
             mtype=mtype, ignore=ignore,
@@ -84,6 +91,8 @@ def _parse_measurement(el, frame, epoch, cluster_id):
             hscale=_num(el, "Hscale", 1.0) or 1.0,
             epsg_frame=m_frame, epoch=m_epoch, cluster_id=cluster_id,
             obs_epoch=obs_epoch, source=source)
+        cl.db_cluster_id = _id(el, "ClusterID")
+        top_id = _id(el)
         first = _txt(el, "First")
         second = _txt(el, "Second")
         tag = "GPSBaseline" if mtype in ("G", "X") else "Clusterpoint"
@@ -104,7 +113,9 @@ def _parse_measurement(el, frame, epoch, cluster_id):
             V[1, 2] = V[2, 1] = _num(ob_el, "SigmaYZ")
             V[2, 2] = _num(ob_el, "SigmaZZ")
             ob = GpsObs(first=first, second=second if mtype != "Y" else "",
-                        vec=vec, vcv=V)
+                        vec=vec, vcv=V,
+                        msr_id=(_id(ob_el) if _id(ob_el) is not None
+                                else top_id))
             for cov_el in ob_el.findall(cov_tag):
                 C = np.array([
                     [_num(cov_el, "m11"), _num(cov_el, "m12"),
@@ -123,6 +134,9 @@ def _parse_measurement(el, frame, epoch, cluster_id):
             ro_value=float(dms_to_rad(_num(el, "Value"))),
             ro_sd=_num(el, "StdDev") * _SEC_TO_RAD, epoch=m_epoch,
             obs_epoch=obs_epoch, source=source)
+        ds.msr_id = _id(el)
+        ds.db_cluster_id = _id(el, "ClusterID")
+        dir_ids = []
         for d_el in el.findall("Directions"):
             ds.directions.append((
                 _txt(d_el, "Target"),
@@ -130,6 +144,9 @@ def _parse_measurement(el, frame, epoch, cluster_id):
                 _num(d_el, "StdDev") * _SEC_TO_RAD,
                 _is_ignored(d_el),
             ))
+            dir_ids.append(_id(d_el))
+        if any(i is not None for i in dir_ids):
+            ds.direction_ids = dir_ids
         return ds
 
     m = Measurement(mtype=mtype, ignore=ignore, first=_txt(el, "First"),
@@ -143,6 +160,7 @@ def _parse_measurement(el, frame, epoch, cluster_id):
         m.sd = _num(el, "StdDev")
     m.inst_height = _num(el, "InstHeight")
     m.targ_height = _num(el, "TargHeight")
+    m.msr_id = _id(el)
     return m
 
 
@@ -261,6 +279,12 @@ def write_dynaml_msr(path: str, net, comment: str = ""):
                 L.append(f"      <SigmaYY>{V[1, 1]:.10e}</SigmaYY>")
                 L.append(f"      <SigmaYZ>{V[1, 2]:.10e}</SigmaYZ>")
                 L.append(f"      <SigmaZZ>{V[2, 2]:.10e}</SigmaZZ>")
+                if ob.msr_id is not None:
+                    L.append(f"      <MeasurementID>{ob.msr_id}"
+                             f"</MeasurementID>")
+                if getattr(rec, "db_cluster_id", None) is not None:
+                    L.append(f"      <ClusterID>{rec.db_cluster_id}"
+                             f"</ClusterID>")
                 for C in ob.covs:
                     L.append(f"      <{cov_tag}>")
                     for r in range(3):
@@ -285,13 +309,21 @@ def write_dynaml_msr(path: str, net, comment: str = ""):
                 L.append(f"    <EpochOfObservation>{rec.obs_epoch}"
                          f"</EpochOfObservation>")
             L.append(f"    <Total>{len(rec.directions)}</Total>")
-            for (t, v, sd, ign) in rec.directions:
+            if getattr(rec, "msr_id", None) is not None:
+                L.append(f"    <MeasurementID>{rec.msr_id}"
+                         f"</MeasurementID>")
+            dir_ids = getattr(rec, "direction_ids", None) or \
+                [None] * len(rec.directions)
+            for (t, v, sd, ign), did in zip(rec.directions, dir_ids):
                 L.append("    <Directions>")
                 L.append(f"      <Ignore>{'*' if ign else ''}</Ignore>")
                 L.append(f"      <Target>{t}</Target>")
                 L.append(f"      <Value>{float(rad_to_dms(v)):.6f}"
                          f"</Value>")
                 L.append(f"      <StdDev>{sd * RAD_TO_SEC:.4f}</StdDev>")
+                if did is not None:
+                    L.append(f"      <MeasurementID>{did}"
+                             f"</MeasurementID>")
                 L.append("    </Directions>")
             L.append("  </DnaMeasurement>")
         elif isinstance(rec, Measurement):
@@ -321,6 +353,9 @@ def write_dynaml_msr(path: str, net, comment: str = ""):
             if getattr(rec, "obs_epoch", "") and rec.obs_epoch != rec.epoch:
                 L.append(f"    <EpochOfObservation>{rec.obs_epoch}"
                          f"</EpochOfObservation>")
+            if getattr(rec, "msr_id", None) is not None:
+                L.append(f"    <MeasurementID>{rec.msr_id}"
+                         f"</MeasurementID>")
             L.append("  </DnaMeasurement>")
     L.append("</DnaXmlFormat>")
     with open(path, "w") as f:

@@ -93,6 +93,13 @@ def _parse_measurement(d, frame, epoch, cluster_id):
     m_epoch = d.get("Epoch", epoch) or epoch
     obs_epoch = str(d.get("EpochOfObservation", "") or "")
 
+    def _id(obj, key="MeasurementID"):
+        v = str(obj.get(key, "") or "")
+        try:
+            return int(v) if v else None
+        except ValueError:
+            return None
+
     if mtype in ("G", "X", "Y"):
         coord_type = d.get("Coords", "XYZ") or "XYZ"
         cl = GpsCluster(
@@ -103,6 +110,8 @@ def _parse_measurement(d, frame, epoch, cluster_id):
             hscale=_f(d, "Hscale", 1.0) or 1.0,
             epsg_frame=m_frame, epoch=m_epoch, cluster_id=cluster_id,
             obs_epoch=obs_epoch)
+        cl.db_cluster_id = _id(d, "ClusterID")
+        top_id = _id(d)
         first = str(d.get("First", ""))
         second = str(d.get("Second", ""))
         key = "GPSBaseline" if mtype in ("G", "X") else "Clusterpoint"
@@ -121,7 +130,9 @@ def _parse_measurement(d, frame, epoch, cluster_id):
             ob_second = str(ob_d.get("Second") or second)
             ob = GpsObs(first=ob_first,
                         second=ob_second if mtype != "Y" else "",
-                        vec=vec, vcv=_vcv_from(ob_d))
+                        vec=vec, vcv=_vcv_from(ob_d),
+                        msr_id=(_id(ob_d) if _id(ob_d) is not None
+                                else top_id))
             for cov_d in _aslist(ob_d.get(cov_key)):
                 ob.covs.append(_cov_from(cov_d))
             cl.obs.append(ob)
@@ -134,12 +145,18 @@ def _parse_measurement(d, frame, epoch, cluster_id):
             ro_value=float(dms_to_rad(_f(d, "Value"))),
             ro_sd=_f(d, "StdDev") * _SEC_TO_RAD, epoch=m_epoch,
             obs_epoch=obs_epoch)
+        ds.msr_id = _id(d)
+        ds.db_cluster_id = _id(d, "ClusterID")
+        dir_ids = []
         for dd in _aslist(d.get("Directions")):
             ds.directions.append((
                 str(dd.get("Target", "")),
                 float(dms_to_rad(_f(dd, "Value"))),
                 _f(dd, "StdDev") * _SEC_TO_RAD,
                 str(dd.get("Ignore", "")).strip() != ""))
+            dir_ids.append(_id(dd))
+        if any(i is not None for i in dir_ids):
+            ds.direction_ids = dir_ids
         return ds
 
     m = Measurement(mtype=mtype, ignore=ignore,
@@ -155,4 +172,5 @@ def _parse_measurement(d, frame, epoch, cluster_id):
         m.sd = _f(d, "StdDev")
     m.inst_height = _f(d, "InstHeight")
     m.targ_height = _f(d, "TargHeight")
+    m.msr_id = _id(d)
     return m

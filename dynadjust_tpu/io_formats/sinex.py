@@ -131,6 +131,25 @@ def read_sinex(path: str, frame: str = "", epoch: str = "",
     return stations, [cl], frame, epoch_str
 
 
+def _dms_spaced(rad: float, precision: int = 5) -> str:
+    """FormatDmsString(RadtoDms(rad), precision, withSpaces=True,
+    withSymbols=False) parity (dnatemplatefuncs.hpp:253): packed-DMS
+    fixed-format, decimal point -> space, a space after the minutes,
+    and (precision > 4) a decimal point inside the seconds —
+    e.g. 133°53'07.8" -> '133 53 07.8'."""
+    s = f"{float(rad_to_dms(rad)):.{precision}f}"
+    dec = s.find(".")
+    if dec == 0:
+        s = "0" + s
+        dec = 1
+    out = s[:dec] + " " + s[dec + 1:]
+    if precision > 2:
+        out = out[:dec + 3] + " " + out[dec + 3:]
+    if precision > 4:
+        out = out[:dec + 6] + "." + out[dec + 6:]
+    return out
+
+
 def write_sinex(path: str, net, res, agency: str = "DTA"):
     """Write adjusted station estimates + covariance as SINEX 2.01."""
     now = datetime.datetime.now()
@@ -146,11 +165,29 @@ def write_sinex(path: str, net, res, agency: str = "DTA"):
     L.append("+SITE/ID")
     L.append("*CODE PT __DOMES__ T _STATION DESCRIPTION__ APPROX_LON_ "
              "APPROX_LAT_ _APP_H_")
+    # columns per the reference writer (snx_file_writer.cpp:213-238):
+    # name[:4], "A", name[:9] in the DOMES field, T="P", description,
+    # then approx lon/lat as "ddd mm ss.sssss" (FormatDmsString
+    # precision 5 with spaces) and the height at 7.1
     for i in range(S):
         code = net.names[i][:4].ljust(4)
-        L.append(f" {code}  A           C {net.descriptions[i][:22]:<22}"
-                 f"{'':12}{'':12}{res.height[i]:8.1f}")
+        domes = net.names[i][:9].ljust(9)
+        lon_s = _dms_spaced(res.lon[i], 5)
+        lat_s = _dms_spaced(res.lat[i], 5)
+        L.append(f" {code}  A {domes} P {net.descriptions[i][:22]:<22} "
+                 f"{lon_s:>11} {lat_s:>11} {res.height[i]:7.1f}")
     L.append("-SITE/ID")
+    L.append("+SOLUTION/STATISTICS")
+    L.append("*_STATISTICAL PARAMETER________ __VALUE(S)____________")
+    # the reference prints observation/unknown counts, DoF and the
+    # variance factor (SerialiseStatistics, snx_file_writer.cpp:242-262)
+    L.append(f" {'NUMBER OF OBSERVATIONS':<30} "
+             f"{res.measurement_count:>22}")
+    L.append(f" {'NUMBER OF UNKNOWNS':<30} {res.unknown_count:>22}")
+    L.append(f" {'NUMBER OF DEGREES OF FREEDOM':<30} "
+             f"{res.measurement_count - res.unknown_count:>22}")
+    L.append(f" {'VARIANCE FACTOR':<30} {res.sigma_zero:>22.6f}")
+    L.append("-SOLUTION/STATISTICS")
     L.append("+SOLUTION/ESTIMATE")
     L.append("*INDEX TYPE__ CODE PT SOLN _REF_EPOCH__ UNIT S "
              "__ESTIMATED VALUE____ _STD_DEV___")

@@ -458,6 +458,18 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
     lines.append("-" * (206 + (STAT if tstat else 0)))
 
     stats_rows = res.msr_stats
+    if database_ids:
+        # annotate every row with its database id while rows are still
+        # in record order (per-record occurrence counters resolve which
+        # direction / cluster baseline a row belongs to); conversions
+        # and sorts below carry the annotation with the row
+        occ = {}
+        for r in stats_rows:
+            rec = (net.measurements[r.rec_idx]
+                   if r.rec_idx < len(net.measurements) else None)
+            k = occ.get(r.rec_idx, 0)
+            occ[r.rec_idx] = k + 1
+            r._dbid = _row_msr_id(rec, k)
     if not include_ignored:
         stats_rows = [r for r in stats_rows if not r.ignore]
 
@@ -477,8 +489,11 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
                 .startswith("LL")):
             p = point_no.get(r.rec_idx, 0)
             point_no[r.rec_idx] = p + 1
-            y_llh.extend(_y_llh_rows(net, res, stats_rows[i:i + 3],
-                                     rec, p, sigma0))
+            conv = _y_llh_rows(net, res, stats_rows[i:i + 3],
+                               rec, p, sigma0)
+            for cr in conv:                     # carry the database id
+                cr._dbid = getattr(r, "_dbid", None)
+            y_llh.extend(conv)
             i += 3
         else:
             y_llh.append(r)
@@ -505,8 +520,10 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
         while i < len(stats_rows):
             r = stats_rows[i]
             if r.mtype in ("G", "X", "Y") and r.cardinal == "X" and                     i + 2 < len(stats_rows):
-                converted.extend(_gnss_alt_rows(
-                    net, stats_rows[i:i + 3], units))
+                conv = _gnss_alt_rows(net, stats_rows[i:i + 3], units)
+                for cr in conv:                 # carry the database id
+                    cr._dbid = getattr(r, "_dbid", None)
+                converted.extend(conv)
                 i += 3
             else:
                 converted.append(r)
@@ -552,14 +569,39 @@ def measurement_lines(net: NetworkData, res, msr_prec_m=4,
         outlier = f"{'*':>{OUTLIER}}" if r.outlier else f"{'':{OUTLIER}}"
         line = head + body + outlier
         if database_ids:
-            line += f"{r.rec_idx:>{STDDEV}}"
+            # real database ids from the records (parsed from input /
+            # .dbid, io_formats/dbid.py); blank when unset — the
+            # reference prints spaces for unset ids
+            # (PrintMeasurementDatabaseID, dnaadjust_printer.cpp:239)
+            rec = net.measurements[r.rec_idx] \
+                if r.rec_idx < len(net.measurements) else None
+            mid = getattr(r, "_dbid", None)
+            line += (f"{mid:>{STDDEV}}" if mid is not None
+                     else " " * STDDEV)
             if r.mtype in ("D", "G", "X", "Y"):
-                rec = net.measurements[r.rec_idx] \
-                    if r.rec_idx < len(net.measurements) else None
-                cid = getattr(rec, "cluster_id", 0) or r.rec_idx
-                line += f"{cid:>{STDDEV}}"
+                cid = getattr(rec, "db_cluster_id", None)
+                line += (f"{cid:>{STDDEV}}" if cid is not None
+                         else " " * STDDEV)
         lines.append(line)
     return lines
+
+
+def _row_msr_id(rec, k: int):
+    """Database id of the k-th stat row of a record: scalar -> its own
+    id; direction set -> the k-th direction's id; GPS cluster -> the
+    (k//3)-th baseline/point's id (rows come as X/Y/Z triples)."""
+    from ..io_formats.dna import GpsCluster, DirectionSet
+    if rec is None:
+        return None
+    if isinstance(rec, GpsCluster):
+        b = k // 3
+        return rec.obs[b].msr_id if b < len(rec.obs) else None
+    if isinstance(rec, DirectionSet):
+        ids = rec.direction_ids
+        if ids is not None and k < len(ids):
+            return ids[k]
+        return rec.msr_id
+    return getattr(rec, "msr_id", None)
 
 
 def _sec(rad: float) -> float:

@@ -57,8 +57,13 @@ _DATUM_ELLIPSOIDS = {
 
 def ellipsoid_for_datum(name: str) -> Ellipsoid:
     key = name.upper().replace(" ", "")
-    if key.startswith("ITRF") or key.startswith("NAD83"):
+    if key.startswith("ITRF") or key.startswith("NAD83") \
+            or key.startswith("SIRGAS"):
+        # SIRGAS intentionally GRS80: "epsg.org has incorrectly assigned
+        # WGS 84 ellipsoid to SIRGAS ROU98" (dnaepsg.hpp spheroid table)
         return GRS80
+    if key.startswith("YACARE"):
+        return INTERNATIONAL1924
     if key.startswith("WGS84"):
         return WGS84
     return _DATUM_ELLIPSOIDS.get(key, GRS80)
