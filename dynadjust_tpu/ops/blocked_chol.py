@@ -113,24 +113,38 @@ def blocked_spd_inverse(Nii):
     return _ee("bki,bkj->bij", Linv, Linv)
 
 
-def block_reduce(Nii, Nij, Njj, backend: str = "blocked"):
+def block_reduce(Nii, Nij, Njj, backend: str = None):
     """Per-block inner-station elimination from f32 blocked normals:
 
         Ainv = Nii^-1;  Y = Ainv Nij;  S_b = Njj - Nij^T Y
 
-    backend: 'blocked' (this module, default), 'pallas' (fused VMEM
-    kernel, ops/pallas_schur.py), 'xla' (monolithic cholesky+cho_solve).
+    backend: 'rec' (recursive GEMM-rich inversion, ops/recursive_inv —
+    default; measured 35% f32 MFU at (9, 3456) vs ~6% for the tiled
+    left-looking version), 'blocked' (this module), 'pallas' (fused
+    VMEM kernel, ops/pallas_schur.py), 'xla' (monolithic
+    cholesky+cho_solve).  DTA_FACTOR_BACKEND overrides.
     """
-    f32 = jnp.float32
-    Nii = Nii.astype(f32)
-    Nij = Nij.astype(f32)
-    Njj = Njj.astype(f32)
+    import os
+    if backend is None:
+        backend = os.environ.get("DTA_FACTOR_BACKEND", "rec")
+    # preserve the caller's working precision (f64 callers exist: the
+    # nested factors built with dtype=float64 on CPU); only the pallas
+    # kernel is f32-only
+    dt = jnp.promote_types(Nii.dtype, jnp.float32)
+    Nii = Nii.astype(dt)
+    Nij = Nij.astype(dt)
+    Njj = Njj.astype(dt)
+    if backend == "rec":
+        from .recursive_inv import block_reduce_rec
+        return block_reduce_rec(Nii, Nij, Njj)
     if backend == "pallas":
         from .pallas_schur import fused_block_reduce
-        return fused_block_reduce(Nii, Nij, Njj)
+        return fused_block_reduce(Nii.astype(jnp.float32),
+                                  Nij.astype(jnp.float32),
+                                  Njj.astype(jnp.float32))
     if backend == "xla":
         L = jnp.linalg.cholesky(Nii)
-        eye = jnp.eye(Nii.shape[1], dtype=f32)
+        eye = jnp.eye(Nii.shape[1], dtype=dt)
         Ainv = jax.scipy.linalg.cho_solve(
             (L, True), jnp.broadcast_to(eye, Nii.shape))
         Y = _ee("bij,bjk->bik", Ainv, Nij)

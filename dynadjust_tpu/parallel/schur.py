@@ -461,8 +461,8 @@ def _schur_factor_inv_jit(Nii, Nij, Njj, jmap, jmask, nj_total,
         S = jax.lax.psum(S, axis)
     diag = jnp.diag(S)
     S = S + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
-    Lj = jnp.linalg.cholesky(S)
-    Sinv = _chunked_spd_inverse(Lj)
+    from ..ops.recursive_inv import spd_inverse_rec_safe
+    Sinv = spd_inverse_rec_safe(S[None])[0]
     return Ainv, Y, Sinv, di, dj, djg, Nij_s
 
 
@@ -996,7 +996,7 @@ class DeviceSchurFactors:
         return (np.asarray(xi, dtype=np.float64)[:self.B_real],
                 np.asarray(xj, dtype=np.float64)[:self.bs.nj_global])
 
-    def newton_factors(self, rounds: int = 2, N64=None):
+    def newton_factors(self, rounds: int = 3, N64=None):
         """f64 Newton-refined covariance factors (one-time, for the
         variance-extraction stage after convergence).  For 'inv64' the
         factors are already f64-exact.  N64: device-resident f64 pools
@@ -1408,20 +1408,17 @@ def _nested_scale_vecs(Nii, Njj, jmap, jmask, nj_total):
 def _nested_chunk_factor(Nii, Nij, Njj, di, dj, k, C):
     """Scale + factor + invert C level-1 blocks starting at block k·C.
     Explicit inverses (the reference's dpotri, dnaadjust.cpp:6586) make
-    every apply a pure MXU matmul."""
+    every apply a pure MXU matmul.  The factorization itself goes
+    through ops/blocked_chol.block_reduce (recursive GEMM-rich backend
+    by default — the MFU-critical op)."""
+    from ..ops.blocked_chol import block_reduce
     sl = lambda A: jax.lax.dynamic_slice_in_dim(A, k * C, C)
     Nii_c, Nij_c, Njj_c = sl(Nii), sl(Nij), sl(Njj)
     di_c, dj_c = sl(di), sl(dj)
     Nii_c = Nii_c * di_c[:, :, None] * di_c[:, None, :]
     Nij_c = Nij_c * di_c[:, :, None] * dj_c[:, None, :]
     Njj_c = Njj_c * dj_c[:, :, None] * dj_c[:, None, :]
-    L_c = jnp.linalg.cholesky(Nii_c)
-    Y_c = jax.scipy.linalg.cho_solve((L_c, True), Nij_c)
-    eye1 = jnp.eye(Nii.shape[1], dtype=Nii.dtype)
-    Ainv_c = jax.scipy.linalg.cho_solve(
-        (L_c, True), jnp.broadcast_to(eye1, Nii_c.shape))
-    S_c = Njj_c - jnp.einsum("bki,bkj->bij", Nij_c, Y_c, precision=_HI)
-    return Ainv_c, Y_c, S_c
+    return block_reduce(Nii_c, Nij_c, Njj_c)
 
 
 @partial(jax.jit, static_argnames=("SB", "ni2", "nj2"))
@@ -1438,17 +1435,13 @@ def _nested_factor_stage1_monolithic(Nii, Nij, Njj, jmap, jmask,
     NamedSharding'd, GSPMD partitions the batched cholesky/inverse per
     shard and turns the level-2 scatter into an all-reduce; the
     python-chunked _nested_factor_stage1 exists for single-chip HBM."""
+    from ..ops.blocked_chol import block_reduce
     di, dj, djg = _nested_scale_vecs(Nii, Njj, jmap, jmask,
                                      nj_total=nj_total)
     Nii_s = Nii * di[:, :, None] * di[:, None, :]
     Nij_s = Nij * di[:, :, None] * dj[:, None, :]
     Njj_s = Njj * dj[:, :, None] * dj[:, None, :]
-    L = jnp.linalg.cholesky(Nii_s)
-    Y = jax.scipy.linalg.cho_solve((L, True), Nij_s)
-    eye1 = jnp.eye(Nii.shape[1], dtype=Nii.dtype)
-    Ainv = jax.scipy.linalg.cho_solve(
-        (L, True), jnp.broadcast_to(eye1, Nii_s.shape))
-    S_b = Njj_s - jnp.einsum("bki,bkj->bij", Nij_s, Y, precision=_HI)
+    Ainv, Y, S_b = block_reduce(Nii_s, Nij_s, Njj_s)
     Nii2, Nij2, Njj2 = _nested_l2_assemble(S_b, jmask, sb_of_block,
                                            l2slot, SB=SB, ni2=ni2,
                                            nj2=nj2)
@@ -1486,29 +1479,32 @@ def _nested_factor_stage1(Nii, Nij, Njj, jmap, jmask, sb_of_block,
 
 @jax.jit
 def _nested_l2_factor_one(Nii2, Nij2, i2mask, k):
-    """Factor + invert ONE level-2 (super-block) system."""
+    """Factor + invert ONE level-2 (super-block) system (recursive
+    GEMM-rich inverse — ops/recursive_inv)."""
+    from ..ops.recursive_inv import spd_inverse_rec_safe
     Nii2b = jax.lax.dynamic_slice_in_dim(Nii2, k, 1)[0]
     Nij2b = jax.lax.dynamic_slice_in_dim(Nij2, k, 1)[0]
     mask_b = jax.lax.dynamic_slice_in_dim(i2mask, k, 1)[0]
     eye = jnp.eye(Nii2b.shape[0], dtype=Nii2b.dtype)
     Nii2b = Nii2b + eye * (1.0 - mask_b)[None, :] * \
         jnp.where(eye > 0, 1.0, 0.0)
-    L2b = jnp.linalg.cholesky(Nii2b)
-    Y2b = jax.scipy.linalg.cho_solve((L2b, True), Nij2b)
-    A2invb = jax.scipy.linalg.cho_solve((L2b, True), eye)
+    A2invb = spd_inverse_rec_safe(Nii2b[None])[0]
+    Y2b = jnp.einsum("ij,jk->ik", A2invb, Nij2b, precision=_HI)
     S2b = - jnp.einsum("ki,kj->ij", Nij2b, Y2b, precision=_HI)
     return A2invb, Y2b, S2b
 
 
 @partial(jax.jit, static_argnames=("nsj_total",))
-def _nested_l3_chol(S2_b, Njj2, j2mask, j2map, nsj_total):
-    """Assemble + Cholesky-factor the super-junction system."""
+def _nested_l3_inv(S2_b, Njj2, j2mask, j2map, nsj_total):
+    """Assemble + invert the super-junction system (recursive
+    GEMM-rich inverse)."""
+    from ..ops.recursive_inv import spd_inverse_rec_safe
     S2_b = (Njj2 + S2_b) * j2mask[:, :, None] * j2mask[:, None, :]
     S2, _ = _scatter_junction(S2_b, jnp.zeros_like(S2_b[..., 0]), j2map,
                               nsj_total)
     diag = jnp.diag(S2)
     S2 = S2 + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
-    return jnp.linalg.cholesky(S2)
+    return spd_inverse_rec_safe(S2[None])[0]
 
 
 @partial(jax.jit, static_argnames=("chunk",))
@@ -1547,9 +1543,8 @@ def _nested_factor_stage2(Nii2, Nij2, Njj2, i2mask, j2mask, j2map,
     Y2 = jnp.stack([p[1] for p in parts])
     S2_b = jnp.stack([p[2] for p in parts])
     del parts
-    Lj = _nested_l3_chol(S2_b, Njj2, j2mask, j2map, nsj_total=nsj_total)
+    Sinv = _nested_l3_inv(S2_b, Njj2, j2mask, j2map, nsj_total=nsj_total)
     del S2_b, Njj2
-    Sinv = _chunked_spd_inverse(Lj)
     return A2inv, Y2, Sinv
 
 
@@ -1783,16 +1778,11 @@ def _streamed_chunk_factor(Nii_c, Nij_c, Njj_c, di_c, dj_c):
     """Scale + factor + invert one host-resident chunk of level-1 blocks.
     Same math as _nested_chunk_factor, but the chunk arrives from host
     RAM instead of being sliced out of device-resident normals."""
+    from ..ops.blocked_chol import block_reduce
     Nii_c = Nii_c * di_c[:, :, None] * di_c[:, None, :]
     Nij_c = Nij_c * di_c[:, :, None] * dj_c[:, None, :]
     Njj_c = Njj_c * dj_c[:, :, None] * dj_c[:, None, :]
-    L_c = jnp.linalg.cholesky(Nii_c)
-    Y_c = jax.scipy.linalg.cho_solve((L_c, True), Nij_c)
-    eye1 = jnp.eye(Nii_c.shape[1], dtype=Nii_c.dtype)
-    Ainv_c = jax.scipy.linalg.cho_solve(
-        (L_c, True), jnp.broadcast_to(eye1, Nii_c.shape))
-    S_c = Njj_c - jnp.einsum("bki,bkj->bij", Nij_c, Y_c, precision=_HI)
-    return Ainv_c, Y_c, S_c
+    return block_reduce(Nii_c, Nij_c, Njj_c)
 
 
 @partial(jax.jit, static_argnames=("SB", "ni2", "nj2"),
@@ -2003,7 +1993,7 @@ class StreamedNestedSchurFactors:
 # nested a-posteriori covariance extraction (for adjusted-measurement stats)
 # ---------------------------------------------------------------------------
 
-def _newton_l1_chunk(Nii_c, Nij_c, Njj_c, di_c, dj_c, Ainv_c, rounds=2):
+def _newton_l1_chunk(Nii_c, Nij_c, Njj_c, di_c, dj_c, Ainv_c, rounds=3):
     """f64 Newton-Schulz on one host-resident chunk of level-1 inverses:
     returns (refined Ainv, Y = Ainv·Nij, Schur piece S) all f64.  The
     covariance counterpart of the solve path's rhs refinement — see
@@ -2023,7 +2013,7 @@ def _newton_l1_chunk(Nii_c, Nij_c, Njj_c, di_c, dj_c, Ainv_c, rounds=2):
     return A, Y, S_c
 
 
-def _newton_l2_one(Nii2, Nij2, i2mask, A2inv32, k, rounds=2):
+def _newton_l2_one(Nii2, Nij2, i2mask, A2inv32, k, rounds=3):
     """f64 Newton-Schulz on ONE level-2 inverse (same pinning as
     _nested_l2_factor_one); returns (A2inv, Y2, S2) f64.  Products via
     xmatmul64 (sliced bf16 MXU on TPU)."""
@@ -2043,7 +2033,7 @@ def _newton_l2_one(Nii2, Nij2, i2mask, A2inv32, k, rounds=2):
     return A2, Y2b, S2b
 
 
-def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, rounds=2):
+def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, rounds=3):
     """Assemble the f64 super-junction system and Newton-refine its
     inverse from the f32 one (products via xmatmul64)."""
     from ..ops.slicegemm import xmatmul64
@@ -2060,7 +2050,7 @@ def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, rounds=2):
     return Si
 
 
-def _nested_newton_refine_cov(self, rounds: int = 2, N64=None):
+def _nested_newton_refine_cov(self, rounds: int = 3, N64=None):
     """One-time f64 Newton refinement of the nested f32 factors for the
     variance-extraction stage: level-1 inverses are refined chunk-by-chunk
     (host-streamed, so HBM holds one f64 chunk at a time), the level-2

@@ -35,7 +35,7 @@ def test_blocked_cholesky_linv(spd_batch):
     assert err < 1e-4          # f32 working precision
 
 
-@pytest.mark.parametrize("backend", ["blocked", "xla"])
+@pytest.mark.parametrize("backend", ["rec", "blocked", "xla"])
 def test_block_reduce_backends(spd_batch, backend):
     from dynadjust_tpu.ops.blocked_chol import block_reduce
     Nii, Nij, Njj = spd_batch
