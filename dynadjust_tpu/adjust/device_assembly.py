@@ -213,11 +213,14 @@ class DeviceAssembly:
             bidx.append(np.full(len(all_rows), b, dtype=np.int32))
             ridx.append(all_rows)
             cidx.append(all_cols)
-        self._t_b = self._putr(np.concatenate(bidx).astype(np.int32))
-        self._t_r = self._putr(np.concatenate(ridx).astype(np.int32))
+        self._t_b_h = np.concatenate(bidx).astype(np.int32)
+        self._t_r_h = np.concatenate(ridx).astype(np.int32)
         c = np.concatenate(cidx).astype(np.int32)
-        self._t_c3 = self._putr(3 * c[:, None] + np.arange(3,
-                                                           dtype=np.int32))
+        self._t_c3_h = (3 * c[:, None]
+                        + np.arange(3, dtype=np.int32))
+        self._t_b = self._putr(self._t_b_h)
+        self._t_r = self._putr(self._t_r_h)
+        self._t_c3 = self._putr(self._t_c3_h)
         # per-block combined tile counts (scalar then gps), for chunked
         # scatters (a64_chunk)
         self._t_range = np.zeros(self.B + 1, dtype=np.int64)
@@ -287,13 +290,14 @@ class DeviceAssembly:
                 cb.append(b)
                 cc.append(q)
                 cv.append(np.eye(3))
-        self._d_b = self._putr(np.asarray(cb, dtype=np.int32))
+        self._d_b_h = np.asarray(cb, dtype=np.int32)
         c = np.asarray(cc, dtype=np.int32)
-        self._d_c3 = self._putr(3 * c[:, None] + np.arange(3,
-                                                           dtype=np.int32))
-        self._d_v = self._putr(np.stack(cv).astype(self.dtype)
-                               if cv else np.zeros((0, 3, 3),
-                                                   dtype=self.dtype))
+        self._d_c3_h = 3 * c[:, None] + np.arange(3, dtype=np.int32)
+        self._d_v_h = (np.stack(cv).astype(self.dtype)
+                       if cv else np.zeros((0, 3, 3), dtype=self.dtype))
+        self._d_b = self._putr(self._d_b_h)
+        self._d_c3 = self._putr(self._d_c3_h)
+        self._d_v = self._putr(self._d_v_h)
         self._d_v64 = self._putr(np.stack(cv).astype(np.float64)
                                  if cv else np.zeros((0, 3, 3)))
 
@@ -330,22 +334,10 @@ class DeviceAssembly:
             return np.zeros((0, 3), dtype=dtype)
         return np.concatenate(parts).astype(dtype)
 
-    def build_device(self, values=None):
-        """Assemble the (Nii, Nij, Njj) pools on device from the current
-        host A fill — ONE fused jitted program (scatter, projection,
-        weight application, AᵀV⁻¹A, constraint diagonals, slicing), so
-        XLA's buffer assignment reuses the pool-sized intermediates
-        instead of a chain of op-by-op dispatches each holding its
-        operands live (the difference between ~7 GB and ~13 GB of HBM at
-        national scale)."""
-        vals = self._putr(values if values is not None
-                          else self.scalar_values(self.dtype))
-        if not hasattr(self, "_build_jit"):
-            shape = (self.Bp, self.M, self.Pp)
-            ni = self.ni
-            nbuckets = [int(k) for k, _, _, _ in self._vt_buckets]
-            # constrained-station projection as a sparse column update
-            # (a full-pool reshape+einsum forces two 3 GB layout copies)
+    def _proj_host(self):
+        """Host-side sparse constrained-column projection entries
+        (block, 3-col index, 3x3 projector)."""
+        if not hasattr(self, "_proj_host_cache"):
             pb, pc, pm = [], [], []
             for b, blk in enumerate(self.blocks):
                 scol = self._scol[b]
@@ -355,11 +347,51 @@ class DeviceAssembly:
                         pb.append(b)
                         pc.append(int(scol[l]))
                         pm.append(Pg)
-            proj_idx = (np.asarray(pb, dtype=np.int32),
-                        3 * np.asarray(pc, dtype=np.int32)[:, None]
-                        + np.arange(3, dtype=np.int32),
-                        np.stack(pm).astype(self.dtype)
-                        if pm else np.zeros((0, 3, 3), self.dtype))
+            self._proj_host_cache = (
+                np.asarray(pb, dtype=np.int32),
+                3 * np.asarray(pc, dtype=np.int32)[:, None]
+                + np.arange(3, dtype=np.int32),
+                np.stack(pm).astype(self.dtype)
+                if pm else np.zeros((0, 3, 3), self.dtype))
+        return self._proj_host_cache
+
+    def _auto_chunk_blocks(self) -> int:
+        """Blocks per fused-build chunk so the build's peak HBM stays
+        under DTA_BUILD_HBM_BUDGET (default 6 GB): the fused program
+        holds A + WA (each C·M·Pp f32) plus the HIGHEST-einsum bf16
+        slice transients — ~3x C·M·Pp·4 bytes total — alongside the
+        full output pools and the previous iteration's factors."""
+        budget = float(os.environ.get("DTA_BUILD_HBM_BUDGET", 6e9))
+        per_block = 3.0 * self.M * self.Pp * 4.0
+        out_bytes = self.Bp * (self.ni ** 2 + self.ni * self.nj
+                               + self.nj ** 2) * 4.0
+        c = int(max(1.0, (budget - 2.0 * out_bytes) / per_block))
+        return min(c, self.Bp)
+
+    def build_device(self, values=None):
+        """Assemble the (Nii, Nij, Njj) pools on device from the current
+        host A fill — ONE fused jitted program (scatter, projection,
+        weight application, AᵀV⁻¹A, constraint diagonals, slicing), so
+        XLA's buffer assignment reuses the pool-sized intermediates
+        instead of a chain of op-by-op dispatches each holding its
+        operands live (the difference between ~7 GB and ~13 GB of HBM at
+        national scale).  Past DTA_BUILD_HBM_BUDGET the build runs
+        block-chunked (_build_device_chunked) — one compiled chunk
+        program, uniform shapes — which is what lets the 100k-station
+        resident configuration fit the single 16 GB chip."""
+        if self.mesh is None:
+            C = self._auto_chunk_blocks()
+            if C < self.Bp:
+                return self._build_device_chunked(C, values)
+        vals = self._putr(values if values is not None
+                          else self.scalar_values(self.dtype))
+        if not hasattr(self, "_build_jit"):
+            shape = (self.Bp, self.M, self.Pp)
+            ni = self.ni
+            nbuckets = [int(k) for k, _, _, _ in self._vt_buckets]
+            # constrained-station projection as a sparse column update
+            # (a full-pool reshape+einsum forces two 3 GB layout copies)
+            proj_idx = self._proj_host()
             # bucket entry chunks: the dominant single-baseline GNSS
             # group gathers most of the pool's rows — bound each gather
             bc_budget = float(os.environ.get("DTA_BUCKET_CHUNK_BYTES",
@@ -407,6 +439,188 @@ class DeviceAssembly:
             self._d_b, self._d_c3, self._d_v,
             tuple((bb, rr, VT) for _, bb, rr, VT in self._vt_buckets),
             self._proj_idx)
+
+    # -- block-chunked fused build (single-chip national scale) ---------
+    def _chunk_plan(self, C):
+        """Per-chunk index arrays, PADDED to uniform counts so every
+        chunk reuses ONE compiled program.  Padding conventions (all
+        write-safe): tiles/diag pad to the scratch row / zero values
+        with .add; weight-bucket entries pad to the scratch rows
+        [M, M+k); projection entries pad with identity projectors."""
+        Bp_c = ((self.Bp + C - 1) // C) * C
+        nch = Bp_c // C
+        B = self.B
+        tr_ = self._t_range
+        kmax = max([k for k, _, _, _ in self._v_buckets64_h] or [1])
+        Ms = self.M + kmax                      # scratch rows at [M, M+k)
+
+        # tiles
+        tile_counts = []
+        for c in range(nch):
+            b0, b1 = c * C, min((c + 1) * C, B)
+            tile_counts.append(int(tr_[min(b1, B)] - tr_[min(b0, B)])
+                               if b0 < B else 0)
+        Kc = max(max(tile_counts), 1)
+        tiles = []
+        for c in range(nch):
+            b0 = c * C
+            t0 = int(tr_[min(b0, B)])
+            t1 = t0 + tile_counts[c]
+            pad = Kc - tile_counts[c]
+            tb = np.concatenate([self._t_b_h[t0:t1] - b0,
+                                 np.zeros(pad, np.int32)])
+            rr = np.concatenate([self._t_r_h[t0:t1],
+                                 np.full(pad, self.M, np.int32)])
+            c3 = np.concatenate([self._t_c3_h[t0:t1],
+                                 np.tile(np.arange(3, dtype=np.int32),
+                                         (pad, 1))])
+            tiles.append((self._putr(tb.astype(np.int32)),
+                          self._putr(rr.astype(np.int32)),
+                          self._putr(c3.astype(np.int32)),
+                          (t0, t1, pad)))
+
+        # weight buckets, per k: pad entries to the per-k max per chunk
+        buckets = []
+        for k, bb, rr, V in self._v_buckets64_h:
+            sel = [np.nonzero((bb >= c * C) & (bb < (c + 1) * C))[0]
+                   for c in range(nch)]
+            Ec = max(max(len(s) for s in sel), 1)
+            per = []
+            for c, s in enumerate(sel):
+                pad = Ec - len(s)
+                bbc = np.concatenate([bb[s] - c * C,
+                                      np.zeros(pad, np.int32)])
+                rrc = np.concatenate([rr[s],
+                                      np.full(pad, self.M, np.int32)])
+                Vc = np.concatenate(
+                    [V[s], np.zeros((pad,) + V.shape[1:])]) \
+                    .transpose(0, 2, 1)          # back to Vᵀ convention
+                per.append((self._putr(bbc.astype(np.int32)),
+                            self._putr(rrc.astype(np.int32)),
+                            self._putr(np.ascontiguousarray(Vc)
+                                       .astype(self.dtype))))
+            buckets.append((int(k), per))
+
+        # projection entries (identity padding)
+        pb, pc3, pm = self._proj_host()
+        psel = [np.nonzero((pb >= c * C) & (pb < (c + 1) * C))[0]
+                for c in range(nch)]
+        Pc = max(max(len(s) for s in psel), 0)
+        projs = []
+        eye = np.broadcast_to(np.eye(3, dtype=self.dtype), (1, 3, 3))
+        for c, s in enumerate(psel):
+            pad = Pc - len(s)
+            projs.append((
+                self._putr(np.concatenate(
+                    [pb[s] - c * C, np.zeros(pad, np.int32)])
+                    .astype(np.int32)),
+                self._putr(np.concatenate(
+                    [pc3[s], np.tile(np.arange(3, dtype=np.int32),
+                                     (pad, 1))]).astype(np.int32)),
+                self._putr(np.concatenate(
+                    [pm[s]] + [np.repeat(eye, pad, 0)]).astype(self.dtype)
+                    if pad else pm[s].astype(self.dtype))))
+
+        # constraint/pad diagonal tiles (zero padding, .add)
+        dsel = [np.nonzero((self._d_b_h >= c * C)
+                           & (self._d_b_h < (c + 1) * C))[0]
+                for c in range(nch)]
+        Dc = max(max(len(s) for s in dsel), 1)
+        diags = []
+        for c, s in enumerate(dsel):
+            pad = Dc - len(s)
+            diags.append((
+                self._putr(np.concatenate(
+                    [self._d_b_h[s] - c * C, np.zeros(pad, np.int32)])
+                    .astype(np.int32)),
+                self._putr(np.concatenate(
+                    [self._d_c3_h[s], np.tile(np.arange(3, dtype=np.int32),
+                                              (pad, 1))]).astype(np.int32)),
+                self._putr(np.concatenate(
+                    [self._d_v_h[s],
+                     np.zeros((pad, 3, 3), self._d_v_h.dtype)]))))
+
+        # wdiag rows extended with zero scratch rows, pre-chunked
+        wd = np.zeros((Bp_c, Ms), dtype=self.dtype)
+        wd[:self.Bp, :self.M] = np.asarray(self.wdiag)
+        wds = [self._putr(wd[c * C:(c + 1) * C]) for c in range(nch)]
+        return {"C": C, "nch": nch, "Kc": Kc, "Ms": Ms, "tiles": tiles,
+                "buckets": buckets, "projs": projs, "diags": diags,
+                "wdiag": wds}
+
+    def _build_device_chunked(self, C, values=None):
+        if getattr(self, "_chunk_cache", None) is None or \
+                self._chunk_cache["C"] != C:
+            self._chunk_cache = self._chunk_plan(C)
+            if hasattr(self, "_build_chunk_jit"):
+                del self._build_chunk_jit   # chunk shape is baked in
+        plan = self._chunk_cache
+        Ms, ni = plan["Ms"], self.ni
+        shape = (C, Ms, self.Pp)
+        vals_all = (values if values is not None
+                    else self.scalar_values(self.dtype))
+        tr_ = self._t_range
+
+        if not hasattr(self, "_build_chunk_jit"):
+            nbuckets = [k for k, _ in plan["buckets"]]
+            bc_budget = float(os.environ.get("DTA_BUCKET_CHUNK_BYTES",
+                                             4e8))
+            M = self.M
+
+            def f(vals, tb, trr, tc3, wdiag, db, dc3, dv, bucket, proj):
+                A = jnp.zeros(shape, vals.dtype) \
+                    .at[tb[:, None], trr[:, None], tc3].add(vals)
+                prb, prc3, prm = proj
+                if prb.shape[0]:
+                    G = A[prb[:, None], :, prc3]       # (n, 3, Ms)
+                    out = jnp.einsum("nkm,nkl->nlm", G, prm,
+                                     precision=_HI)
+                    A = A.at[prb[:, None], :, prc3].set(out)
+                WA = A * wdiag[:, :, None]
+                for k, (bb, rr, VT) in zip(nbuckets, bucket):
+                    nE = bb.shape[0]
+                    ec = max(1, int(bc_budget / (k * shape[2] * 4)))
+                    for e0 in range(0, nE, ec):
+                        bbc = bb[e0:e0 + ec]
+                        rows = rr[e0:e0 + ec][:, None] + jnp.arange(k)
+                        G = A[bbc[:, None], rows, :]
+                        out = jnp.einsum("nij,njp->nip",
+                                         VT[e0:e0 + ec], G,
+                                         precision=_HI)
+                        WA = WA.at[bbc[:, None], rows, :].set(out)
+                RC = 256
+                N = None
+                for m0 in range(0, M, RC):
+                    g = jnp.einsum("bmi,bmj->bij", A[:, m0:m0 + RC],
+                                   WA[:, m0:m0 + RC], precision=_HI)
+                    N = g if N is None else N + g
+                N = N.at[db[:, None, None], dc3[:, :, None],
+                         dc3[:, None, :]].add(dv)
+                return N[:, :ni, :ni], N[:, :ni, ni:], N[:, ni:, ni:]
+
+            self._build_chunk_jit = jax.jit(f)
+
+        outs = []
+        for c in range(plan["nch"]):
+            tb, rr, c3, (t0, t1, pad) = plan["tiles"][c]
+            v = np.concatenate([vals_all[t0:t1],
+                                np.zeros((pad, 3), vals_all.dtype)]) \
+                if pad else vals_all[t0:t1]
+            db, dc3, dv = plan["diags"][c]
+            out = self._build_chunk_jit(
+                self._putr(np.ascontiguousarray(v)), tb, rr, c3,
+                plan["wdiag"][c], db, dc3, dv,
+                tuple(bk[1][c] for bk in plan["buckets"]),
+                plan["projs"][c])
+            # serialise chunk execution: async enqueue would keep every
+            # chunk's A/WA workspaces alive at once (tunnel quirk: only a
+            # host materialisation is a real barrier)
+            np.asarray(out[0].ravel()[:1])
+            outs.append(out)
+        Nii = jnp.concatenate([o[0] for o in outs])[:self.Bp]
+        Nij = jnp.concatenate([o[1] for o in outs])[:self.Bp]
+        Njj = jnp.concatenate([o[2] for o in outs])[:self.Bp]
+        return Nii, Nij, Njj
 
     def build_f64(self):
         """One-time near-f64 pools for the covariance stage.
