@@ -298,6 +298,8 @@ class DeviceAssembly:
         self._d_b = self._putr(self._d_b_h)
         self._d_c3 = self._putr(self._d_c3_h)
         self._d_v = self._putr(self._d_v_h)
+        self._d_v64_h = (np.stack(cv).astype(np.float64)
+                         if cv else np.zeros((0, 3, 3)))
         self._d_v64 = self._putr(np.stack(cv).astype(np.float64)
                                  if cv else np.zeros((0, 3, 3)))
 
@@ -649,7 +651,11 @@ class DeviceAssembly:
         else:
             # chunk scatter AND product over the block axis: the sliced
             # kernel materialises ~NSLICES f32 copies of its operand and
-            # a full national-scale pool pair would blow HBM by itself
+            # a full national-scale pool pair would blow HBM by itself.
+            # Each chunk's gram lands in preallocated, DONATED output
+            # pools — the former concatenate + full-pool diag add held
+            # two extra copies of the 3 GB f64 pools and OOM'd the
+            # 102,400-stn stats stage
             budget = float(os.environ.get("DTA_GRAM_CHUNK_BYTES", 2e9))
             per_block = self.M * self.Pp * 4.0 * (NSLICES + 4)
             want = max(1, int(budget / per_block))
@@ -658,12 +664,21 @@ class DeviceAssembly:
                      if Bp % c == 0)
             gr_np = self._g_range
             B = self.B
-            parts = []
+            ni, nj, Pp = self.ni, self.nj, self.Pp
+
+            upd = jax.jit(
+                lambda P, g, b0: jax.lax.dynamic_update_slice_in_dim(
+                    P, g, b0, 0), donate_argnums=(0,))
+            split = jax.jit(lambda g: (g[:, :ni, :ni], g[:, :ni, ni:],
+                                       g[:, ni:, ni:]))
+            Nii = jnp.zeros((Bp, ni, ni), jnp.float64)
+            Nij = jnp.zeros((Bp, ni, nj), jnp.float64)
+            Njj = jnp.zeros((Bp, nj, nj), jnp.float64)
             for b0 in range(0, Bp, C):
-                b1 = min(b0 + C, Bp)
+                b1 = b0 + C
                 t0 = int(gr_np[min(b0, B)])
                 t1 = int(gr_np[min(b1, B)])
-                shape = (b1 - b0, self.M, self.Pp)
+                shape = (C, self.M, self.Pp)
                 Bhi = _scatter_scalar_tiles(
                     jnp.zeros(shape, jnp.float32), gb[t0:t1] - b0,
                     gr[t0:t1], gc3[t0:t1], self._putr(hi[t0:t1]))
@@ -671,9 +686,30 @@ class DeviceAssembly:
                     jnp.zeros(shape, jnp.float32), gb[t0:t1] - b0,
                     gr[t0:t1], gc3[t0:t1], self._putr(lo[t0:t1]))
                 g = gram_f64(Bhi, Blo)
-                np.asarray(g.ravel()[:1])    # real barrier (tunnel)
-                parts.append(g)
-            N = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+                gii, gij, gjj = split(g)
+                del g
+                Nii = upd(Nii, gii, b0)
+                Nij = upd(Nij, gij, b0)
+                Njj = upd(Njj, gjj, b0)
+                np.asarray(Njj.ravel()[:1])  # real barrier (tunnel)
+            # diagonal constraint/pad tiles, split by inner/junction
+            # slot (donated adds — no full-pool copies)
+            inner_sel = self._d_c3_h[:, 0] < 3 * (ni // 3)
+            add = jax.jit(
+                lambda P, b, c3, v:
+                P.at[b[:, None, None], c3[:, :, None],
+                     c3[:, None, :]].add(v), donate_argnums=(0,))
+            si = np.nonzero(inner_sel)[0]
+            sj = np.nonzero(~inner_sel)[0]
+            if len(si):
+                Nii = add(Nii, self._putr(self._d_b_h[si]),
+                          self._putr(self._d_c3_h[si]),
+                          self._putr(self._d_v64_h[si]))
+            if len(sj):
+                Njj = add(Njj, self._putr(self._d_b_h[sj]),
+                          self._putr(self._d_c3_h[sj] - ni),
+                          self._putr(self._d_v64_h[sj]))
+            return Nii, Nij, Njj
         N = _add_diag_tiles(N, self._d_b, self._d_c3, self._d_v64)
         ni = self.ni
         return N[:, :ni, :ni], N[:, :ni, ni:], N[:, ni:, ni:]

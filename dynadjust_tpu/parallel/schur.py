@@ -51,7 +51,11 @@ def _hard_sync(x):
     environment — chunked dispatch loops that rely on it for workspace
     serialisation instead enqueue everything at once and exhaust HBM at
     national scale.  A 1-element host materialisation genuinely blocks
-    (4-byte download)."""
+    (4-byte download).  DTA_SCHUR_NOSYNC=1 disables the barrier for
+    small-problem timing runs (each sync costs a ~25 ms tunnel
+    round-trip, which would dominate a benchmarked factor call)."""
+    if os.environ.get("DTA_SCHUR_NOSYNC", "") == "1":
+        return x
     np.asarray(x.ravel()[:1])
     return x
 
@@ -996,12 +1000,14 @@ class DeviceSchurFactors:
         return (np.asarray(xi, dtype=np.float64)[:self.B_real],
                 np.asarray(xj, dtype=np.float64)[:self.bs.nj_global])
 
-    def newton_factors(self, rounds: int = 3, N64=None):
+    def newton_factors(self, rounds: int = None, N64=None):
         """f64 Newton-refined covariance factors (one-time, for the
         variance-extraction stage after convergence).  For 'inv64' the
         factors are already f64-exact.  N64: device-resident f64 pools
         (DeviceAssembly.build_f64) when the normals were assembled on
         device and no host f64 copy exists."""
+        if rounds is None:
+            rounds = int(os.environ.get("DTA_NEWTON_ROUNDS", 3))
         if self.method == "inv64":
             return self.factors
         if self.method != "inv":
@@ -2050,7 +2056,7 @@ def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, rounds=3):
     return Si
 
 
-def _nested_newton_refine_cov(self, rounds: int = 3, N64=None):
+def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
     """One-time f64 Newton refinement of the nested f32 factors for the
     variance-extraction stage: level-1 inverses are refined chunk-by-chunk
     (host-streamed, so HBM holds one f64 chunk at a time), the level-2
@@ -2064,6 +2070,12 @@ def _nested_newton_refine_cov(self, rounds: int = 3, N64=None):
     (DeviceAssembly.build_f64())."""
     if self.dtype == np.float64 or getattr(self, "_cov_l1_h", None):
         return
+    if rounds is None:
+        # 3 squarings by default (covers the recursive backend's f32
+        # starting error with margin); DTA_NEWTON_ROUNDS trades
+        # accuracy for upload volume on streamed national runs, where
+        # each round re-streams the factor pools over the link
+        rounds = int(os.environ.get("DTA_NEWTON_ROUNDS", 3))
     bs, part = self.bs, self.part
     if N64 is None:
         N64 = (bs.Nii, bs.Nij, bs.Njj)
