@@ -54,7 +54,15 @@ def _chunk_cov_nested(factors, part, jmap_c, jmask_c, sl):
     the level-2/3 refined inverses (the batched nested_junction_cov),
     then the same level-1 identities."""
     Ah, Yh = factors._cov_l1_h
-    A2h, Y2h, Sh = factors._l2_host
+    # hoist the chunk-invariant level-2/3 pools to the device ONCE —
+    # re-uploading A2h/Y2h/Sinv per chunk moved ~18 GB over the tunnel
+    # at the 102,400-stn configuration (~40 min of the stats stage)
+    dev = getattr(factors, "_l2_dev", None)
+    if dev is None:
+        A2h, Y2h, Sh = factors._l2_host
+        dev = (jnp.asarray(A2h), jnp.asarray(Y2h), jnp.asarray(Sh))
+        factors._l2_dev = dev
+    A2h, Y2h, Sh = dev
     djg = factors.djg_np
     di_h = (factors.di_h if hasattr(factors, "di_h")
             else np.asarray(factors.factors[5]))
@@ -159,4 +167,6 @@ def device_block_stats(da, bs, cov_factors=None, nested=None,
             v = np.asarray(jnp.einsum("nap,nbp->nab", Gg, Ag))
             for e, r0 in enumerate(rows0):
                 vcv3[(b, int(r0))] = v[e]
+    if nested is not None and hasattr(nested[0], "_l2_dev"):
+        del nested[0]._l2_dev            # free the hoisted device pools
     return adj_prec, vcv3, cov3

@@ -84,6 +84,29 @@ def main():
     log(f"relative residual {rel:.2e}; extrapolated dense host solve "
         f"{t_dense_est/86400:.1f} days -> speedup {t_dense_est/t_solve:.0f}x")
 
+    import json
+    import resource
+    rec = {
+        "stations": S, "baselines": int(len(pairs)),
+        "blocks": len(blocks), "super_blocks": int(part.SB),
+        "streamed": True,
+        "f64_refined_factors":
+            os.environ.get("DTA_STREAMED_F64", "1") != "0",
+        "newton_rounds": int(os.environ.get("DTA_NEWTON_ROUNDS", 3)),
+        "t_factor_refined_solve_s": round(t_solve, 1),
+        "t_reuse_apply_s": round(t_apply, 1),
+        "relative_residual": float(rel),
+        "chunk_blocks": int(factors.C),
+        "peak_host_rss_gb": round(resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 2 ** 20, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(rec))
+    out = os.environ.get("OUTDIR", "/tmp")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, f"streamed_{S}stn.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+
 
 if __name__ == "__main__":
     main()
