@@ -29,12 +29,102 @@ def _num(el, tag, default=0.0):
     return float(t) if t else default
 
 
+# ---------------------------------------------------------------------------
+# XSD-equivalent validation (the reference validates DynaML via a
+# Xerces/XSD grammar, dnainterop.cpp:465 + sampleData/DynaML.xsd; this
+# enforces the same structure in pure python: known element names,
+# required children, required root attribute values)
+# ---------------------------------------------------------------------------
+
+_XSD_SIMPLE = {
+    "Name", "Constraints", "Coords", "Description", "First", "Second",
+    "Third", "Value", "StdDev", "InstHeight", "TargHeight", "Total",
+    "Type", "Ignore", "Vscale", "Pscale", "Lscale", "Hscale", "Height",
+    "HemisphereZone", "Target", "X", "Y", "Z", "XAxis", "YAxis",
+    "SigmaXX", "SigmaXY", "SigmaXZ", "SigmaYY", "SigmaYZ", "SigmaZZ",
+    "Source", "ReferenceFrame", "Epoch", "EpochOfObservation",
+    "MeasurementID", "ClusterID",
+    "m11", "m12", "m13", "m21", "m22", "m23", "m31", "m32", "m33",
+}
+_XSD_MSR_CHILDREN = _XSD_SIMPLE | {"Directions", "GPSBaseline",
+                                   "Clusterpoint"}
+_COV_SEQ = tuple(f"m{r}{c}" for r in (1, 2, 3) for c in (1, 2, 3))
+_VCV_REQ = ("X", "Y", "Z", "SigmaXX", "SigmaXY", "SigmaXZ",
+            "SigmaYY", "SigmaYZ", "SigmaZZ")
+
+
+def _xsd_err(msg):
+    raise ValueError(f"DynaML schema validation: {msg}")
+
+
+def _require(el, names, ctx):
+    have = {c.tag for c in el}
+    for n in names:
+        if n not in have:
+            _xsd_err(f"<{ctx}> is missing required element <{n}>")
+
+
+def _check_vcv_entry(el, cov_tag):
+    _require(el, _VCV_REQ, el.tag)
+    for c in el:
+        if c.tag == cov_tag:
+            _require(c, _COV_SEQ, cov_tag)
+        elif c.tag not in _XSD_SIMPLE:
+            _xsd_err(f"unexpected element <{c.tag}> in <{el.tag}>")
+
+
+def validate_dynaml_tree(root) -> None:
+    """Structural validation per sampleData/DynaML.xsd; raises
+    ValueError on the first violation (the reference aborts the import
+    the same way when Xerces rejects the document)."""
+    if root.tag != "DnaXmlFormat":
+        _xsd_err(f"root element is <{root.tag}>, expected <DnaXmlFormat>")
+    ftype = root.get("type")
+    if ftype not in ("Measurement File", "Station File", "Combined File"):
+        _xsd_err(f"DnaXmlFormat type attribute {ftype!r} is not one of "
+                 f"'Measurement File'/'Station File'/'Combined File'")
+    for el in root:
+        if el.tag == "DnaStation":
+            if ftype == "Measurement File":
+                _xsd_err("<DnaStation> in a 'Measurement File'")
+            _require(el, ("Name", "Constraints", "Type", "StationCoord"),
+                     "DnaStation")
+            for c in el:
+                if c.tag == "StationCoord":
+                    _require(c, ("Name", "XAxis", "YAxis", "Height"),
+                             "StationCoord")
+                elif c.tag not in _XSD_SIMPLE:
+                    _xsd_err(f"unexpected element <{c.tag}> in "
+                             f"<DnaStation>")
+        elif el.tag == "DnaMeasurement":
+            if ftype == "Station File":
+                _xsd_err("<DnaMeasurement> in a 'Station File'")
+            _require(el, ("Type",), "DnaMeasurement")
+            for c in el:
+                if c.tag == "GPSBaseline":
+                    _check_vcv_entry(c, "GPSCovariance")
+                elif c.tag == "Clusterpoint":
+                    _check_vcv_entry(c, "PointCovariance")
+                elif c.tag == "Directions":
+                    _require(c, ("Target", "Value", "StdDev"),
+                             "Directions")
+                elif c.tag not in _XSD_MSR_CHILDREN:
+                    _xsd_err(f"unexpected element <{c.tag}> in "
+                             f"<DnaMeasurement>")
+        else:
+            _xsd_err(f"unexpected element <{el.tag}> under "
+                     f"<DnaXmlFormat>")
+
+
 def read_dynaml(path: str):
     """Read a DynaML file (station, measurement or combined).
 
     Returns (stations, measurements, frame, epoch)."""
     tree = ET.parse(path)
     root = tree.getroot()
+    import os as _os
+    if _os.environ.get("DTA_NO_XML_VALIDATE", "") != "1":
+        validate_dynaml_tree(root)
     frame = root.get("referenceframe", "GDA2020")
     epoch = root.get("epoch", "01.01.2020")
 

@@ -111,3 +111,50 @@ def test_jsonl_fixtures_adjust(sample_dir):
         scale_normals_to_unity=True))
     assert res.iterations == 2
     assert abs(res.sigma_zero - 1.169) < 0.005
+
+
+# ---------------------------------------------------------------------------
+# DynaML XSD-equivalent validation (dnainterop.cpp:465; DynaML.xsd)
+# ---------------------------------------------------------------------------
+
+def test_dynaml_validation_accepts_all_reference_samples():
+    import glob
+    from dynadjust_tpu.io_formats.dynaml import read_dynaml
+    for p in sorted(glob.glob("/root/reference/sampleData/*.xml")):
+        read_dynaml(p)          # must not raise
+
+
+def test_dynaml_validation_rejects_invalid(tmp_path):
+    import pytest
+    from dynadjust_tpu.io_formats.dynaml import read_dynaml
+
+    cases = {
+        "bad_root.xml":
+            '<Bogus type="Station File"></Bogus>',
+        "bad_type_attr.xml":
+            '<DnaXmlFormat type="Nonsense File"></DnaXmlFormat>',
+        "station_missing_coord.xml":
+            '<DnaXmlFormat type="Station File"><DnaStation>'
+            '<Name>A</Name><Constraints>FFF</Constraints>'
+            '<Type>LLH</Type></DnaStation></DnaXmlFormat>',
+        "msr_unknown_child.xml":
+            '<DnaXmlFormat type="Measurement File"><DnaMeasurement>'
+            '<Type>S</Type><Garbage>1</Garbage>'
+            '</DnaMeasurement></DnaXmlFormat>',
+        "baseline_missing_sigma.xml":
+            '<DnaXmlFormat type="Measurement File"><DnaMeasurement>'
+            '<Type>G</Type><First>A</First><Second>B</Second>'
+            '<GPSBaseline><X>1</X><Y>2</Y><Z>3</Z></GPSBaseline>'
+            '</DnaMeasurement></DnaXmlFormat>',
+        "station_in_msr_file.xml":
+            '<DnaXmlFormat type="Measurement File"><DnaStation>'
+            '<Name>A</Name><Constraints>FFF</Constraints><Type>LLH</Type>'
+            '<StationCoord><Name>A</Name><XAxis>0</XAxis><YAxis>0</YAxis>'
+            '<Height>0</Height></StationCoord></DnaStation>'
+            '</DnaXmlFormat>',
+    }
+    for name, body in cases.items():
+        p = tmp_path / name
+        p.write_text('<?xml version="1.0"?>\n' + body)
+        with pytest.raises(ValueError, match="schema validation"):
+            read_dynaml(str(p))
