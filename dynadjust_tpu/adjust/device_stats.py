@@ -53,7 +53,11 @@ def _chunk_cov_nested(factors, part, jmap_c, jmask_c, sl):
     """Nested (3-level) counterpart: per-block junction covariance from
     the level-2/3 refined inverses (the batched nested_junction_cov),
     then the same level-1 identities."""
-    Ah, Yh = factors._cov_l1_h
+    # refined L1 pools: prefer the device-resident copies (resident
+    # national path keeps them on-chip; the host round-trip cost
+    # ~4.8 GB over the tunnel at 102,400 stn)
+    l1d = getattr(factors, "_cov_l1_dev", None)
+    Ah, Yh = l1d if l1d is not None else factors._cov_l1_h
     # hoist the chunk-invariant level-2/3 pools to the device ONCE —
     # re-uploading A2h/Y2h/Sinv per chunk moved ~18 GB over the tunnel
     # at the 102,400-stn configuration (~40 min of the stats stage)

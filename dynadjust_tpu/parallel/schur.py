@@ -2068,7 +2068,8 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
     N64: (Nii, Nij, Njj) f64 pools (device or host) overriding bs.* —
     required when the normals were device-assembled in f32
     (DeviceAssembly.build_f64())."""
-    if self.dtype == np.float64 or getattr(self, "_cov_l1_h", None):
+    if self.dtype == np.float64 or getattr(self, "_cov_l1_h", None) \
+            or getattr(self, "_cov_l1_dev", None):
         return
     if rounds is None:
         # 3 squarings by default (covers the recursive backend's f32
@@ -2087,15 +2088,31 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
         di_h, dj_h = self.di_h, self.dj_h
         ainv_src = lambda s: self.Ainv_h[s]
         a2_src = self.l2_factors
+        keep_dev = False                  # factors exceed HBM by design
     else:
         Ainv, Y, A2inv, Y2, Sinv, di, dj, djg = self.factors
         di_h, dj_h = np.asarray(di), np.asarray(dj)
-        ainv_src = lambda s: np.asarray(Ainv[s])
+        ainv_src = lambda s: Ainv[s]      # device slice, no host trip
         a2_src = (A2inv, Y2, Sinv)
+        # resident path: keep the refined f64 L1 pools ON DEVICE when
+        # they fit — the host round-trip (download per refine chunk +
+        # re-upload per stats chunk) cost ~4.8 GB over the tunnel at
+        # the 102,400-stn configuration
+        njdim = N64[2].shape[1]
+        keep_dev = (B * ni * (ni + njdim) * 8.0 <=
+                    float(os.environ.get("DTA_COV_DEV_BYTES", 4e9)))
 
     C = next(c for c in range(min(16, B), 0, -1) if B % c == 0)
-    Ah = np.empty((B, ni, ni))
-    Yh = np.empty((B, ni, N64[2].shape[1]))
+    njdim = N64[2].shape[1]
+    if keep_dev:
+        Ad = jnp.zeros((B, ni, ni), jnp.float64)
+        Yd = jnp.zeros((B, ni, njdim), jnp.float64)
+        upd = jax.jit(
+            lambda P, g, b0: jax.lax.dynamic_update_slice_in_dim(
+                P, g, b0, 0), donate_argnums=(0,))
+    else:
+        Ah = np.empty((B, ni, ni))
+        Yh = np.empty((B, ni, njdim))
     Nii2 = jnp.zeros((part.SB, part.ni2, part.ni2), dtype=jnp.float64)
     Nij2 = jnp.zeros((part.SB, part.ni2, part.nj2), dtype=jnp.float64)
     Njj2 = jnp.zeros((part.SB, part.nj2, part.nj2), dtype=jnp.float64)
@@ -2110,11 +2127,18 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
             jnp.asarray(di_h[s], dtype=jnp.float64),
             jnp.asarray(dj_h[s], dtype=jnp.float64),
             jnp.asarray(ainv_src(s)), rounds=rounds)
-        Ah[s] = np.asarray(A_c)
-        Yh[s] = np.asarray(Y_c)
+        if keep_dev:
+            Ad = upd(Ad, A_c, s.start)
+            Yd = upd(Yd, Y_c, s.start)
+            _hard_sync(Yd)
+        else:
+            Ah[s] = np.asarray(A_c)
+            Yh[s] = np.asarray(Y_c)
         Nii2, Nij2, Njj2 = _l2_accumulate(
             Nii2, Nij2, Njj2, S_c, jnp.asarray(jmask64[s]),
             sbb[s], l2s[s], SB=part.SB, ni2=part.ni2, nj2=part.nj2)
+    if keep_dev:
+        self._cov_l1_dev = (Ad, Yd)
 
     i2m = jnp.asarray(part.i2mask, dtype=jnp.float64)
     A2_32 = jnp.asarray(a2_src[0])
@@ -2127,8 +2151,26 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
                         jnp.asarray(part.j2mask, dtype=jnp.float64),
                         jnp.asarray(part.j2map), jnp.asarray(a2_src[2]),
                         nsj_total=self.nsj_total, rounds=rounds)
-    self._cov_l1_h = (Ah, Yh)
+    if not keep_dev:
+        self._cov_l1_h = (Ah, Yh)
     self._l2_host = (A2h, Y2h, np.asarray(Sinv64))
+
+
+def _cov_l1_host(self):
+    """Host view of the refined L1 pools — lazily downloaded when they
+    were kept device-resident (writers' block-cov path needs numpy)."""
+    h = getattr(self, "_cov_l1_h", None)
+    if h is not None:
+        return h
+    d = getattr(self, "_cov_l1_dev", None)
+    if d is None:
+        return None
+    self._cov_l1_h = (np.asarray(d[0]), np.asarray(d[1]))
+    return self._cov_l1_h
+
+
+NestedSchurFactors.cov_l1_host = _cov_l1_host
+StreamedNestedSchurFactors.cov_l1_host = _cov_l1_host
 
 
 def nested_junction_cov(part: NestedPartition, A2inv, Y2, Sinv, gsel):
@@ -2183,8 +2225,9 @@ def nested_junction_cov(part: NestedPartition, A2inv, Y2, Sinv, gsel):
 
 def _resident_level1_block(self, b):
     Ainv, Y, A2inv, Y2, Sinv, di, dj, djg = self.factors
-    if getattr(self, "_cov_l1_h", None):
-        Ah, Yh = self._cov_l1_h
+    refined = self.cov_l1_host()
+    if refined is not None:
+        Ah, Yh = refined
         return Ah[b], Yh[b], np.asarray(di[b], dtype=np.float64)
     return (np.asarray(Ainv[b], dtype=np.float64),
             np.asarray(Y[b], dtype=np.float64),
