@@ -21,6 +21,8 @@ and compare against the dense covariance route.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -133,7 +135,14 @@ def device_block_stats(da, bs, cov_factors=None, nested=None,
     cov3 (B, Pn, 3, 3) np.float64) — cov3 indexed by station slot."""
     B, M, P = da.B, da.M, da.Pp
     Pn = P // 3
-    # one compiled program set: the chunk divides the block count
+    # one compiled program set: the chunk divides the block count AND
+    # fits the HBM budget — the f64 A pool, the G = A·Ninv product, the
+    # sliced-matmul transients (~4x the A pool) plus the (C, P, P)
+    # covariance pools all scale with the chunk (a 9-block 3.3k-param
+    # segmentation OOMs a 16 GB chip if all blocks go at once)
+    budget = float(os.environ.get("DTA_STATS_CHUNK_BYTES", 4e9))
+    per_block = M * P * 8.0 * 4.0 + P * P * 8.0 * 2.0
+    chunk = min(chunk, max(1, int(budget / per_block)))
     chunk = next(c for c in range(min(chunk, B), 0, -1) if B % c == 0)
     adj_prec = np.zeros((B, M))
     cov3 = np.zeros((B, Pn, 3, 3))
