@@ -93,6 +93,12 @@ def _nested_factor_flops(bs, part):
     return l1 + l2 + l3
 
 
+def _round_prof(p):
+    return {k: (round(v, 3) if not isinstance(v, dict)
+                else {kk: round(vv, 3) for kk, vv in v.items()})
+            for k, v in p.items()}
+
+
 def _cache_entries():
     try:
         return len([f for f in os.listdir(_CACHE) if f.endswith("-cache")])
@@ -171,14 +177,23 @@ def bench_mixed():
     t_first = res.iteration_log[0]["elapsed"]
     t_warm = res_w.iteration_log[-1]["elapsed"]
     profile_warm = dict(res_w.profile) if res_w.profile else None
+    # phase split of the LAST warm-run iteration (per-iteration snapshot
+    # deltas — free of the warm run's own first-iteration retraces)
+    phase_warm_iter = None
+    logs = res_w.iteration_log
+    if len(logs) >= 2 and "phases" in logs[-1] and "phases" in logs[-2]:
+        phase_warm_iter = {k: logs[-1]["phases"][k] - logs[-2]["phases"][k]
+                          for k in logs[-1]["phases"]}
     t_compile = max(0.0, t_cold - t_warm_total)
     log(f"adjust WARM: total {t_warm_total:.1f}s, warm iter {t_warm:.2f}s"
         f" -> compile+trace overhead in cold run ~{t_compile:.1f}s")
     if profile_warm:
-        tot = sum(profile_warm.values())
+        tot = sum(v for v in profile_warm.values()
+                  if not isinstance(v, dict))
         log("warm per-phase: " + "  ".join(
             f"{k}={v:.3f} ({100*v/max(tot,1e-12):.0f}%)"
-            for k, v in profile_warm.items()))
+            for k, v in profile_warm.items()
+            if not isinstance(v, dict)))
 
     # ---- device factor timing on the converged system -------------------
     net2, _ = synthetic_mixed_network(rows, cols, block_rows=tile,
@@ -254,7 +269,7 @@ def bench_mixed():
         sync(factors.factors)                  # compile
         t0 = time.time()
         for _ in range(n_f):
-            factors = NestedSchurFactors(bs, part, dtype=np.float32)
+            factors.refactor(bs)    # device pools + resident topology
         sync(factors.factors)
         t_factor = (time.time() - t0) / n_f
         del os.environ["DTA_SCHUR_NOSYNC"]
@@ -295,7 +310,9 @@ def bench_mixed():
         ref = cfg.get(key) or cfg.get("mixed_10000stn")
     vs_ref = (ref["best_iter_s"] / t_warm) if ref else None
 
-    warm_tot = (sum(profile_warm.values()) if profile_warm else None)
+    warm_tot = (sum(v for v in profile_warm.values()
+                    if not isinstance(v, dict))
+                if profile_warm else None)
     result = {
         "metric": (f"mixed_{S}stn_full_gn_iteration"
                    + ("_nested" if NESTED else "")),
@@ -315,12 +332,12 @@ def bench_mixed():
             "t_compile_total_s": round(t_compile, 2),
             "cache_entries_before": cache_before,
             "cache_entries_after": cache_after,
-            "phase_profile_cold_s": ({k: round(v, 3)
-                                      for k, v in profile_cold.items()}
+            "phase_profile_cold_s": (_round_prof(profile_cold)
                                      if profile_cold else None),
-            "phase_profile_warm_s": ({k: round(v, 3)
-                                      for k, v in profile_warm.items()}
+            "phase_profile_warm_s": (_round_prof(profile_warm)
                                      if profile_warm else None),
+            "phase_warm_iter_s": (_round_prof(phase_warm_iter)
+                                  if phase_warm_iter else None),
             "t_stats_warm_s": (round(profile_warm["stats"], 3)
                                if profile_warm else None),
             "stats_share_of_warm_total": (

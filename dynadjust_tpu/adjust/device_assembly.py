@@ -806,8 +806,12 @@ class DeviceAssembly:
                 u = len(stns)
                 cols = np.asarray([asm.local[s] for s in stns],
                                   dtype=np.int64)
+                # block-LOCAL flat index (the gather reads each
+                # block's own A view — concatenating all A pools into
+                # one 2+ GB buffer measured 15 s on this host for a few
+                # MB of gathered tiles)
                 gidx = ((r0 + np.arange(k))[:, None] * n +
-                        (3 * cols)[None, :] + self._flat_off[b])
+                        (3 * cols)[None, :])
                 grp = bucket_groups.setdefault((k, u), ([], [], [], []))
                 grp[0].append(gidx)                  # concat-flat indices
                 grp[1].append(np.asarray(obj.vinv, dtype=np.float64))
@@ -845,7 +849,7 @@ class DeviceAssembly:
             LT = np.linalg.cholesky(
                 0.5 * (V + V.transpose(0, 2, 1))).transpose(0, 2, 1)
             self._g_buckets.append((k, u, np.stack(gidxs),
-                                    np.ascontiguousarray(LT), pos))
+                                    np.ascontiguousarray(LT), pos, bs_))
         self._g_idx = (self._putr(gb_full.astype(np.int32)),
                        self._putr(gr_full.astype(np.int32)),
                        self._putr((3 * gc_full[:, None]
@@ -873,21 +877,24 @@ class DeviceAssembly:
         """Current B̃ tile values as a double-float (hi, lo) pair."""
         from ..ops.slicegemm import split_f32_pair
         vals = np.zeros((self._g_total, 3))
-        flat = np.concatenate([blk.asm.A.ravel()
-                               for blk in self.blocks]) \
-            if self.blocks else np.zeros(0)
         for b, blk in enumerate(self.blocks):
             g, w, off = self._g_scalar[b]
             if len(g):
                 vals[off:off + len(g)] = \
                     blk.asm.A.ravel()[g] * w[:, None]
-        # per (k, u) group: B_rows = Lᵀ @ A_rows over the station union,
-        # one gather + one batched matmul
-        for k, u, gidx, LT, pos in self._g_buckets:
+        # per (k, u) group: B_rows = Lᵀ @ A_rows over the station union
+        # — entries gathered from each block's OWN A view (block-local
+        # indices), then one batched matmul
+        flats = [blk.asm.A.ravel() for blk in self.blocks]
+        for k, u, gidx, LT, pos, bb in self._g_buckets:
             nE = gidx.shape[0]
             idx3 = (gidx[:, :, :, None] + np.arange(3)) \
                 .reshape(nE, k, 3 * u)
-            out = LT @ flat[idx3]                    # (nE, k, 3u)
+            G = np.empty((nE, k, 3 * u))
+            for b in np.unique(bb):
+                m = bb == b
+                G[m] = flats[b][idx3[m]]
+            out = LT @ G                             # (nE, k, 3u)
             vals[pos.reshape(-1)] = \
                 out.reshape(nE, k, u, 3).reshape(-1, 3)
         if self._g_proj is not None:

@@ -298,10 +298,12 @@ def adjust_tpu_blocked(net: NetworkData,
                     bs, np.asarray(block_super, dtype=np.int64))
             if not refactor:
                 factors.bs = bs
+            elif factors is not None and not staged:
+                # re-linearised normals: refactor in place — reuses the
+                # device-resident topology arrays (jmap/masks/l2slot),
+                # dropping the old factor pools first (HBM)
+                factors.refactor(bs)
             else:
-                # drop the previous factor pools before re-factoring —
-                # holding old Ainv/Y/bs alongside the new construction
-                # tips HBM over at national scale
                 factors = None
             xi, xj, factors = schur_solve_nested_factored(
                 bs, nested_part, dtype=np.float32,
@@ -367,6 +369,11 @@ def adjust_tpu_blocked(net: NetworkData,
             blk.asm.fill(blk.est)
         if prof is not None:
             prof["fill"] += _time.perf_counter() - _t
+            # cumulative phase snapshot: per-iteration deltas give the
+            # phase split of the LAST (warm) iteration, free of the
+            # first iteration's trace/compile cost
+            it_log[-1]["phases"] = {k: v for k, v in prof.items()
+                                    if not isinstance(v, dict)}
         if converged:
             break
     else:
@@ -400,7 +407,20 @@ def adjust_tpu_blocked(net: NetworkData,
         bs.Nii = bs.Nij = bs.Njj = None
         if super_blocks == 0 and getattr(factors, "_N32", None):
             factors._N32 = None
+    prof_sub = {}
+
+    def _subt(name, _last=[_t_stats]):
+        # stats sub-phase timing (printed alongside the profile; kept
+        # out of `prof` so the phase totals don't double-count): each
+        # call closes the previous sub-phase (the chunked device stages
+        # hard-sync internally, so wall splits attribute correctly)
+        if prof is not None:
+            now = _time.perf_counter()
+            prof_sub[name] = now - _last[0]
+            _last[0] = now
+
     N64 = da.build_f64() if device_asm else None
+    _subt("stats.f64build")
     if super_blocks == 0:
         cov_factors = factors.newton_factors(N64=N64)
         import jax
@@ -415,6 +435,7 @@ def adjust_tpu_blocked(net: NetworkData,
     else:
         cov_factors = None
         factors.newton_refine_cov(N64=N64)
+    _subt("stats.newton")
     S = net.nstations
     # O(S) covariance storage: per-station 3x3 blocks always; the dense
     # (3S,3S) matrix only for small networks (needed by SINEX full-VCV
@@ -438,6 +459,7 @@ def adjust_tpu_blocked(net: NetworkData,
             da, bs,
             cov_factors=cov_factors if super_blocks == 0 else None,
             nested=((factors, nested_part) if super_blocks > 0 else None))
+    _subt("stats.device")
     # pre-group the device GNSS VCVs per block once — the per-block
     # filtering scan was O(B x total_GNSS_rows) python at national scale
     vcv3_by_block = {}
@@ -491,6 +513,7 @@ def adjust_tpu_blocked(net: NetworkData,
         pelzer_sum += ps
         pelzer_n += pn
 
+    _subt("stats.host")
     stats_rows.sort(key=lambda r: r.rec_idx)
     dof = m_count - unknown_count
     sigma0 = chi_sq / dof if dof else 0.0
@@ -542,6 +565,11 @@ def adjust_tpu_blocked(net: NetworkData,
               "  ".join(f"{k}={v:.3f} ({100*v/max(tot,1e-12):.0f}%)"
                         for k, v in prof.items()),
               file=_sys.stderr, flush=True)
+        if prof_sub:
+            print("DTA_PROFILE stats sub-phases (s): " +
+                  "  ".join(f"{k}={v:.3f}" for k, v in prof_sub.items()),
+                  file=_sys.stderr, flush=True)
+        prof["stats_sub"] = dict(prof_sub)
 
     return AdjustmentResult(
         status=status, iterations=iteration, max_corr=float(max_corr),

@@ -1559,6 +1559,65 @@ def _nested_factor_stage2(Nii2, Nij2, Njj2, i2mask, j2mask, j2map,
 # national scale, while the same math as separate programs runs fine —
 # smaller per-program arenas and no cross-stage temp pile-up.
 
+@partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nsj_total",
+                                   "nj_total"))
+def _nested_factor_full_jit(Nii, Nij, Njj, jmap, jmask, sbb, l2slot,
+                            i2mask, j2mask, j2map,
+                            SB, ni2, nj2, nsj_total, nj_total):
+    """ALL three factor levels in ONE program — for problems whose
+    pools fit a small-scale HBM budget.  The python-chunked two-stage
+    path exists for national scale (per-chunk arenas); below that
+    scale, one dispatch beats ~10 sequential dispatches whose tunnel
+    enqueue latency (~15 ms each) dominates the whole factorization."""
+    from ..ops.blocked_chol import block_reduce
+    di, dj, djg = _nested_scale_vecs(Nii, Njj, jmap, jmask,
+                                     nj_total=nj_total)
+    Nii_s = Nii * di[:, :, None] * di[:, None, :]
+    Nij_s = Nij * di[:, :, None] * dj[:, None, :]
+    Njj_s = Njj * dj[:, :, None] * dj[:, None, :]
+    Ainv, Y, S_b = block_reduce(Nii_s, Nij_s, Njj_s)
+    Nii2, Nij2, Njj2 = _nested_l2_assemble(S_b, jmask, sbb, l2slot,
+                                           SB=SB, ni2=ni2, nj2=nj2)
+    eye2 = jnp.eye(ni2, dtype=Nii2.dtype)
+    Nii2 = Nii2 + eye2[None] * (1.0 - i2mask)[:, None, :] * \
+        jnp.where(eye2[None] > 0, 1.0, 0.0)
+    A2inv, Y2, S2_b = block_reduce(Nii2, Nij2, jnp.zeros_like(Njj2))
+    from ..ops.recursive_inv import spd_inverse_rec_safe
+    S2_b = (Njj2 + S2_b) * j2mask[:, :, None] * j2mask[:, None, :]
+    S2, _ = _scatter_junction(S2_b, jnp.zeros_like(S2_b[..., 0]), j2map,
+                              nsj_total)
+    diag = jnp.diag(S2)
+    S2 = S2 + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
+    Sinv = spd_inverse_rec_safe(S2[None])[0]
+    return Ainv, Y, A2inv, Y2, Sinv, di, dj, djg
+
+
+@partial(jax.jit, static_argnames=("SB", "ni2", "nj2", "nsj_total"))
+def _nested_apply_fwd_jit(Ainv, Y, A2inv, Y2, Sinv, di, dj,
+                          jmask, sbb, l2slot, j2map, j2mask, bi, bj,
+                          SB, ni2, nj2, nsj_total):
+    """Forward half of the apply in one program (small-scale path):
+    level-1 elimination, level-2 elimination, super-junction solve."""
+    bi = bi * di
+    bj = bj * dj
+    w = jnp.einsum("bij,bj->bi", Ainv, bi)
+    t_b = (bj - jnp.einsum("bkj,bk->bj", Y, bi)) * jmask
+    bi2, bj2 = _scatter_l2_rhs(t_b, sbb, l2slot, SB, ni2, nj2)
+    w2 = jnp.einsum("bij,bj->bi", A2inv, bi2)
+    t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2)) * j2mask
+    t2 = jnp.zeros((nsj_total,), dtype=t2_b.dtype)
+    t2 = t2.at[j2map.reshape(-1)].add(t2_b.reshape(-1))
+    xsj = Sinv @ t2
+    xsj_b = xsj[j2map] * j2mask
+    xi2 = w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b)
+    return w, xi2, xsj
+
+
+@jax.jit
+def _nested_apply_bwd_jit(w, Y, di, xj_b):
+    return (w - jnp.einsum("bij,bj->bi", Y, xj_b)) * di
+
+
 class NestedSchurFactors:
     """Device-resident 3-level factorization (factor once, apply many).
 
@@ -1635,22 +1694,82 @@ class NestedSchurFactors:
                 np.asarray(arr.ravel()[:1])
                 print(f"schur sync: {tag} ok", file=sys.stderr, flush=True)
 
-        stage1 = (_nested_factor_stage1_monolithic if mesh is not None
-                  else _nested_factor_stage1)
-        Ainv, Y, Nii2, Nij2, Njj2, di, dj, djg = stage1(
-            putb(Nii.astype(dtype)),
-            putb(Nij.astype(dtype)),
-            putb(Njj.astype(dtype)),
-            self.jmap, self.jmask, self.sbb, self.l2slot,
-            part.SB, part.ni2, part.nj2, self.nj_total)
-        _probe("factor stage1", Ainv)
-        A2inv, Y2, Sinv = _nested_factor_stage2(
-            Nii2, Nij2, Njj2,
-            putr(part.i2mask.astype(dtype)),
-            self.j2mask, self.j2map, self.nsj_total)
-        _probe("factor stage2", Sinv)
-        self.factors = (Ainv, Y, A2inv, Y2, Sinv, di, dj, djg)
         self._probe = _probe
+        self._i2mask_dev = putr(part.i2mask.astype(dtype))
+        # small-scale fast path: fuse the whole factorization / apply
+        # into single programs when the factor pools fit a small HBM
+        # budget — below it, per-dispatch tunnel latency dominates the
+        # op-by-op national-scale path
+        pool_bytes = (np.prod(Nii.shape) + np.prod(Nij.shape)
+                      + np.prod(Njj.shape)) * 4.0
+        self._small = (mesh is None and pool_bytes <=
+                       float(os.environ.get("DTA_NESTED_FUSE_BYTES",
+                                            6e8)))
+        self._pools = (Nii, Nij, Njj)       # for the initial factor
+        self.refactor()
+        self._pools = None
+
+    def refactor(self, bs: BlockSystem = None):
+        """(Re-)factor from fresh normals pools, reusing every
+        device-resident index/mask array — per-iteration refactors
+        (re-linearised normals) pay only the factor compute, not the
+        topology re-upload a fresh construction would."""
+        if bs is not None:
+            self.bs = bs
+            pools = (bs.Nii, bs.Nij, bs.Njj)
+        else:
+            pools = self._pools
+        dtype, part = self.dtype, self.part
+        putb = self._putb
+        if self.mesh is not None and pools[0].shape[0] != \
+                int(self.jmap.shape[0]):
+            Bp = int(self.jmap.shape[0])
+            B = pools[0].shape[0]
+
+            def padb(x, eye=False):
+                pw = [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1)
+                x = np.pad(x, pw)
+                if eye:
+                    for b in range(B, Bp):
+                        x[b] = np.eye(x.shape[1], dtype=x.dtype)
+                return x
+            pools = (padb(np.asarray(pools[0]).copy(), eye=True),
+                     padb(np.asarray(pools[1])),
+                     padb(np.asarray(pools[2])))
+        # drop the previous factor pools before re-factoring — holding
+        # old Ainv/Y alongside the new construction tips HBM over at
+        # national scale
+        self.factors = None
+        if self._small:
+            self.factors = _nested_factor_full_jit(
+                putb(pools[0].astype(dtype)),
+                putb(pools[1].astype(dtype)),
+                putb(pools[2].astype(dtype)),
+                self.jmap, self.jmask, self.sbb, self.l2slot,
+                self._i2mask_dev, self.j2mask, self.j2map,
+                part.SB, part.ni2, part.nj2, self.nsj_total,
+                self.nj_total)
+            self._probe("factor fused", self.factors[0])
+        else:
+            stage1 = (_nested_factor_stage1_monolithic
+                      if self.mesh is not None else _nested_factor_stage1)
+            Ainv, Y, Nii2, Nij2, Njj2, di, dj, djg = stage1(
+                putb(pools[0].astype(dtype)),
+                putb(pools[1].astype(dtype)),
+                putb(pools[2].astype(dtype)),
+                self.jmap, self.jmask, self.sbb, self.l2slot,
+                part.SB, part.ni2, part.nj2, self.nj_total)
+            self._probe("factor stage1", Ainv)
+            A2inv, Y2, Sinv = _nested_factor_stage2(
+                Nii2, Nij2, Njj2, self._i2mask_dev,
+                self.j2mask, self.j2map, self.nsj_total)
+            self._probe("factor stage2", Sinv)
+            self.factors = (Ainv, Y, A2inv, Y2, Sinv, di, dj, djg)
+        # refined covariance state (if any) is stale after a refactor
+        for attr in ("_cov_l1_h", "_cov_l1_dev", "_l2_host", "_l2_dev"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return self
 
     def solve(self, bi, bj):
         """Op-by-op application: fused apply programs compile to larger
@@ -1665,30 +1784,41 @@ class NestedSchurFactors:
         if bi.shape[0] != Bp:
             bi = np.pad(bi, ((0, Bp - bi.shape[0]), (0, 0)))
             bj = np.pad(bj, ((0, Bp - bj.shape[0]), (0, 0)))
-        bi = self._putb(bi) * di
-        bj = self._putb(bj) * dj
-        # level-1 matvecs run at default precision: HIGHEST at this batch
-        # size exhausts HBM, and the f64 refinement loop absorbs the
-        # extra matvec noise (a round or two slower to converge)
-        # serialise the big dispatches: async enqueue keeps several
-        # matvec workspaces (transposed operand copies) alive at once,
-        # which tips HBM over at national scale
-        w = _hard_sync(jnp.einsum("bij,bj->bi", Ainv, bi))
-        self._probe("apply w", w)
-        t_b = _hard_sync(
-            (bj - jnp.einsum("bkj,bk->bj", Y, bi)) * self.jmask)
-        self._probe("apply t_b", t_b)
-        bi2, bj2 = _scatter_l2_rhs(t_b, self.sbb, self.l2slot,
-                                   part.SB, part.ni2, part.nj2)
-        w2 = _hard_sync(jnp.einsum("bij,bj->bi", A2inv, bi2))
-        self._probe("apply w2", w2)
-        t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2)) * self.j2mask
-        t2 = jnp.zeros((self.nsj_total,), dtype=t2_b.dtype)
-        t2 = t2.at[self.j2map.reshape(-1)].add(t2_b.reshape(-1))
-        xsj = _hard_sync(Sinv @ t2)
-        self._probe("apply xsj", xsj)
-        xsj_b = xsj[self.j2map] * self.j2mask
-        xi2 = _hard_sync(w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b))
+        if self._small:
+            # small-scale path: forward half fused into one program —
+            # at bench scale the op-by-op path paid 4 tunnel round-trip
+            # barriers + ~6 dispatch latencies per apply
+            w, xi2, xsj = _nested_apply_fwd_jit(
+                Ainv, Y, A2inv, Y2, Sinv, di, dj,
+                self.jmask, self.sbb, self.l2slot, self.j2map,
+                self.j2mask, self._putb(bi), self._putb(bj),
+                part.SB, part.ni2, part.nj2, self.nsj_total)
+        else:
+            bi = self._putb(bi) * di
+            bj = self._putb(bj) * dj
+            # level-1 matvecs run at default precision: HIGHEST at this
+            # batch size exhausts HBM, and the f64 refinement loop
+            # absorbs the extra matvec noise (a round or two slower to
+            # converge); serialise the big dispatches: async enqueue
+            # keeps several matvec workspaces (transposed operand
+            # copies) alive at once, which tips HBM over at national
+            # scale
+            w = _hard_sync(jnp.einsum("bij,bj->bi", Ainv, bi))
+            self._probe("apply w", w)
+            t_b = _hard_sync(
+                (bj - jnp.einsum("bkj,bk->bj", Y, bi)) * self.jmask)
+            self._probe("apply t_b", t_b)
+            bi2, bj2 = _scatter_l2_rhs(t_b, self.sbb, self.l2slot,
+                                       part.SB, part.ni2, part.nj2)
+            w2 = _hard_sync(jnp.einsum("bij,bj->bi", A2inv, bi2))
+            self._probe("apply w2", w2)
+            t2_b = (bj2 - jnp.einsum("bkj,bk->bj", Y2, bi2)) * self.j2mask
+            t2 = jnp.zeros((self.nsj_total,), dtype=t2_b.dtype)
+            t2 = t2.at[self.j2map.reshape(-1)].add(t2_b.reshape(-1))
+            xsj = _hard_sync(Sinv @ t2)
+            self._probe("apply xsj", xsj)
+            xsj_b = xsj[self.j2map] * self.j2mask
+            xi2 = _hard_sync(w2 - jnp.einsum("bij,bj->bi", Y2, xsj_b))
 
         # junction reconstruction on host: two-level gathers compile
         # pathologically slowly on the TPU toolchain, and the vectors are
@@ -1707,7 +1837,7 @@ class NestedSchurFactors:
             xj_b = np.pad(xj_b, ((0, Bp - xj_b.shape[0]), (0, 0)))
 
         xj_b_d = self._putb(xj_b.astype(self.dtype))
-        xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b_d)) * di
+        xi = _nested_apply_bwd_jit(w, Y, di, xj_b_d)
         djg_h = np.asarray(djg)[:njg]
         return (np.asarray(xi, dtype=np.float64)[:self.B_real],
                 np.asarray(xj, dtype=np.float64) * djg_h)

@@ -120,7 +120,9 @@ def main():
         "pass_fail": res.pass_fail,
         "max_corr_m": float(res.max_corr),
         "t_adjust_s": round(t_adjust, 1),
-        "phase_profile_s": ({k: round(v, 2)
+        "phase_profile_s": ({k: (round(v, 2) if not isinstance(v, dict)
+                                 else {kk: round(vv, 2)
+                                       for kk, vv in v.items()})
                              for k, v in res.profile.items()}
                             if res.profile else None),
         "stats_share_of_adjust": (round(res.profile["stats"] / t_adjust, 3)
