@@ -271,9 +271,33 @@ def bench_mixed():
         for _ in range(n_f):
             factors.refactor(bs)    # device pools + resident topology
         sync(factors.factors)
-        t_factor = (time.time() - t0) / n_f
+        t_factor_dispatch = (time.time() - t0) / n_f
         del os.environ["DTA_SCHUR_NOSYNC"]
-        t_upload_factor = t_factor + t_upload
+        # silicon efficiency of the factorization itself: n_f chained
+        # calls inside ONE program (fori_loop), so per-dispatch tunnel
+        # latency doesn't masquerade as factor time (the same protocol
+        # as scripts/factor_mfu_sweep.py)
+        from dynadjust_tpu.parallel.schur import _nested_factor_full_jit
+        _fargs = (factors.jmap, factors.jmask, factors.sbb,
+                  factors.l2slot, factors._i2mask_dev, factors.j2mask,
+                  factors.j2map, part.SB, part.ni2, part.nj2,
+                  part.nsj_global + 1, bs.nj_global + 1)
+
+        @jax.jit
+        def _chainK(Nii, Nij, Njj):
+            def body(i, c):
+                f = _nested_factor_full_jit(c, Nij, Njj, *_fargs)
+                return c + f[0][:, :1, :1] * 1e-30
+            c = jax.lax.fori_loop(0, n_f - 1, body, Nii)
+            return _nested_factor_full_jit(c, Nij, Njj, *_fargs)
+
+        out = _chainK(bs.Nii, bs.Nij, bs.Njj)
+        sync(out)                              # compile
+        t0 = time.time()
+        out = _chainK(bs.Nii, bs.Nij, bs.Njj)
+        sync(out)
+        t_factor = (time.time() - t0) / n_f
+        t_upload_factor = t_factor_dispatch + t_upload
         xi, xj = factors.solve(np.asarray(bs.bi), np.asarray(bs.bj))
         t0 = time.time()
         for _ in range(n_f):
@@ -344,6 +368,8 @@ def bench_mixed():
                 round(profile_warm["stats"] / warm_tot, 3)
                 if profile_warm and warm_tot else None),
             "t_factor_device_s": round(t_factor, 4),
+            "t_factor_dispatch_s": (round(t_factor_dispatch, 4)
+                                    if NESTED else None),
             "t_upload_plus_factor_s": round(t_upload_factor, 4),
             "t_apply_s": round(t_apply, 4),
             "factor_gflops": round(flops / 1e9, 1),

@@ -634,8 +634,8 @@ class DeviceAssembly:
         f64 emulation measured ~5 GFLOP/s — unusable); on CPU a native
         f64 einsum.  Constraint/pad diagonal tiles are added exactly in
         f64 afterwards."""
-        from ..ops.slicegemm import (_use_sliced, gram_f64, NSLICES,
-                                     split_f32_pair)
+        from ..ops.slicegemm import (_use_sliced, _gram_f64_jit as
+                                     gram_f64, NSLICES, split_f32_pair)
         if not hasattr(self, "_g_idx"):
             self._compile_gram_plan()
         hi, lo = self._gram_values()

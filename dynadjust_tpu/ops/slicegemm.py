@@ -210,7 +210,12 @@ def _use_sliced() -> bool:
 def _sync(x):
     """Genuine completion barrier (block_until_ready is a no-op over
     the tunnel runtime): serialises chunked dispatches so their slice
-    transients never coexist in HBM."""
+    transients never coexist in HBM.  Under tracing (the depth-fused
+    jitted wrappers) it is a no-op, letting XLA schedule the chunk
+    programs itself."""
+    import jax.core as _core
+    if isinstance(x, _core.Tracer):
+        return x
     np.asarray(x.ravel()[:1])
     return x
 
@@ -224,18 +229,30 @@ def _batch_chunks(nbytes_per_batch, n, budget=None):
     return next(c for c in range(min(want, n), 0, -1) if n % c == 0)
 
 
+# depth-fused jitted wrappers: the python depth loop (contraction >
+# 1024 rows) unrolls INSIDE one program per batch chunk — the former
+# op-by-op form paid a dispatch latency + tunnel sync per depth chunk
+# (36 round-trips per 3.5k-deep batched product at bench scale)
+_gram_f64_jit = partial(jax.jit, static_argnames=("nslices", "cross_max",
+                                                  "bits"))(gram_f64)
+_matmul_f64_jit = partial(jax.jit,
+                          static_argnames=("nslices", "cross_max", "bits",
+                                           "transa"))(matmul_f64)
+
+
 def xgram64(B64):
     """N = BᵀB in near-f64 from an f64 (batched) operand."""
     if not _use_sliced():
         return jnp.einsum("...mi,...mj->...ij", B64, B64)
     hi, lo = split_device(B64)
     if hi.ndim < 3:
-        return gram_f64(hi, lo)
+        return _gram_f64_jit(hi, lo)
     n = hi.shape[0]
     C = _batch_chunks(hi[0].size * 4 * (NSLICES + 2), n)
     if C == n:
-        return gram_f64(hi, lo)
-    return jnp.concatenate([_sync(gram_f64(hi[k:k + C], lo[k:k + C]))
+        return _gram_f64_jit(hi, lo)
+    return jnp.concatenate([_sync(_gram_f64_jit(hi[k:k + C],
+                                                lo[k:k + C]))
                             for k in range(0, n, C)])
 
 
@@ -248,12 +265,12 @@ def xmatmul64(A64, B64, transa: bool = False):
     ahi, alo = split_device(A64)
     bhi, blo = split_device(B64)
     if ahi.ndim < 3 or bhi.ndim < 3 or ahi.shape[0] != bhi.shape[0]:
-        return matmul_f64(ahi, alo, bhi, blo, transa=transa)
+        return _matmul_f64_jit(ahi, alo, bhi, blo, transa=transa)
     n = ahi.shape[0]
     C = _batch_chunks((ahi[0].size + bhi[0].size) * 4 * (NSLICES + 2), n)
     if C == n:
-        return matmul_f64(ahi, alo, bhi, blo, transa=transa)
+        return _matmul_f64_jit(ahi, alo, bhi, blo, transa=transa)
     return jnp.concatenate(
-        [_sync(matmul_f64(ahi[k:k + C], alo[k:k + C], bhi[k:k + C],
-                          blo[k:k + C], transa=transa))
+        [_sync(_matmul_f64_jit(ahi[k:k + C], alo[k:k + C], bhi[k:k + C],
+                               blo[k:k + C], transa=transa))
          for k in range(0, n, C)])
