@@ -141,7 +141,11 @@ def device_block_stats(da, bs, cov_factors=None, nested=None,
     # covariance pools all scale with the chunk (a 9-block 3.3k-param
     # segmentation OOMs a 16 GB chip if all blocks go at once)
     budget = float(os.environ.get("DTA_STATS_CHUNK_BYTES", 4e9))
-    per_block = M * P * 8.0 * 4.0 + P * P * 8.0 * 2.0
+    # the depth-fused sliced products hold ~(NSLICES+2) f32 slice
+    # copies of both operands in one program, alongside the f64 A/G
+    # pools and the covariance block
+    from ..ops.slicegemm import NSLICES
+    per_block = ((NSLICES + 2) * 4.0 + 2 * 8.0) * (M * P + P * P)
     chunk = min(chunk, max(1, int(budget / per_block)))
     chunk = next(c for c in range(min(chunk, B), 0, -1) if B % c == 0)
     adj_prec = np.zeros((B, M))

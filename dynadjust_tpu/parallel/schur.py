@@ -1888,13 +1888,17 @@ def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
     max_refine = int(os.environ.get("DTA_MAX_REFINE", max_refine))
     max_refine = max(refine, max_refine)
     prev_rel = np.inf
+    # refinement target: 1e-10 relative reaches ~sub-nanometre solve
+    # error at national coordinate scales (corrections are metres);
+    # DTA_SOLVE_RTOL tightens it for parity studies
+    rtol = float(os.environ.get("DTA_SOLVE_RTOL", 1e-10))
     for round_no in range(max_refine):
         yi, yj = matvec(xi, xj)
         ri = (bs.bi * bs.imask) - yi
         rj = rhs_j_global - yj
         rel = max(float(np.abs(ri).max()),
                   float(np.abs(rj).max())) / rhs_scale
-        if round_no >= refine and (rel < 1e-12 or rel >= 0.5 * prev_rel):
+        if round_no >= refine and (rel < rtol or rel >= 0.5 * prev_rel):
             break
         prev_rel = rel
         rj_b = np.zeros_like(bs.bj).reshape(-1)
