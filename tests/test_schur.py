@@ -417,3 +417,35 @@ def test_nested_junction_cov_selected_rows_vs_full(grid_system):
             np.testing.assert_allclose(
                 C_sel[np.ix_(i0, i1)], X_full[r0], rtol=1e-12,
                 atol=1e-15)
+
+
+def test_nested_fused_matches_chunked_paths(grid_system, monkeypatch):
+    """The small-scale fused factor/apply programs must reproduce the
+    python-chunked national-scale path (same math, different program
+    granularity) — both route production solves."""
+    from dynadjust_tpu.parallel.schur import (build_nested_partition,
+                                              NestedSchurFactors)
+    from dynadjust_tpu.utils.synthetic import grid_super_assignment
+
+    bs, bn, rows, cols, blk = grid_system
+    part = build_nested_partition(
+        bs, grid_super_assignment(rows, cols, blk, blk, 2, 2))
+
+    monkeypatch.setenv("DTA_NESTED_FUSE_BYTES", "1e12")   # force fused
+    f_small = NestedSchurFactors(bs, part, dtype=np.float64)
+    assert f_small._small
+    xi_s, xj_s = f_small.solve(bs.bi, bs.bj)
+
+    monkeypatch.setenv("DTA_NESTED_FUSE_BYTES", "1")      # force chunked
+    f_big = NestedSchurFactors(bs, part, dtype=np.float64)
+    assert not f_big._small
+    xi_b, xj_b = f_big.solve(bs.bi, bs.bj)
+
+    scale = max(np.abs(xi_b).max(), 1e-30)
+    assert np.abs(xi_s - xi_b).max() / scale < 1e-12
+    assert np.abs(xj_s - xj_b).max() / scale < 1e-12
+
+    # refactor() on fresh pools must equal a fresh construction
+    f_small.refactor(bs)
+    xi_r, xj_r = f_small.solve(bs.bi, bs.bj)
+    assert np.abs(xi_r - xi_s).max() / scale < 1e-12
