@@ -46,6 +46,35 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 @partial(jax.jit, donate_argnums=(0,))
+@partial(jax.jit, donate_argnums=(0,))
+def _add_diag_tiles_donated(P, b, c3, v):
+    return P.at[b[:, None, None], c3[:, :, None], c3[:, None, :]].add(v)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _upd_pool(P, g, b0):
+    """Donated chunk write into a device pool (module-level jit — a
+    per-call `jax.jit(lambda ...)` recompiles every adjustment)."""
+    return jax.lax.dynamic_update_slice_in_dim(P, g, b0, 0)
+
+
+@partial(jax.jit, static_argnames=("C", "M", "Pp", "ni"))
+def _fused_gram_chunk(tb, tr, tc3, vhi, vlo, C, M, Pp, ni):
+    """One fused program per f64-gram chunk: padded tile scatter (pad
+    tiles land in the extra row M, dropped), the full-tier sliced gram
+    (depth chunks unroll in-trace), and the ii/ij/jj split.  The
+    scatter-then-op-by-op-gram form paid a tunnel dispatch per depth
+    sub-chunk; a function-local jit paid a recompile per call."""
+    from ..ops.slicegemm import gram_f64
+    shape = (C, M + 1, Pp)
+    Bhi = jnp.zeros(shape, jnp.float32).at[
+        tb[:, None], tr[:, None], tc3].set(vhi)[:, :M]
+    Blo = jnp.zeros(shape, jnp.float32).at[
+        tb[:, None], tr[:, None], tc3].set(vlo)[:, :M]
+    g = gram_f64(Bhi, Blo)
+    return g[:, :ni, :ni], g[:, :ni, ni:], g[:, ni:, ni:]
+
+
 def _scatter_scalar_tiles(A_base, bidx, ridx, c3, vals):
     """Write (K, 3) scalar-row tiles into the pooled design matrix.
     The base buffer is donated — callers pass a fresh zeros (or a
@@ -634,8 +663,7 @@ class DeviceAssembly:
         f64 emulation measured ~5 GFLOP/s — unusable); on CPU a native
         f64 einsum.  Constraint/pad diagonal tiles are added exactly in
         f64 afterwards."""
-        from ..ops.slicegemm import (_use_sliced, _gram_f64_jit as
-                                     gram_f64, NSLICES, split_f32_pair)
+        from ..ops.slicegemm import _use_sliced, NSLICES, split_f32_pair
         if not hasattr(self, "_g_idx"):
             self._compile_gram_plan()
         hi, lo = self._gram_values()
@@ -665,29 +693,33 @@ class DeviceAssembly:
             gr_np = self._g_range
             B = self.B
             ni, nj, Pp = self.ni, self.nj, self.Pp
-
-            upd = jax.jit(
-                lambda P, g, b0: jax.lax.dynamic_update_slice_in_dim(
-                    P, g, b0, 0), donate_argnums=(0,))
-            split = jax.jit(lambda g: (g[:, :ni, :ni], g[:, :ni, ni:],
-                                       g[:, ni:, ni:]))
+            M = self.M
+            gbh, grh, gc3h = self._g_idx_h
+            upd = _upd_pool
+            bounds = [(int(gr_np[min(b0, B)]),
+                       int(gr_np[min(b0 + C, B)]))
+                      for b0 in range(0, Bp, C)]
+            Tmax = max(t1 - t0 for t0, t1 in bounds)
             Nii = jnp.zeros((Bp, ni, ni), jnp.float64)
             Nij = jnp.zeros((Bp, ni, nj), jnp.float64)
             Njj = jnp.zeros((Bp, nj, nj), jnp.float64)
-            for b0 in range(0, Bp, C):
-                b1 = b0 + C
-                t0 = int(gr_np[min(b0, B)])
-                t1 = int(gr_np[min(b1, B)])
-                shape = (C, self.M, self.Pp)
-                Bhi = _scatter_scalar_tiles(
-                    jnp.zeros(shape, jnp.float32), gb[t0:t1] - b0,
-                    gr[t0:t1], gc3[t0:t1], self._putr(hi[t0:t1]))
-                Blo = _scatter_scalar_tiles(
-                    jnp.zeros(shape, jnp.float32), gb[t0:t1] - b0,
-                    gr[t0:t1], gc3[t0:t1], self._putr(lo[t0:t1]))
-                g = gram_f64(Bhi, Blo)
-                gii, gij, gjj = split(g)
-                del g
+            for ci, b0 in enumerate(range(0, Bp, C)):
+                t0, t1 = bounds[ci]
+                T = t1 - t0
+                tb = np.zeros(Tmax, dtype=np.int32)
+                tr = np.full(Tmax, M, dtype=np.int32)   # pad row
+                tc3 = np.zeros((Tmax, 3), dtype=np.int32)
+                tb[:T] = gbh[t0:t1] - b0
+                tr[:T] = grh[t0:t1]
+                tc3[:T] = gc3h[t0:t1]
+                vhi = np.zeros((Tmax, 3), np.float32)
+                vlo = np.zeros((Tmax, 3), np.float32)
+                vhi[:T] = hi[t0:t1]
+                vlo[:T] = lo[t0:t1]
+                gii, gij, gjj = _fused_gram_chunk(
+                    self._putr(tb), self._putr(tr), self._putr(tc3),
+                    self._putr(vhi), self._putr(vlo),
+                    C=C, M=M, Pp=Pp, ni=ni)
                 Nii = upd(Nii, gii, b0)
                 Nij = upd(Nij, gij, b0)
                 Njj = upd(Njj, gjj, b0)
@@ -695,10 +727,7 @@ class DeviceAssembly:
             # diagonal constraint/pad tiles, split by inner/junction
             # slot (donated adds — no full-pool copies)
             inner_sel = self._d_c3_h[:, 0] < 3 * (ni // 3)
-            add = jax.jit(
-                lambda P, b, c3, v:
-                P.at[b[:, None, None], c3[:, :, None],
-                     c3[:, None, :]].add(v), donate_argnums=(0,))
+            add = _add_diag_tiles_donated
             si = np.nonzero(inner_sel)[0]
             sj = np.nonzero(~inner_sel)[0]
             if len(si):
@@ -850,10 +879,11 @@ class DeviceAssembly:
                 0.5 * (V + V.transpose(0, 2, 1))).transpose(0, 2, 1)
             self._g_buckets.append((k, u, np.stack(gidxs),
                                     np.ascontiguousarray(LT), pos, bs_))
-        self._g_idx = (self._putr(gb_full.astype(np.int32)),
-                       self._putr(gr_full.astype(np.int32)),
-                       self._putr((3 * gc_full[:, None]
-                                   + np.arange(3)).astype(np.int32)))
+        self._g_idx_h = (gb_full.astype(np.int32),
+                         gr_full.astype(np.int32),
+                         (3 * gc_full[:, None]
+                          + np.arange(3)).astype(np.int32))
+        self._g_idx = tuple(self._putr(a) for a in self._g_idx_h)
         # constrained-station tiles: projected on host (v ← v·P)
         self._g_proj = None
         if self.basis.proj:

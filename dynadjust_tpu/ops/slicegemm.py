@@ -192,6 +192,31 @@ def split_device(x64):
     return hi, lo
 
 
+def mm64(a, b, transa=False, *, sliced, nslices=NSLICES,
+         cross_max=CROSS_MAX):
+    """Near-f64 product for use INSIDE fused jitted programs.
+
+    `sliced` is resolved by the caller OUTSIDE the jit and passed as a
+    static argument — reading DTA_SLICED_F64 at trace time would bake
+    the route into a compiled graph that a later env flip (tests) would
+    silently reuse.  Depth chunking (matmul_f64) unrolls in-trace."""
+    if not sliced:
+        eq = "...mi,...mj->...ij" if transa else "...im,...mj->...ij"
+        return jnp.einsum(eq, a, b)
+    ahi, alo = split_device(a)
+    bhi, blo = split_device(b)
+    return matmul_f64(ahi, alo, bhi, blo, nslices=nslices,
+                      cross_max=cross_max, transa=transa)
+
+
+def gm64(B64, *, sliced, nslices=NSLICES, cross_max=CROSS_MAX):
+    """Near-f64 gram N = BᵀB inside fused jitted programs (see mm64)."""
+    if not sliced:
+        return jnp.einsum("...mi,...mj->...ij", B64, B64)
+    hi, lo = split_device(B64)
+    return gram_f64(hi, lo, nslices=nslices, cross_max=cross_max)
+
+
 # ---------------------------------------------------------------------------
 # backend-adaptive near-f64 products
 # ---------------------------------------------------------------------------
@@ -240,37 +265,48 @@ _matmul_f64_jit = partial(jax.jit,
                                            "transa"))(matmul_f64)
 
 
-def xgram64(B64):
+def xgram64(B64, nslices=NSLICES, cross_max=CROSS_MAX):
     """N = BᵀB in near-f64 from an f64 (batched) operand."""
     if not _use_sliced():
         return jnp.einsum("...mi,...mj->...ij", B64, B64)
     hi, lo = split_device(B64)
     if hi.ndim < 3:
-        return _gram_f64_jit(hi, lo)
+        return _gram_f64_jit(hi, lo, nslices=nslices,
+                             cross_max=cross_max)
     n = hi.shape[0]
-    C = _batch_chunks(hi[0].size * 4 * (NSLICES + 2), n)
+    C = _batch_chunks(hi[0].size * 4 * (nslices + 2), n)
     if C == n:
-        return _gram_f64_jit(hi, lo)
-    return jnp.concatenate([_sync(_gram_f64_jit(hi[k:k + C],
-                                                lo[k:k + C]))
-                            for k in range(0, n, C)])
+        return _gram_f64_jit(hi, lo, nslices=nslices,
+                             cross_max=cross_max)
+    return jnp.concatenate(
+        [_sync(_gram_f64_jit(hi[k:k + C], lo[k:k + C], nslices=nslices,
+                             cross_max=cross_max))
+         for k in range(0, n, C)])
 
 
-def xmatmul64(A64, B64, transa: bool = False):
+def xmatmul64(A64, B64, transa: bool = False, nslices=NSLICES,
+              cross_max=CROSS_MAX):
     """C = A @ B (Aᵀ @ B with transa) in near-f64, batched; the batch
-    axis is chunked so the slice transients fit HBM."""
+    axis is chunked so the slice transients fit HBM.
+
+    nslices/cross_max select the accuracy↔speed tier: the GEMM count is
+    the number of (p, q) slice pairs kept, so e.g. (5, 4) runs ~2.9x
+    fewer MXU passes than the (8, 8) default at ~2^-30 relative accuracy
+    — ample for reporting-grade statistics products, not for Newton
+    refinement (which must stay at the default tier)."""
     if not _use_sliced():
         eq = "...mi,...mj->...ij" if transa else "...im,...mj->...ij"
         return jnp.einsum(eq, A64, B64)
     ahi, alo = split_device(A64)
     bhi, blo = split_device(B64)
+    kw = dict(nslices=nslices, cross_max=cross_max, transa=transa)
     if ahi.ndim < 3 or bhi.ndim < 3 or ahi.shape[0] != bhi.shape[0]:
-        return _matmul_f64_jit(ahi, alo, bhi, blo, transa=transa)
+        return _matmul_f64_jit(ahi, alo, bhi, blo, **kw)
     n = ahi.shape[0]
-    C = _batch_chunks((ahi[0].size + bhi[0].size) * 4 * (NSLICES + 2), n)
+    C = _batch_chunks((ahi[0].size + bhi[0].size) * 4 * (nslices + 2), n)
     if C == n:
-        return _matmul_f64_jit(ahi, alo, bhi, blo, transa=transa)
+        return _matmul_f64_jit(ahi, alo, bhi, blo, **kw)
     return jnp.concatenate(
         [_sync(_matmul_f64_jit(ahi[k:k + C], alo[k:k + C], bhi[k:k + C],
-                               blo[k:k + C], transa=transa))
+                               blo[k:k + C], **kw))
          for k in range(0, n, C)])

@@ -499,9 +499,12 @@ def _schur_factor_inv64_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
     return Ainv, Y, Sinv, di, dj, djg, Nij_s
 
 
+@partial(jax.jit, static_argnames=("nj_total", "rounds", "sliced",
+                                   "nslices", "cross_max"))
 def _newton_refine_factors(Ainv, Y, Sinv, di, dj, djg, Nij_s,
                            Nii64, Nij64, Njj64, jmap, jmask64,
-                           nj_total, rounds=1):
+                           nj_total, rounds=1, sliced=False,
+                           nslices=8, cross_max=8):
     """f64 Newton-Schulz rounds on the explicit f32 Schur inverses.
 
     X <- X (2I - N X) squares the relative error per round
@@ -512,8 +515,11 @@ def _newton_refine_factors(Ainv, Y, Sinv, di, dj, djg, Nij_s,
     All O(n^3) products go through ops/slicegemm.xmatmul64: native f64
     einsum on CPU, mantissa-sliced exact bf16 MXU products on TPU (f64
     emulation there runs at ~5 GFLOP/s — 2 orders too slow).  Returns a
-    refined (Ainv, Y, Sinv, di, dj, djg, Nij_s) tuple, all f64."""
-    from ..ops.slicegemm import xmatmul64
+    refined (Ainv, Y, Sinv, di, dj, djg, Nij_s) tuple, all f64.
+    Fused into one jitted program — see _newton_l1_chunk."""
+    from ..ops.slicegemm import mm64
+    xmatmul64 = partial(mm64, sliced=sliced, nslices=nslices,
+                        cross_max=cross_max)
     di64 = di.astype(jnp.float64)
     dj64 = dj.astype(jnp.float64)
     Nii_s = Nii64 * di64[:, :, None] * di64[:, None, :]
@@ -1029,9 +1035,12 @@ class DeviceSchurFactors:
             N64 = (jnp.asarray(bs.Nii.astype(np.float64)),
                    jnp.asarray(bs.Nij.astype(np.float64)),
                    jnp.asarray(bs.Njj.astype(np.float64)))
+        from ..ops.slicegemm import _use_sliced
+        tier = _cov_tier(streamed=False)
         return _newton_refine_factors(
             *self.factors, *N64,
-            self.jmap, self.jmask64, self.nj_total, rounds)
+            self.jmap, self.jmask64, self.nj_total, rounds=rounds,
+            sliced=_use_sliced(), nslices=tier[0], cross_max=tier[1])
 
 
 def schur_solve_device(bs: BlockSystem, refine: int = 2,
@@ -2133,50 +2142,87 @@ class StreamedNestedSchurFactors:
 # nested a-posteriori covariance extraction (for adjusted-measurement stats)
 # ---------------------------------------------------------------------------
 
-def _newton_l1_chunk(Nii_c, Nij_c, Njj_c, di_c, dj_c, Ainv_c, rounds=3):
-    """f64 Newton-Schulz on one host-resident chunk of level-1 inverses:
-    returns (refined Ainv, Y = Ainv·Nij, Schur piece S) all f64.  The
-    covariance counterpart of the solve path's rhs refinement — see
-    _newton_refine_factors.  O(n^3) products via xmatmul64 (sliced bf16
-    MXU on TPU, native f64 on CPU)."""
-    from ..ops.slicegemm import xmatmul64
+def _cov_tier(streamed: bool):
+    """(nslices, cross_max) of the covariance-refinement products.
+
+    Streamed factors back the SOLVE applies (relative-residual bar
+    ~1e-12) and stay at the full tier.  Resident refinement feeds only
+    reporting consumers (formal SDs, .apu/SINEX block covariances,
+    measurement statistics — 3-4 printed figures), where the (6, 5)
+    tier's ~1e-9 product floor leaves orders of magnitude of margin at
+    half the MXU passes.  DTA_COV_TIER=nslices,cross_max overrides."""
+    from ..ops.slicegemm import NSLICES, CROSS_MAX
+    if streamed:
+        return NSLICES, CROSS_MAX
+    v = os.environ.get("DTA_COV_TIER", "6,5")
+    n, c = v.split(",")
+    return int(n), int(c)
+
+
+@partial(jax.jit, static_argnames=("rounds", "sliced", "nslices",
+                                   "cross_max"))
+def _newton_l1_chunk(Nii_c, Nij_c, Njj_c, di_c, dj_c, Ainv_c, rounds,
+                     sliced, nslices, cross_max):
+    """f64 Newton-Schulz on one chunk of level-1 inverses — ONE fused
+    program: returns (refined Ainv, Y = Ainv·Nij, Schur piece S) all
+    f64.  The covariance counterpart of the solve path's rhs refinement
+    (_newton_refine_factors).  The op-by-op form paid a tunnel dispatch
+    + sync per batch/depth sub-chunk of every sliced product (~300
+    round-trips ≈ 10-20 s at the 10k bench); fused, the depth loops
+    unroll in-trace into a single dispatch per chunk."""
+    from ..ops.slicegemm import mm64
+    mm = partial(mm64, sliced=sliced, nslices=nslices,
+                 cross_max=cross_max)
     Nii_c = Nii_c * di_c[:, :, None] * di_c[:, None, :]
     Nij_c = Nij_c * di_c[:, :, None] * dj_c[:, None, :]
     Njj_c = Njj_c * dj_c[:, :, None] * dj_c[:, None, :]
     A = Ainv_c.astype(jnp.float64)
     eye2 = 2.0 * jnp.eye(Nii_c.shape[1], dtype=jnp.float64)
     for _ in range(rounds):
-        A = xmatmul64(A, eye2 - xmatmul64(Nii_c, A))
+        A = mm(A, eye2 - mm(Nii_c, A))
         A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
-    Y = xmatmul64(A, Nij_c)
-    S_c = Njj_c - xmatmul64(Nij_c, Y, transa=True)
+    Y = mm(A, Nij_c)
+    S_c = Njj_c - mm(Nij_c, Y, transa=True)
     return A, Y, S_c
 
 
-def _newton_l2_one(Nii2, Nij2, i2mask, A2inv32, k, rounds=3):
-    """f64 Newton-Schulz on ONE level-2 inverse (same pinning as
-    _nested_l2_factor_one); returns (A2inv, Y2, S2) f64.  Products via
-    xmatmul64 (sliced bf16 MXU on TPU)."""
-    from ..ops.slicegemm import xmatmul64
-    Nii2b = Nii2[k]
-    Nij2b = Nij2[k]
-    mask_b = i2mask[k]
-    eye = jnp.eye(Nii2b.shape[0], dtype=jnp.float64)
-    Nii2b = Nii2b + eye * (1.0 - mask_b)[None, :]
-    A2 = A2inv32[k].astype(jnp.float64)
+@partial(jax.jit, static_argnames=("rounds", "sliced", "nslices",
+                                   "cross_max"))
+def _newton_l2_batch(Nii2, Nij2, i2mask, A2inv32, rounds, sliced,
+                     nslices, cross_max):
+    """f64 Newton-Schulz on ALL level-2 inverses (same pinning as
+    _nested_l2_factor_one), unrolled over the SB super-blocks in one
+    fused program; returns stacked (A2inv, Y2, S2) f64."""
+    from ..ops.slicegemm import mm64
+    mm = partial(mm64, sliced=sliced, nslices=nslices,
+                 cross_max=cross_max)
+    outs = []
+    eye = jnp.eye(Nii2.shape[1], dtype=jnp.float64)
     eye2 = 2.0 * eye
-    for _ in range(rounds):
-        A2 = xmatmul64(A2, eye2 - xmatmul64(Nii2b, A2))
-        A2 = 0.5 * (A2 + A2.T)
-    Y2b = xmatmul64(A2, Nij2b)
-    S2b = - xmatmul64(Nij2b, Y2b, transa=True)
-    return A2, Y2b, S2b
+    for k in range(Nii2.shape[0]):
+        Nii2b = Nii2[k] + eye * (1.0 - i2mask[k])[None, :]
+        Nij2b = Nij2[k]
+        A2 = A2inv32[k].astype(jnp.float64)
+        for _ in range(rounds):
+            A2 = mm(A2, eye2 - mm(Nii2b, A2))
+            A2 = 0.5 * (A2 + A2.T)
+        Y2b = mm(A2, Nij2b)
+        S2b = - mm(Nij2b, Y2b, transa=True)
+        outs.append((A2, Y2b, S2b))
+    return (jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+            jnp.stack([o[2] for o in outs]))
 
 
-def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, rounds=3):
+@partial(jax.jit, static_argnames=("nsj_total", "rounds", "sliced",
+                                   "nslices", "cross_max"))
+def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, rounds,
+               sliced, nslices, cross_max):
     """Assemble the f64 super-junction system and Newton-refine its
-    inverse from the f32 one (products via xmatmul64)."""
-    from ..ops.slicegemm import xmatmul64
+    inverse from the f32 one — one fused program."""
+    from ..ops.slicegemm import mm64
+    mm = partial(mm64, sliced=sliced, nslices=nslices,
+                 cross_max=cross_max)
     S2_b = (Njj2 + S2_b) * j2mask[:, :, None] * j2mask[:, None, :]
     S2, _ = _scatter_junction(S2_b, jnp.zeros_like(S2_b[..., 0]), j2map,
                               nsj_total)
@@ -2185,7 +2231,7 @@ def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, rounds=3):
     Si = Sinv32.astype(jnp.float64)
     eye2 = 2.0 * jnp.eye(nsj_total, dtype=jnp.float64)
     for _ in range(rounds):
-        Si = xmatmul64(Si, eye2 - xmatmul64(S2, Si))
+        Si = mm(Si, eye2 - mm(S2, Si))
         Si = 0.5 * (Si + Si.T)
     return Si
 
@@ -2207,10 +2253,14 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
         return
     if rounds is None:
         # 3 squarings by default (covers the recursive backend's f32
-        # starting error with margin); DTA_NEWTON_ROUNDS trades
-        # accuracy for upload volume on streamed national runs, where
-        # each round re-streams the factor pools over the link
-        rounds = int(os.environ.get("DTA_NEWTON_ROUNDS", 3))
+        # streamed factors back the solve applies: 3 squarings (covers
+        # the recursive backend's f32 starting error with margin to the
+        # full-tier floor).  Resident refinement feeds only reporting
+        # consumers at the (6,5) product tier, whose ~1e-9 floor two
+        # squarings already reach (err 1e-2..1e-3 -> 1e-8..1e-12).
+        # DTA_NEWTON_ROUNDS overrides both.
+        rounds = int(os.environ.get(
+            "DTA_NEWTON_ROUNDS", 3 if hasattr(self, "Ainv_h") else 2))
     bs, part = self.bs, self.part
     if N64 is None:
         N64 = (bs.Nii, bs.Nij, bs.Njj)
@@ -2218,7 +2268,12 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
             raise ValueError("device-assembled normals: pass N64 "
                              "(DeviceAssembly.build_f64())")
     B, ni = N64[0].shape[:2]
-    if hasattr(self, "Ainv_h"):                      # streamed layout
+    streamed = hasattr(self, "Ainv_h")
+    tier = _cov_tier(streamed)
+    from ..ops.slicegemm import _use_sliced
+    tk = dict(rounds=rounds, sliced=_use_sliced(), nslices=tier[0],
+              cross_max=tier[1])
+    if streamed:                                     # streamed layout
         di_h, dj_h = self.di_h, self.dj_h
         ainv_src = lambda s: self.Ainv_h[s]
         a2_src = self.l2_factors
@@ -2236,14 +2291,21 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
         keep_dev = (B * ni * (ni + njdim) * 8.0 <=
                     float(os.environ.get("DTA_COV_DEV_BYTES", 4e9)))
 
-    C = next(c for c in range(min(16, B), 0, -1) if B % c == 0)
+    # chunk the fused L1 refinement under an HBM budget: one program
+    # holds ~2 sliced-operand copy sets ((nslices+2) f32 each) plus ~6
+    # f64 ni x ni intermediates per block — at bench scale (ni 3.4k)
+    # that is ~1.3 GB/block, and the former fixed 16-block chunk OOM'd
+    # a 16 GB chip on the warm re-run
+    per_block = ((2 * (tier[0] + 2) * 4.0 + 6 * 8.0)
+                 * float(ni) * ni)
+    budget = float(os.environ.get("DTA_NEWTON_CHUNK_BYTES", 3e9))
+    want = min(16, max(1, int(budget / per_block)))
+    C = next(c for c in range(min(want, B), 0, -1) if B % c == 0)
     njdim = N64[2].shape[1]
     if keep_dev:
         Ad = jnp.zeros((B, ni, ni), jnp.float64)
         Yd = jnp.zeros((B, ni, njdim), jnp.float64)
-        upd = jax.jit(
-            lambda P, g, b0: jax.lax.dynamic_update_slice_in_dim(
-                P, g, b0, 0), donate_argnums=(0,))
+        from ..adjust.device_assembly import _upd_pool as upd
     else:
         Ah = np.empty((B, ni, ni))
         Yh = np.empty((B, ni, njdim))
@@ -2260,7 +2322,7 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
             jnp.asarray(N64[2][s]),
             jnp.asarray(di_h[s], dtype=jnp.float64),
             jnp.asarray(dj_h[s], dtype=jnp.float64),
-            jnp.asarray(ainv_src(s)), rounds=rounds)
+            jnp.asarray(ainv_src(s)), **tk)
         if keep_dev:
             Ad = upd(Ad, A_c, s.start)
             Yd = upd(Yd, Y_c, s.start)
@@ -2276,15 +2338,28 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
 
     i2m = jnp.asarray(part.i2mask, dtype=jnp.float64)
     A2_32 = jnp.asarray(a2_src[0])
-    parts2 = [_newton_l2_one(Nii2, Nij2, i2m, A2_32, k, rounds=rounds)
-              for k in range(part.SB)]
-    A2h = np.stack([np.asarray(p[0]) for p in parts2])
-    Y2h = np.stack([np.asarray(p[1]) for p in parts2])
-    S2_b = jnp.stack([p[2] for p in parts2])
+    # same HBM budget for the fused level-2 refinement (one unrolled
+    # program per super-block chunk)
+    per_sb = ((2 * (tier[0] + 2) * 4.0 + 6 * 8.0)
+              * float(part.ni2) * part.ni2)
+    cs = min(part.SB, max(1, int(budget / per_sb)))
+    CS = next(c for c in range(cs, 0, -1) if part.SB % c == 0)
+    l2parts = []
+    for k0 in range(0, part.SB, CS):
+        s2 = slice(k0, k0 + CS)
+        out = _newton_l2_batch(Nii2[s2], Nij2[s2], i2m[s2],
+                               A2_32[s2], **tk)
+        _hard_sync(out[2])
+        l2parts.append(out)
+    A2d = jnp.concatenate([o[0] for o in l2parts])
+    Y2d = jnp.concatenate([o[1] for o in l2parts])
+    S2_b = jnp.concatenate([o[2] for o in l2parts])
+    A2h = np.asarray(A2d)
+    Y2h = np.asarray(Y2d)
     Sinv64 = _newton_l3(S2_b, Njj2,
                         jnp.asarray(part.j2mask, dtype=jnp.float64),
                         jnp.asarray(part.j2map), jnp.asarray(a2_src[2]),
-                        nsj_total=self.nsj_total, rounds=rounds)
+                        nsj_total=self.nsj_total, **tk)
     if not keep_dev:
         self._cov_l1_h = (Ah, Yh)
     self._l2_host = (A2h, Y2h, np.asarray(Sinv64))

@@ -172,6 +172,41 @@ def test_device_stats_match_host(monkeypatch, super_blocks):
                 1e-9 * np.abs(b.adj_vcv3).max() + 1e-18
 
 
+def test_device_stats_sliced_tier(monkeypatch):
+    """The TPU route of the statistics pass — sliced bf16-MXU products
+    at the reduced reporting tier (DTA_STATS_TIER, default 5,4) — forced
+    on CPU via DTA_SLICED_F64=1, against the host per-block covariance
+    statistics at reporting-grade tolerance (~2^-30 relative)."""
+    def run(sliced):
+        monkeypatch.setenv("DTA_HOST_ASSEMBLY", "")
+        monkeypatch.setenv("DTA_SLICED_F64", "1" if sliced else "0")
+        if sliced:
+            monkeypatch.setenv("DTA_DENSE_COV_MAX_STN", "1")
+            monkeypatch.setenv("DTA_DEVICE_STATS", "1")
+        else:
+            monkeypatch.delenv("DTA_DENSE_COV_MAX_STN", raising=False)
+            monkeypatch.setenv("DTA_DEVICE_STATS", "0")
+        net, seg = synthetic_mixed_network(12, 12, block_rows=6,
+                                           block_cols=6)
+        try:
+            return adjust_tpu_blocked(net, AdjustmentOptions(), seg=seg,
+                                      super_blocks=2)
+        finally:
+            monkeypatch.setenv("DTA_SLICED_F64", "0")
+
+    r_host = run(False)
+    r_dev = run(True)
+    assert abs(r_host.sigma_zero - r_dev.sigma_zero) < 1e-6
+    sc = np.abs(r_host.cov_stn).max()
+    assert np.abs(r_host.cov_stn - r_dev.cov_stn).max() / sc < 1e-6
+    for a, b in zip(r_dev.msr_stats, r_host.msr_stats):
+        assert abs(a.adj_prec - b.adj_prec) <= \
+            1e-6 * abs(b.adj_prec) + 1e-12
+        if a.adj_vcv3 is not None:
+            assert np.abs(a.adj_vcv3 - b.adj_vcv3).max() <= \
+                1e-6 * np.abs(b.adj_vcv3).max() + 1e-12
+
+
 def test_block_scoped_covariance_output(monkeypatch, tmp_path):
     """Past the dense cap, --output-all-covariances (.apu) and the SINEX
     VCV must emit within-block inter-station covariances from the

@@ -67,6 +67,26 @@ def test_matmul_accuracy_and_deep_contraction():
                      np.linalg.norm(Bm, axis=1)) < 1e-12
 
 
+def test_reduced_stats_tier_accuracy(stress, monkeypatch):
+    """The statistics tier (nslices=5, cross_max=4) trades ~2.9x fewer
+    MXU passes for ~2^-30 relative accuracy — verify the bound holds on
+    the wide-dynamic-range stress operand, forced through the sliced
+    route (the tier device_stats consumes on TPU)."""
+    X = jnp.asarray(stress[:1, :256])
+    monkeypatch.setenv("DTA_SLICED_F64", "1")
+    C_full = np.asarray(xmatmul64(X, X, transa=True))
+    C_fast = np.asarray(xmatmul64(X, X, transa=True,
+                                  nslices=5, cross_max=4))
+    nrm = np.linalg.norm(np.asarray(X), axis=1)
+    assert _normwise(np.abs(C_fast - C_full), nrm, nrm) < 3e-8
+
+    from dynadjust_tpu.adjust import device_stats
+    monkeypatch.setenv("DTA_STATS_TIER", "6,5")
+    assert device_stats._stats_tier() == (6, 5)
+    monkeypatch.delenv("DTA_STATS_TIER")
+    assert device_stats._stats_tier() == (5, 4)
+
+
 def test_backend_adaptive_wrappers(stress, monkeypatch):
     """xgram64/xmatmul64 must give near-identical results through both
     the sliced and the native-f64 routes."""
