@@ -46,7 +46,6 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 @partial(jax.jit, donate_argnums=(0,))
-@partial(jax.jit, donate_argnums=(0,))
 def _add_diag_tiles_donated(P, b, c3, v):
     return P.at[b[:, None, None], c3[:, :, None], c3[:, None, :]].add(v)
 
@@ -250,8 +249,8 @@ class DeviceAssembly:
         self._t_b = self._putr(self._t_b_h)
         self._t_r = self._putr(self._t_r_h)
         self._t_c3 = self._putr(self._t_c3_h)
-        # per-block combined tile counts (scalar then gps), for chunked
-        # scatters (a64_chunk)
+        # per-block combined tile counts (scalar then gps), for the
+        # statistics pass's chunked fused scatter (device_stats)
         self._t_range = np.zeros(self.B + 1, dtype=np.int64)
         for b in range(self.B):
             self._t_range[b + 1] = self._t_range[b] + \
@@ -742,33 +741,6 @@ class DeviceAssembly:
         N = _add_diag_tiles(N, self._d_b, self._d_c3, self._d_v64)
         ni = self.ni
         return N[:, :ni, :ni], N[:, :ni, ni:], N[:, ni:, ni:]
-
-    def a64_chunk(self, b0: int, b1: int):
-        """Projected design-matrix pool in f64 for blocks [b0, b1):
-        GPS base (±1, exact) + double-float scalar tiles, column
-        projection in f64.  Chunked — the full national-scale f64 pool
-        would not fit HBM; the statistics pass consumes one chunk at a
-        time."""
-        from ..ops.slicegemm import split_f32_pair
-        # tiles are appended per block: contiguous ranges (_t_range)
-        t0, t1 = int(self._t_range[b0]), int(self._t_range[b1])
-        vals = self.scalar_values(np.float64, b0, b1)
-        hi, lo = split_f32_pair(vals)
-        tb = self._t_b[t0:t1] - b0
-        tr = self._t_r[t0:t1]
-        tc3 = self._t_c3[t0:t1]
-        shape = (b1 - b0, self.M, self.Pp)
-        Ahi = _scatter_scalar_tiles(jnp.zeros(shape, jnp.float32),
-                                    tb, tr, tc3, self._putr(hi))
-        Alo = _scatter_scalar_tiles(jnp.zeros(shape, jnp.float32),
-                                    tb, tr, tc3, self._putr(lo))
-        A64 = Ahi.astype(jnp.float64) + Alo.astype(jnp.float64)
-        if self._has_proj:
-            C, Mr, Pp = A64.shape
-            A64 = jnp.einsum("bmsk,bskl->bmsl",
-                             A64.reshape(C, Mr, Pp // 3, 3),
-                             self.Pmat64[b0:b1]).reshape(C, Mr, Pp)
-        return A64
 
     def gps_row_plan(self):
         """Per block: array of GNSS observation base rows (row0 + 3i) —
