@@ -246,10 +246,13 @@ def device_block_stats(da, bs, cov_factors=None, nested=None,
         factors, part = nested
         l1d = getattr(factors, "_cov_l1_dev", None)
         Ah, Yh = l1d if l1d is not None else factors._cov_l1_h
-        # hoist the chunk-invariant level-2/3 pools to the device ONCE —
-        # re-uploading A2h/Y2h/Sinv per chunk moved ~18 GB over the
-        # tunnel at the 102,400-stn configuration (~40 min of stats)
-        dev = getattr(factors, "_l2_dev", None)
+        # chunk-invariant level-2/3 pools: the resident refinement now
+        # leaves them ON device (_l2_dev_refined — no round-trip); the
+        # streamed/host layouts hoist them up ONCE (re-uploading per
+        # chunk moved ~18 GB at the 102,400-stn configuration)
+        dev = getattr(factors, "_l2_dev_refined", None)
+        if dev is None:
+            dev = getattr(factors, "_l2_dev", None)
         if dev is None:
             A2h, Y2h, Sh = factors._l2_host
             dev = (jnp.asarray(A2h), jnp.asarray(Y2h), jnp.asarray(Sh))

@@ -1775,7 +1775,8 @@ class NestedSchurFactors:
             self._probe("factor stage2", Sinv)
             self.factors = (Ainv, Y, A2inv, Y2, Sinv, di, dj, djg)
         # refined covariance state (if any) is stale after a refactor
-        for attr in ("_cov_l1_h", "_cov_l1_dev", "_l2_host", "_l2_dev"):
+        for attr in ("_cov_l1_h", "_cov_l1_dev", "_l2_host", "_l2_dev",
+                     "_l2_dev_refined"):
             if hasattr(self, attr):
                 delattr(self, attr)
         return self
@@ -2354,15 +2355,23 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
     A2d = jnp.concatenate([o[0] for o in l2parts])
     Y2d = jnp.concatenate([o[1] for o in l2parts])
     S2_b = jnp.concatenate([o[2] for o in l2parts])
-    A2h = np.asarray(A2d)
-    Y2h = np.asarray(Y2d)
     Sinv64 = _newton_l3(S2_b, Njj2,
                         jnp.asarray(part.j2mask, dtype=jnp.float64),
                         jnp.asarray(part.j2map), jnp.asarray(a2_src[2]),
                         nsj_total=self.nsj_total, **tk)
     if not keep_dev:
         self._cov_l1_h = (Ah, Yh)
-    self._l2_host = (A2h, Y2h, np.asarray(Sinv64))
+    if streamed:
+        self._l2_host = (np.asarray(A2d), np.asarray(Y2d),
+                         np.asarray(Sinv64))
+    else:
+        # resident path: KEEP the refined level-2/3 pools on device —
+        # the statistics pass consumes them there, and the former
+        # download-then-reupload round-trip of ~1.2 GB over the tunnel
+        # cost ~240 s of the 102,400-stn stats stage.  The writers'
+        # host view (junction_cov) downloads lazily if needed.
+        self._l2_dev_refined = (A2d, Y2d, Sinv64)
+        self._l2_host = None
 
 
 def _cov_l1_host(self):
@@ -2446,9 +2455,15 @@ def _resident_level1_block(self, b):
 def _resident_junction_cov(self, gsel):
     Ainv, Y, A2inv, Y2, Sinv, di, dj, djg = self.factors
     if getattr(self, "_l2_host", None) is None:
-        self._l2_host = (np.asarray(A2inv, dtype=np.float64),
-                         np.asarray(Y2, dtype=np.float64),
-                         np.asarray(Sinv, dtype=np.float64))
+        dev = getattr(self, "_l2_dev_refined", None)
+        if dev is not None:
+            # lazy host view of the Newton-refined device pools
+            self._l2_host = tuple(np.asarray(a, dtype=np.float64)
+                                  for a in dev)
+        else:
+            self._l2_host = (np.asarray(A2inv, dtype=np.float64),
+                             np.asarray(Y2, dtype=np.float64),
+                             np.asarray(Sinv, dtype=np.float64))
     A2h, Y2h, Sh = self._l2_host
     return nested_junction_cov(self.part, A2h, Y2h, Sh, gsel)
 
