@@ -74,6 +74,7 @@ def _fused_gram_chunk(tb, tr, tc3, vhi, vlo, C, M, Pp, ni):
     return g[:, :ni, :ni], g[:, :ni, ni:], g[:, ni:, ni:]
 
 
+@partial(jax.jit, donate_argnums=(0,))
 def _scatter_scalar_tiles(A_base, bidx, ridx, c3, vals):
     """Write (K, 3) scalar-row tiles into the pooled design matrix.
     The base buffer is donated — callers pass a fresh zeros (or a
@@ -427,7 +428,13 @@ class DeviceAssembly:
             bc_budget = float(os.environ.get("DTA_BUCKET_CHUNK_BYTES",
                                              4e8))
 
+            dtype = self.dtype
+
             def f(vals, tb, tr, tc3, wdiag, db, dc3, dv, bucket, proj):
+                # vals may arrive f64 (shared upload with the fused
+                # refined solve, device_solve.py) — cast to the pool
+                # dtype in-program
+                vals = vals.astype(dtype)
                 A = jnp.zeros(shape, vals.dtype) \
                     .at[tb[:, None], tr[:, None], tc3].set(vals)
                 prb, prc3, prm = proj

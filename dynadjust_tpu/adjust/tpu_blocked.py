@@ -215,13 +215,28 @@ def adjust_tpu_blocked(net: NetworkData,
                   and _os.environ.get("DTA_HOST_ASSEMBLY", "") != "1")
     da = None
     matvec = None
+    dev_solver = None
     if device_asm:
         from .device_assembly import DeviceAssembly
         da = DeviceAssembly(blocks, part, basis, first_fwd, mesh=mesh)
         matvec = da.matvec
-    prof = ({"fill": 0.0, "normals": 0.0, "rhs": 0.0, "build": 0.0,
-             "factor": 0.0, "solve": 0.0, "update": 0.0, "stats": 0.0}
+        # fused one-dispatch refined solve (device_solve.py): replaces
+        # the host residual-refinement loop + host rhs when the sliced
+        # design pools fit the HBM budget
+        from .device_solve import DeviceRefinedSolve, want_device_solve
+        if want_device_solve(da, mesh, staged):
+            dev_solver = DeviceRefinedSolve(da)
+    prof = ({"setup": 0.0, "fill": 0.0, "normals": 0.0, "rhs": 0.0,
+             "build": 0.0, "factor": 0.0, "solve": 0.0, "update": 0.0,
+             "stats": 0.0}
             if _os.environ.get("DTA_PROFILE") else None)
+    if prof is not None:
+        # one-time per-network cost (segmentation load, block/assembler
+        # construction, constraint basis, device plans + constant
+        # uploads) — kept OUT of the per-iteration phases so published
+        # profiles read straight (VERDICT r4 #6: steady-state phase
+        # totals ≈ N × per-iteration values + this explicit setup line)
+        prof["setup"] = time.time() - t0
 
     def _sync(x):
         # phase timers must not attribute async device work to the next
@@ -236,16 +251,37 @@ def adjust_tpu_blocked(net: NetworkData,
         _t_iter = _time.perf_counter()
         _t = _time.perf_counter()
         prev_bs = bs
+        vals_dev = mmc_dev = None
         if device_asm:
-            Nii, Nij, Njj = da.build_device()
-            _sync(Njj)
-            if prof is not None:
-                prof["normals"] += _time.perf_counter() - _t
-                _t = _time.perf_counter()
-            bi, bj = da.rhs_pools()
-            if prof is not None:
-                prof["rhs"] += _time.perf_counter() - _t
-                _t = _time.perf_counter()
+            if dev_solver is not None:
+                # ONE f64 value upload serves the f32 build (cast on
+                # device) and the fused solve's residual operator; the
+                # misclosure pool rides along (host rhs_pools is gone)
+                vals64 = da.scalar_values(np.float64)
+                vals_dev, mmc_dev = dev_solver.iteration_inputs(vals64)
+                if prof is not None:
+                    prof["rhs"] += _time.perf_counter() - _t
+                    _t = _time.perf_counter()
+                shared = da._auto_chunk_blocks() >= da.Bp
+                Nii, Nij, Njj = da.build_device(
+                    values=vals_dev if shared
+                    else vals64.astype(np.float32))
+                _sync(Njj)
+                if prof is not None:
+                    prof["normals"] += _time.perf_counter() - _t
+                    _t = _time.perf_counter()
+                bi = np.zeros((da.Bp, da.ni))
+                bj = np.zeros((da.Bp, da.nj))
+            else:
+                Nii, Nij, Njj = da.build_device()
+                _sync(Njj)
+                if prof is not None:
+                    prof["normals"] += _time.perf_counter() - _t
+                    _t = _time.perf_counter()
+                bi, bj = da.rhs_pools()
+                if prof is not None:
+                    prof["rhs"] += _time.perf_counter() - _t
+                    _t = _time.perf_counter()
             bs = BlockSystem(Nii=Nii, Nij=Nij, Njj=Njj, bi=bi, bj=bj,
                              jmap=da.jmap_np, jmask=da.jmask_np,
                              imask=da.imask_np, nj_global=da.nj_global)
@@ -305,10 +341,19 @@ def adjust_tpu_blocked(net: NetworkData,
                 factors.refactor(bs)
             else:
                 factors = None
-            xi, xj, factors = schur_solve_nested_factored(
-                bs, nested_part, dtype=np.float32,
-                factors=factors,
-                streamed=staged, mesh=mesh, matvec=matvec)
+            if dev_solver is not None:
+                from ..parallel.schur import NestedSchurFactors
+                if factors is None:
+                    factors = NestedSchurFactors(bs, nested_part,
+                                                 np.float32)
+                xi, xj, solve_ev = dev_solver.solve_nested(
+                    factors, vals_dev, mmc_dev)
+            else:
+                solve_ev = None
+                xi, xj, factors = schur_solve_nested_factored(
+                    bs, nested_part, dtype=np.float32,
+                    factors=factors,
+                    streamed=staged, mesh=mesh, matvec=matvec)
             if device_asm:
                 # the nested factors are self-contained (Ainv/Y + level
                 # 2/3 inverses); the f32 normals pools are rebuilt next
@@ -327,8 +372,13 @@ def adjust_tpu_blocked(net: NetworkData,
                 factors.update(bs)
             else:
                 factors.bs = bs
-            xi, xj = schur_solve_device_refined(bs, factors,
-                                                matvec=matvec)
+            if dev_solver is not None:
+                xi, xj, solve_ev = dev_solver.solve_flat(
+                    factors, vals_dev, mmc_dev)
+            else:
+                solve_ev = None
+                xi, xj = schur_solve_device_refined(bs, factors,
+                                                    matvec=matvec)
         if prof is not None:
             prof["solve"] += _time.perf_counter() - _t
             _t = _time.perf_counter()
@@ -352,10 +402,13 @@ def adjust_tpu_blocked(net: NetworkData,
         from ..geodesy.local_frame import rotate_cart_local
         _enu = rotate_cart_local(max_dx3, net.lat[max_stn],
                                  net.lon[max_stn])
-        it_log.append({"iteration": iteration, "max_corr": float(max_corr),
-                       "station": net.names[max_stn], "block": max_blk,
-                       "enu": [float(v) for v in np.ravel(_enu)],
-                       "elapsed": _time.perf_counter() - _t_iter})
+        entry = {"iteration": iteration, "max_corr": float(max_corr),
+                 "station": net.names[max_stn], "block": max_blk,
+                 "enu": [float(v) for v in np.ravel(_enu)],
+                 "elapsed": _time.perf_counter() - _t_iter}
+        if solve_ev is not None:
+            entry.update(solve_ev)      # solve_rel / solve_rounds
+        it_log.append(entry)
 
         if prof is not None:
             prof["update"] += _time.perf_counter() - _t

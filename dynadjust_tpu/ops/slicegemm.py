@@ -209,12 +209,92 @@ def mm64(a, b, transa=False, *, sliced, nslices=NSLICES,
                       cross_max=cross_max, transa=transa)
 
 
-def gm64(B64, *, sliced, nslices=NSLICES, cross_max=CROSS_MAX):
-    """Near-f64 gram N = BᵀB inside fused jitted programs (see mm64)."""
-    if not sliced:
-        return jnp.einsum("...mi,...mj->...ij", B64, B64)
-    hi, lo = split_device(B64)
-    return gram_f64(hi, lo, nslices=nslices, cross_max=cross_max)
+# ---------------------------------------------------------------------------
+# pre-sliced near-f64 matvecs (residual operators inside fused programs)
+# ---------------------------------------------------------------------------
+# A refined-solve program applies the SAME operand A in every refinement
+# round.  matmul_f64 re-peels its operands per call — fine for one-shot
+# products, but a while_loop matvec would pay nslices re-slicing passes
+# over the pool per round.  preslice_pools peels A once into persistent
+# bf16 slice pools; matvec_presliced then slices only the VECTOR per
+# call, so each matvec costs nslices passes over bf16 pools (pure
+# bandwidth) with every bf16 product exact and f32 accumulation exact
+# under the depth bound — near-f64 residuals at MXU/HBM speed instead
+# of XLA's ~3 GFLOP/s f64 matvec emulation (measured,
+# scripts/probe_f64_matvec.py).
+
+
+def preslice_pools(hi, lo, nslices=NSLICES, bits=SLICE_BITS):
+    """Column-scale and peel a double-float operand (..., M, P) into
+    bf16 slice pools for repeated matvecs.  Returns (slices, scale):
+    slices[p] is (..., M, P) bf16, scale is the (..., 1, P) power-of-two
+    column scale with A ≈ (Σ_p slices[p]) · scale."""
+    s, sinv = _pow2_colscale(hi)
+    sl = _slices(hi * sinv, lo * sinv, nslices, bits)
+    return [x.astype(jnp.bfloat16) for x in sl], s
+
+
+def _slice_vector(z, nslices, bits):
+    """Power-of-two scale + peel an f64 vector (..., n) into bf16
+    slices; returns (slices list, scale (..., 1))."""
+    m = jnp.max(jnp.abs(z), axis=-1, keepdims=True)
+    e = jnp.ceil(jnp.log2(jnp.maximum(m, 1e-300))).astype(jnp.int32)
+    zs = jnp.ldexp(jnp.ones((), dtype=z.dtype), e)
+    zsinv = jnp.ldexp(jnp.ones((), dtype=z.dtype), -e)
+    zn = z * zsinv
+    zh = zn.astype(jnp.float32)
+    zl = (zn - zh.astype(z.dtype)).astype(jnp.float32)
+    return _slices(zh, zl, nslices, bits), zs
+
+
+def matvec_presliced(slicesA, sA, x64, nslices=NSLICES,
+                     cross_max=CROSS_MAX, bits=SLICE_BITS,
+                     transa=False):
+    """y = A·x (transa: Aᵀ·x) to near-f64 from pre-sliced A pools.
+
+    slicesA/sA from preslice_pools on (..., M, P); x64 is (..., P) f64
+    (transa: (..., M)).  Contraction chunks respect the exact-f32
+    accumulation depth bound.  Returns f64 (..., M) (transa: (..., P)).
+
+    Accuracy: NORMWISE ~2^-(6·min(nslices, cross_max+1)) of
+    ‖|A|‖·‖|x|‖ per batch — the slice window anchors at each column's
+    max (as in _matmul_sliced), so per-row relative error on rows far
+    below their column maxima is wider.  That is the right bound for a
+    residual operator: iterative refinement contracts in the global
+    norm."""
+    if transa:
+        z = x64                          # contraction over M (unscaled)
+    else:
+        z = x64 * sA[..., 0, :]          # fold A's column scale into x
+    slz, zs = _slice_vector(z, nslices, bits)
+    Z = jnp.stack(slz, axis=-1).astype(jnp.bfloat16)   # (..., n, K)
+    rmax = 1 << (24 - 2 * bits - 2)
+    n = Z.shape[-2]
+    acc = None
+    for p, Sp in enumerate(slicesA):
+        qmax = cross_max - p + 1
+        if qmax <= 0:
+            continue
+        qn = min(qmax, nslices)
+        part = None
+        for c0 in range(0, n, rmax):
+            Zc = Z[..., c0:c0 + rmax, :qn]
+            if transa:
+                g = jnp.einsum("...mp,...mk->...pk",
+                               Sp[..., c0:c0 + rmax, :], Zc,
+                               preferred_element_type=jnp.float32)
+            else:
+                g = jnp.einsum("...mp,...pk->...mk",
+                               Sp[..., :, c0:c0 + rmax], Zc,
+                               preferred_element_type=jnp.float32)
+            g64 = g.astype(jnp.float64)
+            part = g64 if part is None else part + g64
+        psum = jnp.sum(part, axis=-1)
+        acc = psum if acc is None else acc + psum
+    y = acc * zs
+    if transa:
+        y = y * sA[..., 0, :]
+    return y
 
 
 # ---------------------------------------------------------------------------

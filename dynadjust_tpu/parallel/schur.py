@@ -499,42 +499,19 @@ def _schur_factor_inv64_jit(Nii, Nij, Njj, jmap, jmask, nj_total):
     return Ainv, Y, Sinv, di, dj, djg, Nij_s
 
 
-@partial(jax.jit, static_argnames=("nj_total", "rounds", "sliced",
-                                   "nslices", "cross_max"))
-def _newton_refine_factors(Ainv, Y, Sinv, di, dj, djg, Nij_s,
-                           Nii64, Nij64, Njj64, jmap, jmask64,
-                           nj_total, rounds=1, sliced=False,
-                           nslices=8, cross_max=8):
-    """f64 Newton-Schulz rounds on the explicit f32 Schur inverses.
-
-    X <- X (2I - N X) squares the relative error per round
-    (~kappa*eps32 -> (kappa*eps32)^2), giving f64-quality covariance
-    factors from the f32 MXU factorization — the variance-extraction
-    counterpart of the rhs refinement in the solve path (the reference
-    computes dpotri in f64 once, dnamatrix_contiguous.cpp:996-1006).
-    All O(n^3) products go through ops/slicegemm.xmatmul64: native f64
-    einsum on CPU, mantissa-sliced exact bf16 MXU products on TPU (f64
-    emulation there runs at ~5 GFLOP/s — 2 orders too slow).  Returns a
-    refined (Ainv, Y, Sinv, di, dj, djg, Nij_s) tuple, all f64.
-    Fused into one jitted program — see _newton_l1_chunk."""
+@partial(jax.jit, static_argnames=("nj_total", "max_rounds", "tol",
+                                   "sliced", "nslices", "cross_max"))
+def _newton_flat_junction(S_b, jmap, jmask64, Sinv32, nj_total,
+                          max_rounds, tol, sliced, nslices, cross_max):
+    """Scatter the per-block refined f64 Schur pieces into the global
+    junction system and residual-driven Newton-refine its inverse from
+    the f32 one — the junction half of the flat covariance refinement
+    (the variance-extraction counterpart of the reference's f64 dpotri,
+    dnamatrix_contiguous.cpp:996-1006).  Returns (Sinv64, err) with the
+    measured max|I − S·Sinv| as evidence."""
     from ..ops.slicegemm import mm64
-    xmatmul64 = partial(mm64, sliced=sliced, nslices=nslices,
-                        cross_max=cross_max)
-    di64 = di.astype(jnp.float64)
-    dj64 = dj.astype(jnp.float64)
-    Nii_s = Nii64 * di64[:, :, None] * di64[:, None, :]
-    Nij_s64 = Nij64 * di64[:, :, None] * dj64[:, None, :]
-    Njj_s64 = Njj64 * dj64[:, :, None] * dj64[:, None, :]
-
-    A = Ainv.astype(jnp.float64)
-    eye2 = 2.0 * jnp.eye(A.shape[1], dtype=jnp.float64)
-    for _ in range(rounds):
-        A = xmatmul64(A, eye2 - xmatmul64(Nii_s, A))
-        A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
-    Y64 = xmatmul64(A, Nij_s64)
-
-    # rebuild the junction Schur complement in f64 from the refined A
-    S_b = Njj_s64 - xmatmul64(Nij_s64, Y64, transa=True)
+    mm = partial(mm64, sliced=sliced, nslices=nslices,
+                 cross_max=cross_max)
     S_b = S_b * jmask64[:, :, None] * jmask64[:, None, :]
     S = jnp.zeros((nj_total, nj_total), dtype=jnp.float64)
     nj = jmap.shape[1]
@@ -543,13 +520,17 @@ def _newton_refine_factors(Ainv, Y, Sinv, di, dj, djg, Nij_s,
     S = S.at[idx_i, idx_j].add(S_b.reshape(-1))
     diag = jnp.diag(S)
     S = S + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
+    Si, _, err = _newton_loop(Sinv32, S, mm, max_rounds, tol)
+    return Si, err
 
-    Si = Sinv.astype(jnp.float64)
-    eye2j = 2.0 * jnp.eye(nj_total, dtype=jnp.float64)
-    for _ in range(rounds):
-        Si = xmatmul64(Si, eye2j - xmatmul64(S, Si))
-        Si = 0.5 * (Si + Si.T)
-    return (A, Y64, Si, di64, dj64, djg.astype(jnp.float64), Nij_s64)
+
+@jax.jit
+def _scale_nij64(Nij64, di, dj):
+    """Unity-scaled f64 coupling pool (elementwise — no slice
+    transients)."""
+    di64 = di.astype(jnp.float64)
+    dj64 = dj.astype(jnp.float64)
+    return Nij64 * di64[:, :, None] * dj64[:, None, :]
 
 
 def _schur_apply_inv_core(Ainv, Y, Sinv, di, dj, djg, Nij_s, bi, bj,
@@ -1011,16 +992,24 @@ class DeviceSchurFactors:
         variance-extraction stage after convergence).  For 'inv64' the
         factors are already f64-exact.  N64: device-resident f64 pools
         (DeviceAssembly.build_f64) when the normals were assembled on
-        device and no host f64 copy exists."""
+        device and no host f64 copy exists.
+
+        Rounds are residual-driven (_newton_loop; evidence stored in
+        self.cov_refine_evidence).  The level-1 refinement is chunked
+        over the block axis under DTA_NEWTON_CHUNK_BYTES — the fused
+        sliced products hold ~(nslices+2) f32 slice copies of every
+        (C, ni, ni) operand, which an unchunked program would multiply
+        by the full block count.  With a mesh the pools are sharded
+        over the block axis, so the single fused call partitions
+        per-device (per-shard memory is B/ndev blocks) and chunking is
+        skipped."""
         if rounds is None:
-            rounds = int(os.environ.get("DTA_NEWTON_ROUNDS", 3))
+            rounds = int(os.environ.get("DTA_NEWTON_ROUNDS", 6))
+        tol = float(os.environ.get("DTA_NEWTON_TOL", 3e-9))
         if self.method == "inv64":
             return self.factors
         if self.method != "inv":
             raise ValueError("newton_factors requires method='inv'")
-        # with a mesh the refinement jit compiles SPMD over the sharded
-        # factor pools (GSPMD propagates the blocks-axis sharding; the
-        # junction matmuls replicate)
         if N64 is not None:
             pass
         elif self.device_f64:
@@ -1037,10 +1026,45 @@ class DeviceSchurFactors:
                    jnp.asarray(bs.Njj.astype(np.float64)))
         from ..ops.slicegemm import _use_sliced
         tier = _cov_tier(streamed=False)
-        return _newton_refine_factors(
-            *self.factors, *N64,
-            self.jmap, self.jmask64, self.nj_total, rounds=rounds,
-            sliced=_use_sliced(), nslices=tier[0], cross_max=tier[1])
+        tk = dict(max_rounds=rounds, tol=tol, sliced=_use_sliced(),
+                  nslices=tier[0], cross_max=tier[1])
+        Ainv, Yf, Sinv, di, dj, djg, _ = self.factors
+        B, ni = Ainv.shape[:2]
+        per_block = ((2 * (tier[0] + 2) * 4.0 + 6 * 8.0)
+                     * float(ni) * ni)
+        budget = float(os.environ.get("DTA_NEWTON_CHUNK_BYTES", 3e9))
+        want = max(1, int(budget / per_block))
+        C = (B if self.mesh is not None else
+             next(c for c in range(min(want, B), 0, -1) if B % c == 0))
+        evid = {"l1_err": 0.0, "l1_rounds": 0, "tol": tol,
+                "max_rounds": rounds, "tier": list(tier)}
+        parts = []
+        for k in range(B // C):
+            s = slice(k * C, (k + 1) * C)
+            A_c, Y_c, S_c, k_used, err_c = _newton_l1_chunk(
+                N64[0][s], N64[1][s], N64[2][s],
+                di[s].astype(jnp.float64), dj[s].astype(jnp.float64),
+                Ainv[s], **tk)
+            if C < B:
+                _hard_sync(S_c)
+            evid["l1_err"] = max(evid["l1_err"], float(err_c))
+            evid["l1_rounds"] = max(evid["l1_rounds"], int(k_used))
+            parts.append((A_c, Y_c, S_c))
+        A64 = (parts[0][0] if len(parts) == 1
+               else jnp.concatenate([p[0] for p in parts]))
+        Y64 = (parts[0][1] if len(parts) == 1
+               else jnp.concatenate([p[1] for p in parts]))
+        S_b = (parts[0][2] if len(parts) == 1
+               else jnp.concatenate([p[2] for p in parts]))
+        Si64, j_err = _newton_flat_junction(
+            S_b, self.jmap, self.jmask64, Sinv,
+            nj_total=self.nj_total, **tk)
+        evid["junction_err"] = float(j_err)
+        self.cov_refine_evidence = evid
+        Nij_s64 = _scale_nij64(N64[1], di, dj)
+        return (A64, Y64, Si64, di.astype(jnp.float64),
+                dj.astype(jnp.float64), djg.astype(jnp.float64),
+                Nij_s64)
 
 
 def schur_solve_device(bs: BlockSystem, refine: int = 2,
@@ -2160,67 +2184,109 @@ def _cov_tier(streamed: bool):
     return int(n), int(c)
 
 
-@partial(jax.jit, static_argnames=("rounds", "sliced", "nslices",
-                                   "cross_max"))
-def _newton_l1_chunk(Nii_c, Nij_c, Njj_c, di_c, dj_c, Ainv_c, rounds,
-                     sliced, nslices, cross_max):
+def _newton_loop(A0, Nb, mm, max_rounds, tol):
+    """Residual-DRIVEN Newton–Schulz A ← A(2I − N·A) (traced helper).
+
+    Rounds are measured, not assumed: each iteration carries the live
+    inverse residual err = max|I − N·A| and the loop stops as soon as
+    err ≤ tol (or max_rounds is hit).  This replaces the former fixed
+    round counts, whose "two squarings suffice" estimate was disproven
+    on ill-conditioned networks (the f32 starting error can be ~1e-1,
+    leaving ~1e-4-class covariance error after 2 rounds) — accuracy is
+    now evidence, returned to the caller: (A, rounds_used, err_final),
+    with err_final the MEASURED max|I − N·A| of the refined inverse
+    (the rigour bar of the reference's f64 dpotri,
+    dnamatrix_contiguous.cpp:996-1006).  Cost per round is unchanged
+    (2 products — the residual falls out of the Newton step itself)
+    plus one upfront product for the initial measurement."""
+    n = A0.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float64)
+    eye2 = 2.0 * eye
+
+    def measure(A):
+        T = eye2 - mm(Nb, A)          # T = 2I − N·A; I − N·A = T − I
+        return T, jnp.max(jnp.abs(T - eye))
+
+    def cond(state):
+        _, _, err, prev, k = state
+        # stop at the target, at the round cap, or when a round stops
+        # halving the residual (the sliced-product tier floor on TPU —
+        # below it further rounds only re-measure the product noise)
+        return jnp.logical_and(
+            jnp.logical_and(k < max_rounds, err > tol),
+            err < 0.5 * prev)
+
+    def body(state):
+        A, T, err, _, k = state
+        A = mm(A, T)
+        A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+        T, err_n = measure(A)
+        return A, T, err_n, err, k + 1
+
+    T0, err0 = measure(A0.astype(jnp.float64))
+    A, _, err, _, k = jax.lax.while_loop(
+        cond, body, (A0.astype(jnp.float64), T0, err0,
+                     jnp.asarray(np.inf, jnp.float64), jnp.int32(0)))
+    return A, k, err
+
+
+@partial(jax.jit, static_argnames=("max_rounds", "tol", "sliced",
+                                   "nslices", "cross_max"))
+def _newton_l1_chunk(Nii_c, Nij_c, Njj_c, di_c, dj_c, Ainv_c, max_rounds,
+                     tol, sliced, nslices, cross_max):
     """f64 Newton-Schulz on one chunk of level-1 inverses — ONE fused
-    program: returns (refined Ainv, Y = Ainv·Nij, Schur piece S) all
-    f64.  The covariance counterpart of the solve path's rhs refinement
-    (_newton_refine_factors).  The op-by-op form paid a tunnel dispatch
-    + sync per batch/depth sub-chunk of every sliced product (~300
-    round-trips ≈ 10-20 s at the 10k bench); fused, the depth loops
-    unroll in-trace into a single dispatch per chunk."""
+    program: returns (refined Ainv, Y = Ainv·Nij, Schur piece S,
+    rounds_used, err) all f64, with the measured inverse residual as
+    accuracy evidence (_newton_loop).  The op-by-op form paid a tunnel
+    dispatch + sync per batch/depth sub-chunk of every sliced product
+    (~300 round-trips ≈ 10-20 s at the 10k bench); fused, the depth
+    loops unroll in-trace into a single dispatch per chunk."""
     from ..ops.slicegemm import mm64
     mm = partial(mm64, sliced=sliced, nslices=nslices,
                  cross_max=cross_max)
     Nii_c = Nii_c * di_c[:, :, None] * di_c[:, None, :]
     Nij_c = Nij_c * di_c[:, :, None] * dj_c[:, None, :]
     Njj_c = Njj_c * dj_c[:, :, None] * dj_c[:, None, :]
-    A = Ainv_c.astype(jnp.float64)
-    eye2 = 2.0 * jnp.eye(Nii_c.shape[1], dtype=jnp.float64)
-    for _ in range(rounds):
-        A = mm(A, eye2 - mm(Nii_c, A))
-        A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    A, k, err = _newton_loop(Ainv_c, Nii_c, mm, max_rounds, tol)
     Y = mm(A, Nij_c)
     S_c = Njj_c - mm(Nij_c, Y, transa=True)
-    return A, Y, S_c
+    return A, Y, S_c, k, err
 
 
-@partial(jax.jit, static_argnames=("rounds", "sliced", "nslices",
-                                   "cross_max"))
-def _newton_l2_batch(Nii2, Nij2, i2mask, A2inv32, rounds, sliced,
-                     nslices, cross_max):
+@partial(jax.jit, static_argnames=("max_rounds", "tol", "sliced",
+                                   "nslices", "cross_max"))
+def _newton_l2_batch(Nii2, Nij2, i2mask, A2inv32, max_rounds, tol,
+                     sliced, nslices, cross_max):
     """f64 Newton-Schulz on ALL level-2 inverses (same pinning as
     _nested_l2_factor_one), unrolled over the SB super-blocks in one
-    fused program; returns stacked (A2inv, Y2, S2) f64."""
+    fused program; returns stacked (A2inv, Y2, S2) f64 + the worst
+    measured inverse residual across the batch."""
     from ..ops.slicegemm import mm64
     mm = partial(mm64, sliced=sliced, nslices=nslices,
                  cross_max=cross_max)
     outs = []
     eye = jnp.eye(Nii2.shape[1], dtype=jnp.float64)
-    eye2 = 2.0 * eye
+    err_max = jnp.asarray(0.0, dtype=jnp.float64)
     for k in range(Nii2.shape[0]):
         Nii2b = Nii2[k] + eye * (1.0 - i2mask[k])[None, :]
         Nij2b = Nij2[k]
-        A2 = A2inv32[k].astype(jnp.float64)
-        for _ in range(rounds):
-            A2 = mm(A2, eye2 - mm(Nii2b, A2))
-            A2 = 0.5 * (A2 + A2.T)
+        A2, _, err = _newton_loop(A2inv32[k], Nii2b, mm, max_rounds, tol)
+        err_max = jnp.maximum(err_max, err)
         Y2b = mm(A2, Nij2b)
         S2b = - mm(Nij2b, Y2b, transa=True)
         outs.append((A2, Y2b, S2b))
     return (jnp.stack([o[0] for o in outs]),
             jnp.stack([o[1] for o in outs]),
-            jnp.stack([o[2] for o in outs]))
+            jnp.stack([o[2] for o in outs]), err_max)
 
 
-@partial(jax.jit, static_argnames=("nsj_total", "rounds", "sliced",
-                                   "nslices", "cross_max"))
-def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, rounds,
-               sliced, nslices, cross_max):
+@partial(jax.jit, static_argnames=("nsj_total", "max_rounds", "tol",
+                                   "sliced", "nslices", "cross_max"))
+def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, max_rounds,
+               tol, sliced, nslices, cross_max):
     """Assemble the f64 super-junction system and Newton-refine its
-    inverse from the f32 one — one fused program."""
+    inverse from the f32 one — one fused program.  Returns (Sinv, err)
+    with the measured inverse residual."""
     from ..ops.slicegemm import mm64
     mm = partial(mm64, sliced=sliced, nslices=nslices,
                  cross_max=cross_max)
@@ -2229,12 +2295,8 @@ def _newton_l3(S2_b, Njj2, j2mask, j2map, Sinv32, nsj_total, rounds,
                               nsj_total)
     diag = jnp.diag(S2)
     S2 = S2 + jnp.diag(jnp.where(diag == 0.0, 1.0, 0.0))
-    Si = Sinv32.astype(jnp.float64)
-    eye2 = 2.0 * jnp.eye(nsj_total, dtype=jnp.float64)
-    for _ in range(rounds):
-        Si = mm(Si, eye2 - mm(S2, Si))
-        Si = 0.5 * (Si + Si.T)
-    return Si
+    Si, _, err = _newton_loop(Sinv32, S2, mm, max_rounds, tol)
+    return Si, err
 
 
 def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
@@ -2253,15 +2315,21 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
             or getattr(self, "_cov_l1_dev", None):
         return
     if rounds is None:
-        # 3 squarings by default (covers the recursive backend's f32
-        # streamed factors back the solve applies: 3 squarings (covers
-        # the recursive backend's f32 starting error with margin to the
-        # full-tier floor).  Resident refinement feeds only reporting
-        # consumers at the (6,5) product tier, whose ~1e-9 floor two
-        # squarings already reach (err 1e-2..1e-3 -> 1e-8..1e-12).
-        # DTA_NEWTON_ROUNDS overrides both.
-        rounds = int(os.environ.get(
-            "DTA_NEWTON_ROUNDS", 3 if hasattr(self, "Ainv_h") else 2))
+        # rounds are residual-DRIVEN (_newton_loop): each chunk stops
+        # when its measured max|I − N·Ainv| ≤ DTA_NEWTON_TOL, up to
+        # DTA_NEWTON_ROUNDS.  The former fixed counts assumed the f32
+        # starting error ≤1e-2 ("two squarings suffice"), which real
+        # ill-conditioned networks violate (urban: ~1e-1 start → ~3e-4
+        # covariance error at 2 rounds); measuring closes that class of
+        # regression and SAVES rounds on well-conditioned chunks.
+        rounds = int(os.environ.get("DTA_NEWTON_ROUNDS", 6))
+    # streamed factors back the SOLVE applies, where every extra outer
+    # refinement round re-streams the pools through the chip — drive
+    # them to the full-tier floor; resident refinement feeds reporting
+    # consumers, whose bar is the cross-path covariance agreement
+    # (~1e-9 relative, tests/test_device_assembly.py)
+    tol = float(os.environ.get(
+        "DTA_NEWTON_TOL", 1e-10 if hasattr(self, "Ainv_h") else 3e-9))
     bs, part = self.bs, self.part
     if N64 is None:
         N64 = (bs.Nii, bs.Nij, bs.Njj)
@@ -2272,8 +2340,10 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
     streamed = hasattr(self, "Ainv_h")
     tier = _cov_tier(streamed)
     from ..ops.slicegemm import _use_sliced
-    tk = dict(rounds=rounds, sliced=_use_sliced(), nslices=tier[0],
-              cross_max=tier[1])
+    tk = dict(max_rounds=rounds, tol=tol, sliced=_use_sliced(),
+              nslices=tier[0], cross_max=tier[1])
+    evid = {"l1_err": 0.0, "l1_rounds": 0, "l2_err": 0.0, "l3_err": 0.0,
+            "tol": tol, "max_rounds": rounds, "tier": list(tier)}
     if streamed:                                     # streamed layout
         di_h, dj_h = self.di_h, self.dj_h
         ainv_src = lambda s: self.Ainv_h[s]
@@ -2318,12 +2388,14 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
     l2s = jnp.asarray(part.l2slot)
     for k in range(B // C):
         s = slice(k * C, (k + 1) * C)
-        A_c, Y_c, S_c = _newton_l1_chunk(
+        A_c, Y_c, S_c, k_used, err_c = _newton_l1_chunk(
             jnp.asarray(N64[0][s]), jnp.asarray(N64[1][s]),
             jnp.asarray(N64[2][s]),
             jnp.asarray(di_h[s], dtype=jnp.float64),
             jnp.asarray(dj_h[s], dtype=jnp.float64),
             jnp.asarray(ainv_src(s)), **tk)
+        evid["l1_err"] = max(evid["l1_err"], float(err_c))
+        evid["l1_rounds"] = max(evid["l1_rounds"], int(k_used))
         if keep_dev:
             Ad = upd(Ad, A_c, s.start)
             Yd = upd(Yd, Y_c, s.start)
@@ -2351,14 +2423,18 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
         out = _newton_l2_batch(Nii2[s2], Nij2[s2], i2m[s2],
                                A2_32[s2], **tk)
         _hard_sync(out[2])
+        evid["l2_err"] = max(evid["l2_err"], float(out[3]))
         l2parts.append(out)
     A2d = jnp.concatenate([o[0] for o in l2parts])
     Y2d = jnp.concatenate([o[1] for o in l2parts])
     S2_b = jnp.concatenate([o[2] for o in l2parts])
-    Sinv64 = _newton_l3(S2_b, Njj2,
-                        jnp.asarray(part.j2mask, dtype=jnp.float64),
-                        jnp.asarray(part.j2map), jnp.asarray(a2_src[2]),
-                        nsj_total=self.nsj_total, **tk)
+    Sinv64, l3_err = _newton_l3(
+        S2_b, Njj2,
+        jnp.asarray(part.j2mask, dtype=jnp.float64),
+        jnp.asarray(part.j2map), jnp.asarray(a2_src[2]),
+        nsj_total=self.nsj_total, **tk)
+    evid["l3_err"] = float(l3_err)
+    self.cov_refine_evidence = evid
     if not keep_dev:
         self._cov_l1_h = (Ah, Yh)
     if streamed:

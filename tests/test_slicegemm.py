@@ -100,3 +100,58 @@ def test_backend_adaptive_wrappers(stress, monkeypatch):
     sc = np.abs(N_native).max()
     assert np.abs(N_native - N_sliced).max() / sc < 1e-11
     assert np.abs(C_native - C_sliced).max() / sc < 1e-11
+
+
+def test_matvec_presliced_accuracy(stress):
+    """Pre-sliced bf16 matvec (the fused refined solve's residual
+    operator, device_solve.py) reaches near-f64 in both directions on
+    operands with large column dynamic range."""
+    from dynadjust_tpu.ops.slicegemm import (preslice_pools,
+                                             matvec_presliced)
+    import jax
+
+    X = stress                              # (B, M, P)
+    B, M, P = X.shape
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((B, P)) * 10.0 ** rng.uniform(-3, 3, (B, P))
+    v = rng.standard_normal((B, M))
+
+    hi, lo = split_f32_pair(X)
+    SL, sA = jax.jit(preslice_pools)(jnp.asarray(hi), jnp.asarray(lo))
+
+    # the kernel's guarantee is NORMWISE (error ≤ ~2^-45·‖|A|‖·‖|x|‖
+    # per batch) — the bound iterative refinement needs; per-row
+    # relative error on rows far below the column max is wider (the
+    # slice window is anchored at each column's max, exactly as in
+    # _matmul_sliced)
+    y = np.asarray(matvec_presliced(SL, sA, jnp.asarray(x)))
+    y_ref = np.einsum("bmp,bp->bm", X, x)
+    scale = (np.abs(X) @ np.abs(x)[..., None])[..., 0]
+    err = np.abs(y - y_ref).max(axis=-1) / scale.max(axis=-1)
+    assert err.max() < 1e-12
+
+    yt = np.asarray(matvec_presliced(SL, sA, jnp.asarray(v),
+                                     transa=True))
+    yt_ref = np.einsum("bmp,bm->bp", X, v)
+    scale_t = np.einsum("bmp,bm->bp", np.abs(X), np.abs(v))
+    err_t = np.abs(yt - yt_ref).max(axis=-1) / scale_t.max(axis=-1)
+    assert err_t.max() < 1e-12
+
+
+def test_matvec_presliced_deep_contraction():
+    """Contraction depths past the exact-f32 accumulation bound chunk
+    and stay exact."""
+    from dynadjust_tpu.ops.slicegemm import (preslice_pools,
+                                             matvec_presliced)
+    rng = np.random.default_rng(2)
+    M, P = 2500, 40                        # M > 1024 forces chunking
+    X = rng.standard_normal((M, P))
+    x = rng.standard_normal((P,))
+    v = rng.standard_normal((M,))
+    hi, lo = split_f32_pair(X)
+    SL, sA = preslice_pools(jnp.asarray(hi), jnp.asarray(lo))
+    y = np.asarray(matvec_presliced(SL, sA, jnp.asarray(x)))
+    assert np.abs(y - X @ x).max() / np.abs(X @ x).max() < 1e-12
+    yt = np.asarray(matvec_presliced(SL, sA, jnp.asarray(v),
+                                     transa=True))
+    assert np.abs(yt - X.T @ v).max() / np.abs(X.T @ v).max() < 1e-12
