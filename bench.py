@@ -333,6 +333,22 @@ def bench_mixed():
         cfg = json.load(open(ref_path))["configs"]
         ref = cfg.get(key) or cfg.get("mixed_10000stn")
     vs_ref = (ref["best_iter_s"] / t_warm) if ref else None
+    # modeled many-core reference (VERDICT r4 #7): the replay's time is
+    # almost entirely threaded-BLAS per-block dpotrf/dpotri/dsymv calls
+    # (the reference's sweep order is sequential, but each call is
+    # multithreaded, threading_init.hpp:74), so a production 32-core
+    # MKL node is modeled as t_2core x (2/32)/eff with blended parallel
+    # efficiency eff in [0.5, 0.8] (DGEMM-rich factor ~0.7+,
+    # memory-bound dsymv/carries ~0.3, MKL-vs-OpenBLAS folded in).
+    # Published as a RANGE next to the raw 2-vCPU ratio.
+    ref_model_32 = None
+    vs_ref_model_32 = None
+    if ref:
+        t32 = [ref["best_iter_s"] * (2.0 / 32.0) / eff
+               for eff in (0.8, 0.5)]          # [fast node, slow node]
+        ref_model_32 = [round(t32[0], 2), round(t32[1], 2)]
+        vs_ref_model_32 = [round(t32[0] / t_warm, 2),
+                           round(t32[1] / t_warm, 2)]
 
     warm_tot = (sum(v for v in profile_warm.values()
                     if not isinstance(v, dict))
@@ -377,6 +393,8 @@ def bench_mixed():
             "factor_mfu_v5e_f32": round(mfu, 4),
             "reference_equiv_best_iter_s": (ref["best_iter_s"]
                                             if ref else None),
+            "reference_modeled_32core_iter_s": ref_model_32,
+            "vs_baseline_modeled_32core": vs_ref_model_32,
             "reference_note": ("measured C++ OpenBLAS AdjustPhased replay"
                                " (the reference's own chain segmentation),"
                                " assembly excluded (lower bound); see"

@@ -26,6 +26,10 @@ This module moves the WHOLE refined solve into one jitted program:
 Per warm iteration the host↔device traffic is: tile values up (~5 MB at
 10k), misclosures up (<1 MB), corrections down (<1 MB) — one dispatch.
 
+The compiled programs are cached at MODULE level keyed by shapes/policy
+(not per-solver instance): repeated adjustments of same-shaped networks
+(benchmark warm runs, CI replays, report-mode re-runs) re-trace nothing.
+
 This is the mixed-type generalisation of parallel/device_adjust.py's
 pure-GNSS architecture (the reference's per-iteration Solve loop,
 dnaadjust.cpp:6586, re-planned for a device at the end of a long
@@ -35,6 +39,7 @@ PCIe/tunnel link).
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 import numpy as np
 import jax
@@ -54,8 +59,201 @@ def _solve_tier():
     return NSLICES, CROSS_MAX
 
 
+def _make_operator(dims, sliced, tier, has_proj,
+                   vals, mmc, wdiag, bkt, Pm, jmap, jmask64,
+                   db, dc3, dv, tb, tr, tc3):
+    """Traced constructor of (rhs, matvec) closures over the scattered
+    design pool — called inside the jitted programs.
+
+    dims = (B, M, Pp, ni, nj_total)."""
+    B, M, Pp, ni, nj_total = dims
+    Pn = Pp // 3
+
+    if sliced:
+        from ..ops.slicegemm import preslice_pools, matvec_presliced
+        ns, cm = tier
+        vhi = vals.astype(jnp.float32)
+        vlo = (vals - vhi.astype(jnp.float64)).astype(jnp.float32)
+        Ahi = jnp.zeros((B, M, Pp), jnp.float32).at[
+            tb[:, None], tr[:, None], tc3].set(vhi)
+        Alo = jnp.zeros((B, M, Pp), jnp.float32).at[
+            tb[:, None], tr[:, None], tc3].set(vlo)
+        SL, sA = preslice_pools(Ahi, Alo, nslices=ns)
+
+        def Ax(x):
+            return matvec_presliced(SL, sA, x, nslices=ns, cross_max=cm)
+
+        def ATv(v):
+            return matvec_presliced(SL, sA, v, nslices=ns, cross_max=cm,
+                                    transa=True)
+    else:
+        A64 = jnp.zeros((B, M, Pp), jnp.float64).at[
+            tb[:, None], tr[:, None], tc3].set(vals)
+
+        def Ax(x):
+            return jnp.einsum("bmp,bp->bm", A64, x)
+
+        def ATv(v):
+            return jnp.einsum("bmp,bm->bp", A64, v)
+
+    def proj(v):
+        if not has_proj:
+            return v
+        vr = v.reshape(B, Pn, 3)
+        return jnp.einsum("bsij,bsj->bsi", Pm, vr).reshape(B, Pp)
+
+    def applyV(u):
+        vu = u * wdiag
+        for bb, rows, V in bkt:
+            ug = u[bb[:, None], rows]
+            vu = vu.at[bb[:, None], rows].set(
+                jnp.einsum("nik,nk->ni", V, ug))
+        return vu
+
+    def rhs():
+        b_pool = proj(ATv(applyV(mmc)))
+        bi = b_pool[:, :ni]
+        bj_b = b_pool[:, ni:] * jmask64
+        bj = jnp.zeros((nj_total,), jnp.float64).at[
+            jmap.reshape(-1)].add(bj_b.reshape(-1))
+        return bi, bj
+
+    def matvec(xi, xj_g):
+        xj_b = xj_g[jmap] * jmask64
+        x = jnp.concatenate([xi, xj_b], axis=1)
+        y = proj(ATv(applyV(Ax(proj(x)))))
+        xg = x[db[:, None], dc3]
+        y = y.at[db[:, None], dc3].add(
+            jnp.einsum("kij,kj->ki", dv, xg))
+        yi = y[:, :ni]
+        yj_b = y[:, ni:] * jmask64
+        yj = jnp.zeros((nj_total,), jnp.float64).at[
+            jmap.reshape(-1)].add(yj_b.reshape(-1))
+        return yi, yj
+
+    return rhs, matvec
+
+
+def _refined_loop(policy, apply_fn, matvec_fn, bi, bj_g, imask64):
+    """Shared refinement policy (the host loops', in-jit): initial
+    apply, then while_loop rounds gated by the f64 relative residual
+    with a `refine` floor and a stall detector.
+    policy = (refine, max_refine, rtol)."""
+    refine, max_refine, rtol = policy
+    rhs_scale = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(bi)), jnp.max(jnp.abs(bj_g))),
+        1e-30)
+    xi, xj = apply_fn(bi, bj_g)
+
+    def residual(xi, xj):
+        yi, yj = matvec_fn(xi, xj)
+        ri = bi * imask64 - yi
+        rj = bj_g - yj
+        rel = jnp.maximum(jnp.max(jnp.abs(ri)),
+                          jnp.max(jnp.abs(rj))) / rhs_scale
+        return ri, rj, rel
+
+    ri, rj, rel = residual(xi, xj)
+
+    def cond(st):
+        _, _, _, _, rel, prev, k = st
+        return jnp.logical_and(
+            k < max_refine,
+            jnp.logical_or(k < refine,
+                           jnp.logical_and(rel >= rtol,
+                                           rel < 0.5 * prev)))
+
+    def body(st):
+        xi, xj, ri, rj, rel, _, k = st
+        dxi, dxj = apply_fn(ri, rj)
+        xi = xi + dxi
+        xj = xj + dxj
+        ri, rj, rel_n = residual(xi, xj)
+        return xi, xj, ri, rj, rel_n, rel, k + 1
+
+    xi, xj, _, _, rel, _, k = jax.lax.while_loop(
+        cond, body, (xi, xj, ri, rj, rel,
+                     jnp.asarray(np.inf, jnp.float64), jnp.int32(0)))
+    return xi, xj, rel, k
+
+
+@lru_cache(maxsize=64)
+def _nested_prog(dims, nested_dims, policy, sliced, tier, has_proj):
+    """Module-cached fused nested refined-solve program.
+    nested_dims = (SB, ni2, nj2, nsj_total, njg)."""
+    from ..parallel.schur import _nested_apply_fwd_jit
+    B, M, Pp, ni, nj_total = dims
+    SB, ni2, nj2, nsj_total, njg = nested_dims
+
+    def prog(vals, mmc, tb, tr, tc3, wdiag, bkt, Pm, db, dc3, dv,
+             jmap, jmask64, imask64, owner64, gidx,
+             Ainv, Y, A2inv, Y2, Sinv, di, dj, djg,
+             jmask32, sbb, l2slot, j2map, j2mask32):
+        rhs, matvec = _make_operator(
+            dims, sliced, tier, has_proj, vals, mmc, wdiag, bkt, Pm,
+            jmap, jmask64, db, dc3, dv, tb, tr, tc3)
+        bi, bj_g = rhs()
+        f32 = Ainv.dtype
+
+        def apply_fn(ri, rj_g):
+            rjb = rj_g[jmap] * owner64
+            w, xi2, xsj = _nested_apply_fwd_jit(
+                Ainv, Y, A2inv, Y2, Sinv, di, dj, jmask32,
+                sbb, l2slot, j2map, j2mask32,
+                ri.astype(f32), rjb.astype(f32),
+                SB, ni2, nj2, nsj_total)
+            # composed junction reconstruction: ONE constant gather
+            # into concat([xi2, xsj]) (host-precomputed index — the
+            # two-level where/gather form compiles pathologically on
+            # this toolchain)
+            flat = jnp.concatenate([xi2.reshape(-1), xsj])
+            xj_real = flat[gidx]                     # (njg,) f32
+            xj_full = jnp.concatenate(
+                [xj_real, jnp.zeros((nj_total - njg,), f32)])
+            xj_b = xj_full[jmap] * jmask32
+            xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b)) * di
+            return (xi.astype(jnp.float64),
+                    (xj_full * djg).astype(jnp.float64))
+
+        return _refined_loop(policy, apply_fn, matvec, bi, bj_g,
+                             imask64)
+
+    return jax.jit(prog)
+
+
+@lru_cache(maxsize=64)
+def _flat_prog(dims, policy, sliced, tier, has_proj):
+    """Module-cached fused flat refined-solve program."""
+    from ..parallel.schur import _schur_apply_inv_core
+    B, M, Pp, ni, nj_total = dims
+
+    def prog(vals, mmc, tb, tr, tc3, wdiag, bkt, Pm, db, dc3, dv,
+             jmap, jmask64, imask64, owner64,
+             Ainv, Y, Sinv, di, dj, djg, Nij_s, jmask32):
+        rhs, matvec = _make_operator(
+            dims, sliced, tier, has_proj, vals, mmc, wdiag, bkt, Pm,
+            jmap, jmask64, db, dc3, dv, tb, tr, tc3)
+        bi, bj_g = rhs()
+        f32 = Ainv.dtype
+
+        def apply_fn(ri, rj_g):
+            rjb = rj_g[jmap] * owner64
+            xi, xj = _schur_apply_inv_core(
+                Ainv, Y, Sinv, di, dj, djg, Nij_s,
+                ri.astype(f32), rjb.astype(f32),
+                jmap, jmask32, nj_total)
+            xj = jnp.concatenate([xj, jnp.zeros((1,), xj.dtype)])
+            return xi.astype(jnp.float64), xj.astype(jnp.float64)
+
+        return _refined_loop(policy, apply_fn, matvec, bi, bj_g,
+                             imask64)
+
+    return jax.jit(prog)
+
+
 class DeviceRefinedSolve:
-    """Per-topology compiled fused refined-solve programs.
+    """Per-topology constant device state + module-cached fused
+    refined-solve programs.
 
     Built once from a DeviceAssembly; `solve_nested(factors, ...)` /
     `solve_flat(factors, ...)` run one full residual-refined solve per
@@ -67,14 +265,15 @@ class DeviceRefinedSolve:
         from ..ops.slicegemm import _use_sliced
         from ..parallel.schur import _owner_mask
         self.da = da
-        self.refine = refine
-        self.max_refine = max(refine,
-                              int(os.environ.get("DTA_MAX_REFINE", 12)))
-        self.rtol = float(os.environ.get("DTA_SOLVE_RTOL", 1e-10))
+        max_refine = max(refine,
+                         int(os.environ.get("DTA_MAX_REFINE", 12)))
+        rtol = float(os.environ.get("DTA_SOLVE_RTOL", 1e-10))
+        self.policy = (refine, max_refine, rtol)
         self.sliced = _use_sliced()
         self.tier = _solve_tier()
         self.njg = da.nj_global
         self.nj_total = da.nj_global + 1
+        self.dims = (da.Bp, da.M, da.Pp, da.ni, self.nj_total)
 
         pr = da._putr
         self._jmap = pr(da.jmap_np.astype(np.int32))
@@ -89,7 +288,6 @@ class DeviceRefinedSolve:
             self._buckets.append((pr(bb), pr(rows.astype(np.int32)),
                                   pr(V)))
         self._pm = da.Pmat64 if da._has_proj else None
-        self._jit_cache = {}
 
     # ------------------------------------------------------------------
     def iteration_inputs(self, values64=None):
@@ -105,123 +303,6 @@ class DeviceRefinedSolve:
             mmc[b, :blk.asm.nrows] = blk.asm.mmc
         return vals_dev, da._putr(mmc)
 
-    # ------------------------------------------------------------------
-    def _make_operator(self, vals, mmc, wdiag, bkt, Pm, jmap, jmask64,
-                       db, dc3, dv, tb, tr, tc3):
-        """Traced constructor of (rhs, matvec) closures over the
-        scattered design pool — called inside the jitted program."""
-        da = self.da
-        B, M, Pp, ni = da.Bp, da.M, da.Pp, da.ni
-        Pn = Pp // 3
-        nj_total = self.nj_total
-
-        if self.sliced:
-            from ..ops.slicegemm import preslice_pools, matvec_presliced
-            ns, cm = self.tier
-            vhi = vals.astype(jnp.float32)
-            vlo = (vals - vhi.astype(jnp.float64)).astype(jnp.float32)
-            Ahi = jnp.zeros((B, M, Pp), jnp.float32).at[
-                tb[:, None], tr[:, None], tc3].set(vhi)
-            Alo = jnp.zeros((B, M, Pp), jnp.float32).at[
-                tb[:, None], tr[:, None], tc3].set(vlo)
-            SL, sA = preslice_pools(Ahi, Alo, nslices=ns)
-
-            def Ax(x):
-                return matvec_presliced(SL, sA, x, nslices=ns,
-                                        cross_max=cm)
-
-            def ATv(v):
-                return matvec_presliced(SL, sA, v, nslices=ns,
-                                        cross_max=cm, transa=True)
-        else:
-            A64 = jnp.zeros((B, M, Pp), jnp.float64).at[
-                tb[:, None], tr[:, None], tc3].set(vals)
-
-            def Ax(x):
-                return jnp.einsum("bmp,bp->bm", A64, x)
-
-            def ATv(v):
-                return jnp.einsum("bmp,bm->bp", A64, v)
-
-        def proj(v):
-            if Pm is None:
-                return v
-            vr = v.reshape(B, Pn, 3)
-            return jnp.einsum("bsij,bsj->bsi", Pm, vr).reshape(B, Pp)
-
-        def applyV(u):
-            vu = u * wdiag
-            for bb, rows, V in bkt:
-                ug = u[bb[:, None], rows]
-                vu = vu.at[bb[:, None], rows].set(
-                    jnp.einsum("nik,nk->ni", V, ug))
-            return vu
-
-        def rhs():
-            b_pool = proj(ATv(applyV(mmc)))
-            bi = b_pool[:, :ni]
-            bj_b = b_pool[:, ni:] * jmask64
-            bj = jnp.zeros((nj_total,), jnp.float64).at[
-                jmap.reshape(-1)].add(bj_b.reshape(-1))
-            return bi, bj
-
-        def matvec(xi, xj_g):
-            xj_b = xj_g[jmap] * jmask64
-            x = jnp.concatenate([xi, xj_b], axis=1)
-            y = proj(ATv(applyV(Ax(proj(x)))))
-            xg = x[db[:, None], dc3]
-            y = y.at[db[:, None], dc3].add(
-                jnp.einsum("kij,kj->ki", dv, xg))
-            yi = y[:, :ni]
-            yj_b = y[:, ni:] * jmask64
-            yj = jnp.zeros((nj_total,), jnp.float64).at[
-                jmap.reshape(-1)].add(yj_b.reshape(-1))
-            return yi, yj
-
-        return rhs, matvec
-
-    def _refined_loop(self, apply_fn, matvec_fn, bi, bj_g, imask64):
-        """Shared refinement policy (the host loops', in-jit): initial
-        apply, then while_loop rounds gated by the f64 relative residual
-        with a `refine` floor and a stall detector."""
-        refine, max_refine, rtol = self.refine, self.max_refine, self.rtol
-        rhs_scale = jnp.maximum(
-            jnp.maximum(jnp.max(jnp.abs(bi)), jnp.max(jnp.abs(bj_g))),
-            1e-30)
-        xi, xj = apply_fn(bi, bj_g)
-
-        def residual(xi, xj):
-            yi, yj = matvec_fn(xi, xj)
-            ri = bi * imask64 - yi
-            rj = bj_g - yj
-            rel = jnp.maximum(jnp.max(jnp.abs(ri)),
-                              jnp.max(jnp.abs(rj))) / rhs_scale
-            return ri, rj, rel
-
-        ri, rj, rel = residual(xi, xj)
-
-        def cond(st):
-            _, _, _, _, rel, prev, k = st
-            return jnp.logical_and(
-                k < max_refine,
-                jnp.logical_or(k < refine,
-                               jnp.logical_and(rel >= rtol,
-                                               rel < 0.5 * prev)))
-
-        def body(st):
-            xi, xj, ri, rj, rel, _, k = st
-            dxi, dxj = apply_fn(ri, rj)
-            xi = xi + dxi
-            xj = xj + dxj
-            ri, rj, rel_n = residual(xi, xj)
-            return xi, xj, ri, rj, rel_n, rel, k + 1
-
-        xi, xj, _, _, rel, _, k = jax.lax.while_loop(
-            cond, body, (xi, xj, ri, rj, rel,
-                         jnp.asarray(np.inf, jnp.float64), jnp.int32(0)))
-        return xi, xj, rel, k
-
-    # ------------------------------------------------------------------
     def _common_args(self):
         da = self.da
         return (da._t_b, da._t_r, da._t_c3, self._wdiag64,
@@ -229,6 +310,7 @@ class DeviceRefinedSolve:
                 da._d_v64, self._jmap, self._jmask64, self._imask64,
                 self._owner64)
 
+    # ------------------------------------------------------------------
     def solve_nested(self, factors, vals_dev, mmc_dev):
         """Fused nested (3-level) refined solve — one dispatch.
 
@@ -236,49 +318,13 @@ class DeviceRefinedSolve:
         Returns (xi (B, ni) f64 np, xj (njg,) f64 np,
         {"solve_rel": float, "solve_rounds": int})."""
         part = factors.part
-        key = "nested"
-        if key not in self._jit_cache:
-            SB, ni2, nj2 = part.SB, part.ni2, part.nj2
-            nsj_total = factors.nsj_total
-            njg, nj_total = self.njg, self.nj_total
-            from ..parallel.schur import _nested_apply_fwd_jit
-
-            def prog(vals, mmc, tb, tr, tc3, wdiag, bkt, Pm, db, dc3, dv,
-                     jmap, jmask64, imask64, owner64, gidx,
-                     Ainv, Y, A2inv, Y2, Sinv, di, dj, djg,
-                     jmask32, sbb, l2slot, j2map, j2mask32):
-                rhs, matvec = self._make_operator(
-                    vals, mmc, wdiag, bkt, Pm, jmap, jmask64, db, dc3,
-                    dv, tb, tr, tc3)
-                bi, bj_g = rhs()
-                f32 = Ainv.dtype
-
-                def apply_fn(ri, rj_g):
-                    rjb = rj_g[jmap] * owner64
-                    w, xi2, xsj = _nested_apply_fwd_jit(
-                        Ainv, Y, A2inv, Y2, Sinv, di, dj, jmask32,
-                        sbb, l2slot, j2map, j2mask32,
-                        ri.astype(f32), rjb.astype(f32),
-                        SB, ni2, nj2, nsj_total)
-                    # composed junction reconstruction: ONE constant
-                    # gather into concat([xi2, xsj]) (host-precomputed
-                    # index — the two-level where/gather form compiles
-                    # pathologically on this toolchain)
-                    flat = jnp.concatenate([xi2.reshape(-1), xsj])
-                    xj_real = flat[gidx]                 # (njg,) f32
-                    xj_full = jnp.concatenate(
-                        [xj_real, jnp.zeros((nj_total - njg,), f32)])
-                    xj_b = xj_full[jmap] * jmask32
-                    xi = (w - jnp.einsum("bij,bj->bi", Y, xj_b)) * di
-                    return (xi.astype(jnp.float64),
-                            (xj_full * djg).astype(jnp.float64))
-
-                return self._refined_loop(apply_fn, matvec, bi, bj_g,
-                                          imask64)
-
-            self._jit_cache[key] = jax.jit(prog)
+        nested_dims = (part.SB, part.ni2, part.nj2, factors.nsj_total,
+                       self.njg)
+        prog = _nested_prog(self.dims, nested_dims, self.policy,
+                            self.sliced, self.tier,
+                            self._pm is not None)
         Ainv, Y, A2inv, Y2, Sinv, di, dj, djg = factors.factors
-        xi, xj, rel, k = self._jit_cache[key](
+        xi, xj, rel, k = prog(
             vals_dev, mmc_dev, *self._common_args(),
             self._gidx_for(factors),
             Ainv, Y, A2inv, Y2, Sinv, di, dj, djg,
@@ -312,36 +358,10 @@ class DeviceRefinedSolve:
 
         factors: DeviceSchurFactors with method='inv' (explicit f32
         inverses)."""
-        key = "flat"
-        if key not in self._jit_cache:
-            from ..parallel.schur import _schur_apply_inv_core
-            nj_total = self.nj_total
-
-            def prog(vals, mmc, tb, tr, tc3, wdiag, bkt, Pm, db, dc3, dv,
-                     jmap, jmask64, imask64, owner64,
-                     Ainv, Y, Sinv, di, dj, djg, Nij_s, jmask32):
-                rhs, matvec = self._make_operator(
-                    vals, mmc, wdiag, bkt, Pm, jmap, jmask64, db, dc3,
-                    dv, tb, tr, tc3)
-                bi, bj_g = rhs()
-                f32 = Ainv.dtype
-
-                def apply_fn(ri, rj_g):
-                    rjb = rj_g[jmap] * owner64
-                    xi, xj = _schur_apply_inv_core(
-                        Ainv, Y, Sinv, di, dj, djg, Nij_s,
-                        ri.astype(f32), rjb.astype(f32),
-                        jmap, jmask32, nj_total)
-                    xj = jnp.concatenate(
-                        [xj, jnp.zeros((1,), xj.dtype)])
-                    return xi.astype(jnp.float64), xj.astype(jnp.float64)
-
-                return self._refined_loop(apply_fn, matvec, bi, bj_g,
-                                          imask64)
-
-            self._jit_cache[key] = jax.jit(prog)
+        prog = _flat_prog(self.dims, self.policy, self.sliced,
+                          self.tier, self._pm is not None)
         Ainv, Y, Sinv, di, dj, djg, Nij_s = factors.factors
-        xi, xj, rel, k = self._jit_cache[key](
+        xi, xj, rel, k = prog(
             vals_dev, mmc_dev, *self._common_args(),
             Ainv, Y, Sinv, di, dj, djg, Nij_s, factors.jmask32)
         return (np.asarray(xi, dtype=np.float64),

@@ -238,9 +238,15 @@ def _slice_vector(z, nslices, bits):
     """Power-of-two scale + peel an f64 vector (..., n) into bf16
     slices; returns (slices list, scale (..., 1))."""
     m = jnp.max(jnp.abs(z), axis=-1, keepdims=True)
-    e = jnp.ceil(jnp.log2(jnp.maximum(m, 1e-300))).astype(jnp.int32)
-    zs = jnp.ldexp(jnp.ones((), dtype=z.dtype), e)
-    zsinv = jnp.ldexp(jnp.ones((), dtype=z.dtype), -e)
+    e = jnp.ceil(jnp.log2(jnp.maximum(m, 1e-30))).astype(jnp.int32)
+    # build the exact power-of-two scale in f32 (f64 ldexp hits XLA's
+    # unimplemented X64 bitcast rewrite on TPU) and widen; the exponent
+    # clamp keeps both directions representable in f32 — past it the
+    # vector is zero at the slice budget anyway
+    e = jnp.clip(e, -124, 124)
+    one = jnp.ones((), dtype=jnp.float32)
+    zs = jnp.ldexp(one, e).astype(z.dtype)
+    zsinv = jnp.ldexp(one, -e).astype(z.dtype)
     zn = z * zsinv
     zh = zn.astype(jnp.float32)
     zl = (zn - zh.astype(z.dtype)).astype(jnp.float32)

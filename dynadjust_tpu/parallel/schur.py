@@ -1893,14 +1893,19 @@ def schur_solve_nested_factored(bs: BlockSystem, part: NestedPartition,
     HBM (the reference's staged .mtx mode, dnaadjust-stage.cpp:59)."""
     if factors is None:
         if streamed:
-            factors = StreamedNestedSchurFactors(bs, part, dtype)
-            if os.environ.get("DTA_STREAMED_F64", "1") != "0":
-                # one-time Newton refinement of the streamed factor
-                # pools (sliced-MXU products): applies become
-                # near-f64-exact, so national-scale streamed solves
-                # converge to ~1e-12 instead of stalling at the f32
-                # contraction floor (~1e-4 at 200k stations)
-                factors.newton_refine_cov()
+            # inline f64 Newton refinement by default: factor+refine in
+            # ONE streamed pass with triangle-packed transfers, refined
+            # pools host-resident, applies host-side — the
+            # transfer-optimal national-scale pipeline (see
+            # _streamed_chunk_factor_refine).  Applies then become
+            # near-f64-exact, so streamed solves converge to ~1e-12
+            # instead of stalling at the f32 contraction floor
+            # (~1e-4 at 200k stations).  DTA_STREAMED_F64=0 keeps the
+            # f32-only factors.
+            factors = StreamedNestedSchurFactors(
+                bs, part, dtype,
+                refine_inline=os.environ.get("DTA_STREAMED_F64",
+                                             "1") != "0")
         else:
             factors = NestedSchurFactors(bs, part, dtype, mesh=mesh,
                                          axis=axis)
@@ -1957,6 +1962,47 @@ def _streamed_chunk_factor(Nii_c, Nij_c, Njj_c, di_c, dj_c):
     Nij_c = Nij_c * di_c[:, :, None] * dj_c[:, None, :]
     Njj_c = Njj_c * dj_c[:, :, None] * dj_c[:, None, :]
     return block_reduce(Nii_c, Nij_c, Njj_c)
+
+
+@partial(jax.jit, static_argnames=("n", "max_rounds", "tol", "sliced",
+                                   "nslices", "cross_max"))
+def _streamed_chunk_factor_refine(NiiT, Nij_c, Njj_c, di_c, dj_c,
+                                  iu0, iu1, n, max_rounds, tol, sliced,
+                                  nslices, cross_max):
+    """Factor AND Newton-refine one streamed chunk in a single pass —
+    the transfer-optimal streamed pipeline (closing round-4's 200k
+    ledger, artifacts/national_streamed/ATTEMPT.md):
+
+      * the f64 Nii chunk arrives SYMMETRIC-TRIANGLE packed (halving
+        the dominant upload) and is unpacked in-program;
+      * the f32 factorization runs on the in-program cast — the f32
+        factor pools never cross the link in either direction;
+      * the residual-driven Newton refinement (full tier) runs
+        immediately against the already-resident f64 pools — no
+        N64/Ainv32 re-upload pass;
+      * the refined f64 inverse leaves triangle-packed.
+
+    Net per-chunk traffic: up tri(Nii64)+Nij64+Njj64, down
+    tri(A64)+Y64 — ~19 GB at the 200,704-stn configuration vs ~57 GB
+    for the two-phase (factor, then refine) pipeline."""
+    from ..ops.blocked_chol import block_reduce
+    from ..ops.slicegemm import mm64
+    C = NiiT.shape[0]
+    eye = jnp.eye(n, dtype=jnp.float64)
+    up = jnp.zeros((C, n, n), jnp.float64).at[:, iu0, iu1].set(NiiT)
+    Nii_s = up + jnp.swapaxes(up, 1, 2) * (1.0 - eye)
+    Nii_s = Nii_s * di_c[:, :, None] * di_c[:, None, :]
+    Nij_s = Nij_c * di_c[:, :, None] * dj_c[:, None, :]
+    Njj_s = Njj_c * dj_c[:, :, None] * dj_c[:, None, :]
+    Ainv32, _, _ = block_reduce(Nii_s.astype(jnp.float32),
+                                Nij_s.astype(jnp.float32),
+                                Njj_s.astype(jnp.float32))
+    mm = partial(mm64, sliced=sliced, nslices=nslices,
+                 cross_max=cross_max)
+    A64, k, err = _newton_loop(Ainv32, Nii_s, mm, max_rounds, tol)
+    Y64 = mm(A64, Nij_s)
+    S_c = Njj_s - mm(Nij_s, Y64, transa=True)
+    return A64[:, iu0, iu1], Y64, S_c, k, err
 
 
 @partial(jax.jit, static_argnames=("SB", "ni2", "nj2"),
@@ -2025,7 +2071,14 @@ class StreamedNestedSchurFactors:
     """
 
     def __init__(self, bs: BlockSystem, part: NestedPartition,
-                 dtype=np.float32, chunk: int = None):
+                 dtype=np.float32, chunk: int = None,
+                 refine_inline: bool = False):
+        """refine_inline: factor AND f64-Newton-refine each chunk in one
+        streamed pass (_streamed_chunk_factor_refine) with
+        triangle-packed transfers — the refined f64 pools land directly
+        in _cov_l1_h/_l2_host and applies run host-side f64 (zero
+        further link traffic).  False keeps the two-phase pipeline (f32
+        factor now, newton_refine_cov later)."""
         self.bs = bs
         self.part = part
         self.dtype = dtype
@@ -2049,48 +2102,119 @@ class StreamedNestedSchurFactors:
         self.djg_h = djg
 
         # chunk size: a divisor of B (one compiled program for all
-        # chunks) targeting ~DTA_STREAM_CHUNK_BYTES of traffic each
+        # chunks) targeting ~DTA_STREAM_CHUNK_BYTES of traffic each;
+        # the inline-refine program additionally holds the fused sliced
+        # Newton transients (~(nslices+2) f32 slice copies of two f64
+        # (C, ni, ni) operands), so its chunk is HBM-budgeted instead
+        from ..ops.slicegemm import _use_sliced
+        tier = _cov_tier(streamed=True)
         if chunk is None:
-            per_block = (2 * ni * ni + 2 * ni * nj + nj * nj) * \
-                np.dtype(dtype).itemsize
-            target = int(os.environ.get("DTA_STREAM_CHUNK_BYTES",
-                                        1 << 30))
-            chunk = max(1, min(B, target // max(per_block, 1)))
+            if refine_inline:
+                per_block = ((2 * (tier[0] + 2) * 4.0 + 8 * 8.0)
+                             * float(ni) * ni)
+                budget = float(os.environ.get("DTA_NEWTON_CHUNK_BYTES",
+                                              3e9))
+                chunk = max(1, int(budget / per_block))
+            else:
+                per_block = (2 * ni * ni + 2 * ni * nj + nj * nj) * \
+                    np.dtype(dtype).itemsize
+                target = int(os.environ.get("DTA_STREAM_CHUNK_BYTES",
+                                            1 << 30))
+                chunk = max(1, min(B, target // max(per_block, 1)))
         self.C = next(c for c in range(min(chunk, B), 0, -1)
                       if B % c == 0)
 
-        # host factor pools (the .mtx analogue)
-        self.Ainv_h = np.empty((B, ni, ni), dtype=dtype)
-        self.Y_h = np.empty((B, ni, nj), dtype=dtype)
-
-        Nii2 = jnp.zeros((part.SB, part.ni2, part.ni2), dtype=dtype)
-        Nij2 = jnp.zeros((part.SB, part.ni2, part.nj2), dtype=dtype)
-        Njj2 = jnp.zeros((part.SB, part.nj2, part.nj2), dtype=dtype)
         C = self.C
-        for k in range(0, B, C):
-            sl = slice(k, k + C)
-            Ainv_c, Y_c, S_c = _streamed_chunk_factor(
-                jnp.asarray(bs.Nii[sl].astype(dtype)),
-                jnp.asarray(bs.Nij[sl].astype(dtype)),
-                jnp.asarray(bs.Njj[sl].astype(dtype)),
-                jnp.asarray(self.di_h[sl]), jnp.asarray(self.dj_h[sl]))
-            Nii2, Nij2, Njj2 = _l2_accumulate(
-                Nii2, Nij2, Njj2, S_c,
-                jnp.asarray(bs.jmask[sl].astype(dtype)),
-                jnp.asarray(part.sb_of_block[sl]),
-                jnp.asarray(part.l2slot[sl]),
-                SB=part.SB, ni2=part.ni2, nj2=part.nj2)
-            self.Ainv_h[sl] = np.asarray(Ainv_c)
-            self.Y_h[sl] = np.asarray(Y_c)
-            del Ainv_c, Y_c, S_c
+        l2_dtype = np.float64 if refine_inline else dtype
+        Nii2 = jnp.zeros((part.SB, part.ni2, part.ni2), dtype=l2_dtype)
+        Nij2 = jnp.zeros((part.SB, part.ni2, part.nj2), dtype=l2_dtype)
+        Njj2 = jnp.zeros((part.SB, part.nj2, part.nj2), dtype=l2_dtype)
+        if refine_inline:
+            rounds = int(os.environ.get("DTA_NEWTON_ROUNDS", 6))
+            tol = float(os.environ.get("DTA_NEWTON_TOL", 1e-10))
+            tk = dict(max_rounds=rounds, tol=tol, sliced=_use_sliced(),
+                      nslices=tier[0], cross_max=tier[1])
+            evid = {"l1_err": 0.0, "l1_rounds": 0, "l2_err": 0.0,
+                    "l3_err": 0.0, "tol": tol, "max_rounds": rounds,
+                    "tier": list(tier), "inline": True}
+            iu0_h, iu1_h = np.triu_indices(ni)
+            iu0 = jnp.asarray(iu0_h.astype(np.int32))
+            iu1 = jnp.asarray(iu1_h.astype(np.int32))
+            Ah = np.empty((B, ni, ni))
+            Yh = np.empty((B, ni, nj))
+            # the two-phase f32 pools never exist on this path — the
+            # attribute stays as the streamed-layout marker (see
+            # _nested_newton_refine_cov's hasattr discriminator)
+            self.Ainv_h = None
+            self.Y_h = None
+            for k in range(0, B, C):
+                sl = slice(k, k + C)
+                A_tri, Y_c, S_c, k_used, err = \
+                    _streamed_chunk_factor_refine(
+                        jnp.asarray(bs.Nii[sl][:, iu0_h, iu1_h]),
+                        jnp.asarray(bs.Nij[sl]),
+                        jnp.asarray(bs.Njj[sl]),
+                        jnp.asarray(self.di64_h[sl]),
+                        jnp.asarray(self.dj64_h[sl]),
+                        iu0, iu1, n=ni, **tk)
+                _hard_sync(S_c)
+                evid["l1_err"] = max(evid["l1_err"], float(err))
+                evid["l1_rounds"] = max(evid["l1_rounds"], int(k_used))
+                Nii2, Nij2, Njj2 = _l2_accumulate(
+                    Nii2, Nij2, Njj2, S_c,
+                    jnp.asarray(bs.jmask[sl]),
+                    jnp.asarray(part.sb_of_block[sl]),
+                    jnp.asarray(part.l2slot[sl]),
+                    SB=part.SB, ni2=part.ni2, nj2=part.nj2)
+                tri = np.asarray(A_tri)
+                Ah[sl][:, iu0_h, iu1_h] = tri
+                Ah[sl][:, iu1_h, iu0_h] = tri
+                Yh[sl] = np.asarray(Y_c)
+                del A_tri, Y_c, S_c
+            self._cov_l1_h = (Ah, Yh)
+        else:
+            # host factor pools (the .mtx analogue)
+            self.Ainv_h = np.empty((B, ni, ni), dtype=dtype)
+            self.Y_h = np.empty((B, ni, nj), dtype=dtype)
+            for k in range(0, B, C):
+                sl = slice(k, k + C)
+                Ainv_c, Y_c, S_c = _streamed_chunk_factor(
+                    jnp.asarray(bs.Nii[sl].astype(dtype)),
+                    jnp.asarray(bs.Nij[sl].astype(dtype)),
+                    jnp.asarray(bs.Njj[sl].astype(dtype)),
+                    jnp.asarray(self.di_h[sl]),
+                    jnp.asarray(self.dj_h[sl]))
+                Nii2, Nij2, Njj2 = _l2_accumulate(
+                    Nii2, Nij2, Njj2, S_c,
+                    jnp.asarray(bs.jmask[sl].astype(dtype)),
+                    jnp.asarray(part.sb_of_block[sl]),
+                    jnp.asarray(part.l2slot[sl]),
+                    SB=part.SB, ni2=part.ni2, nj2=part.nj2)
+                self.Ainv_h[sl] = np.asarray(Ainv_c)
+                self.Y_h[sl] = np.asarray(Y_c)
+                del Ainv_c, Y_c, S_c
 
         self.j2map = jnp.asarray(part.j2map)
         self.j2mask = jnp.asarray(part.j2mask.astype(dtype))
         A2inv, Y2, Sinv = _nested_factor_stage2(
-            Nii2, Nij2, Njj2,
+            Nii2.astype(dtype), Nij2.astype(dtype), Njj2.astype(dtype),
             jnp.asarray(part.i2mask.astype(dtype)),
             self.j2mask, self.j2map, self.nsj_total)
         self.l2_factors = (A2inv, Y2, Sinv)
+        if refine_inline:
+            # refine the level-2/3 inverses against the exact f64
+            # assemblies (device-resident, junction-sized)
+            i2m = jnp.asarray(part.i2mask, dtype=jnp.float64)
+            A2d, Y2d, S2_b, l2err = _newton_l2_batch(
+                Nii2, Nij2, i2m, A2inv, **tk)
+            evid["l2_err"] = float(l2err)
+            Sinv64, l3err = _newton_l3(
+                S2_b, Njj2, jnp.asarray(part.j2mask, dtype=jnp.float64),
+                self.j2map, Sinv, nsj_total=self.nsj_total, **tk)
+            evid["l3_err"] = float(l3err)
+            self._l2_host = (np.asarray(A2d), np.asarray(Y2d),
+                             np.asarray(Sinv64))
+            self.cov_refine_evidence = evid
 
     def solve(self, bi, bj):
         bs, part = self.bs, self.part
@@ -2102,6 +2226,9 @@ class StreamedNestedSchurFactors:
         # contraction floor — the 0.1 mm-at-national-scale requirement
         # (matvecs are O(n^2): emulated f64 on TPU is fine here)
         refined = getattr(self, "_cov_l1_h", None)
+        if refined is not None and \
+                os.environ.get("DTA_STREAM_APPLY", "host") != "device":
+            return self._solve_host(bi, bj)
         if refined is not None:
             Ah, Yh = refined
             A2inv, Y2, Sinv = [jnp.asarray(a) for a in self._l2_host]
@@ -2161,6 +2288,61 @@ class StreamedNestedSchurFactors:
             xi[sl] = np.asarray(xi_c, dtype=np.float64)
             del xi_c
         return xi, np.asarray(xj, dtype=np.float64) * self.djg_h[:njg]
+
+    def _solve_host(self, bi, bj):
+        """Apply the refined f64 factors entirely on HOST (numpy BLAS).
+
+        The chip-streamed apply moves the full factor pools through the
+        device per solve — tens of GB at national scale, which over a
+        tunnel link dwarfs the O(n²) apply FLOPs (~7 GFLOP at 200k:
+        ~1 s of host BLAS).  With the refined pools already
+        host-resident (refine_inline), the apply is pure RAM bandwidth
+        and ZERO link traffic.  DTA_STREAM_APPLY=device restores the
+        chip-streamed path (pod-local PCIe, where the link is fast).
+        Same philosophy as the reference's staged mode: keep big state
+        where it lives, move only what the compute needs
+        (dnaadjust-stage.cpp:59)."""
+        bs, part = self.bs, self.part
+        Ah, Yh = self._cov_l1_h
+        A2h, Y2h, Sh = self._l2_host
+        SB, ni2, nj2 = part.SB, part.ni2, part.nj2
+        bi_s = np.asarray(bi) * self.di64_h
+        bj_s = np.asarray(bj) * self.dj64_h
+        # level-1 forward elimination
+        w = np.matmul(Ah, bi_s[:, :, None])[:, :, 0]
+        t_b = (bj_s - np.matmul(bi_s[:, None, :], Yh)[:, 0, :]) \
+            * bs.jmask
+        # level-2 rhs scatter (host replica of _scatter_l2_rhs)
+        l2s = part.l2slot
+        sbv = np.broadcast_to(part.sb_of_block[:, None], l2s.shape)
+        inner = l2s < ni2
+        junc = (l2s >= ni2) & (l2s < ni2 + nj2)
+        bi2 = np.zeros((SB, ni2 + 1))
+        bj2 = np.zeros((SB, nj2 + 1))
+        np.add.at(bi2, (sbv, np.where(inner, l2s, ni2)), t_b * inner)
+        np.add.at(bj2, (sbv, np.where(junc, l2s - ni2, nj2)),
+                  t_b * junc)
+        bi2, bj2 = bi2[:, :ni2], bj2[:, :nj2]
+        # level-2 elimination + level-3 solve
+        w2 = np.matmul(A2h, bi2[:, :, None])[:, :, 0]
+        t2_b = (bj2 - np.matmul(bi2[:, None, :], Y2h)[:, 0, :]) \
+            * part.j2mask
+        t2 = np.zeros(self.nsj_total)
+        np.add.at(t2, part.j2map.reshape(-1), t2_b.reshape(-1))
+        xsj = Sh @ t2
+        xsj_b = xsj[part.j2map] * part.j2mask
+        xi2 = w2 - np.matmul(Y2h, xsj_b[:, :, None])[:, :, 0]
+        # junction reconstruction + level-1 back-substitution
+        njg = bs.nj_global
+        xj = np.where(part.xj_kind == 0,
+                      xi2[part.xj_sb,
+                          np.minimum(part.xj_slot, ni2 - 1)],
+                      xsj[np.minimum(part.xj_slot, self.nsj_total - 1)])
+        xj_pad = np.concatenate([xj, [0.0]])
+        xj_b = xj_pad[bs.jmap] * bs.jmask
+        xi = (w - np.matmul(Yh, xj_b[:, :, None])[:, :, 0]) \
+            * self.di64_h
+        return xi, xj * self.djg_h[:njg]
 
 
 # ---------------------------------------------------------------------------

@@ -86,17 +86,31 @@ def main():
 
     import json
     import resource
+    B, ni = bs.Nii.shape[:2]
+    nj = bs.Njj.shape[1]
+    tri = ni * (ni + 1) // 2
+    ledger = {
+        "up_tri_Nii64_gb": round(B * tri * 8 / 2 ** 30, 2),
+        "up_Nij64_Njj64_gb": round(B * (ni * nj + nj * nj) * 8
+                                   / 2 ** 30, 2),
+        "down_tri_A64_gb": round(B * tri * 8 / 2 ** 30, 2),
+        "down_Y64_gb": round(B * ni * nj * 8 / 2 ** 30, 2),
+        "applies": "host f64 (zero link traffic; DTA_STREAM_APPLY)",
+        "vs_round4_two_phase_gb": "~57 (factor 16 + refine 41)",
+    }
     rec = {
         "stations": S, "baselines": int(len(pairs)),
         "blocks": len(blocks), "super_blocks": int(part.SB),
         "streamed": True,
         "f64_refined_factors":
             os.environ.get("DTA_STREAMED_F64", "1") != "0",
-        "newton_rounds": int(os.environ.get("DTA_NEWTON_ROUNDS", 3)),
+        "refine_evidence": getattr(factors, "cov_refine_evidence",
+                                   None),
         "t_factor_refined_solve_s": round(t_solve, 1),
         "t_reuse_apply_s": round(t_apply, 1),
         "relative_residual": float(rel),
         "chunk_blocks": int(factors.C),
+        "transfer_ledger": ledger,
         "peak_host_rss_gb": round(resource.getrusage(
             resource.RUSAGE_SELF).ru_maxrss / 2 ** 20, 1),
         "device": str(jax.devices()[0]),

@@ -449,3 +449,45 @@ def test_nested_fused_matches_chunked_paths(grid_system, monkeypatch):
     f_small.refactor(bs)
     xi_r, xj_r = f_small.solve(bs.bi, bs.bj)
     assert np.abs(xi_r - xi_s).max() / scale < 1e-12
+
+
+def test_streamed_inline_refine_matches_two_phase(grid_system):
+    """The single-pass streamed factor+refine pipeline
+    (_streamed_chunk_factor_refine: triangle-packed f64 transfers, f32
+    factor pools never crossing the link, host-side f64 applies) must
+    match the two-phase (factor, then newton_refine_cov) pipeline and
+    reach the same ~1e-11 refined-solve residual."""
+    from dynadjust_tpu.parallel.schur import (
+        build_nested_partition, schur_solve_nested_factored,
+        StreamedNestedSchurFactors, _block_matvec, _gather_rhs_junction,
+    )
+    from dynadjust_tpu.utils.synthetic import grid_super_assignment
+
+    bs, bn, rows, cols, blk = grid_system
+    part = build_nested_partition(
+        bs, grid_super_assignment(rows, cols, blk, blk, 2, 2))
+
+    f2 = StreamedNestedSchurFactors(bs, part, chunk=3)
+    f2.newton_refine_cov()
+    f1 = StreamedNestedSchurFactors(bs, part, chunk=3,
+                                    refine_inline=True)
+    # refined pools agree between the pipelines to the scale-vector
+    # rounding: the two-phase path refines against f32-ROUNDED unity
+    # scales (di_h widened), the inline path against exact f64 scales —
+    # the pools are inverses of ~1e-7-relatively different scalings
+    # (the refined-solve loop absorbs either; the residual bar below is
+    # the meaningful one)
+    A2, Y2 = f2._cov_l1_h
+    A1, Y1 = f1._cov_l1_h
+    assert np.abs(A1 - A2).max() < 1e-6 * np.abs(A2).max()
+    assert np.abs(Y1 - Y2).max() < 1e-6 * max(np.abs(Y2).max(), 1.0)
+    ev = f1.cov_refine_evidence
+    assert ev["inline"] and ev["l1_err"] < 1e-10
+
+    xi, xj, _ = schur_solve_nested_factored(bs, part, refine=1,
+                                            factors=f1)
+    yi, yj = _block_matvec(bs, xi, xj)
+    ri = np.abs(bs.bi * bs.imask - yi).max()
+    rj = np.abs(_gather_rhs_junction(bs) - yj).max()
+    scale = max(np.abs(bs.bi).max(), 1.0)
+    assert max(ri, rj) / scale < 1e-11
