@@ -50,6 +50,14 @@ def _add_diag_tiles_donated(P, b, c3, v):
     return P.at[b[:, None, None], c3[:, :, None], c3[:, None, :]].add(v)
 
 
+@jax.jit
+def _compose_vals(const_vals, dyn_vals, dyn_pos):
+    """Scatter the per-iteration (scalar) tile values into the constant
+    (GPS) value vector — the device side of the dynamic/constant value
+    split (per-iteration uploads carry only the scalar tiles)."""
+    return const_vals.at[dyn_pos].set(dyn_vals.astype(const_vals.dtype))
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _upd_pool(P, g, b0):
     """Donated chunk write into a device pool (module-level jit — a
@@ -310,6 +318,38 @@ class DeviceAssembly:
         for b in range(self.B):
             self._t_range[b + 1] = self._t_range[b] + \
                 len(self._gather[b]) + len(self._gps_vals[b])
+        # split dynamic (scalar, re-gathered per linearisation) from
+        # CONSTANT (GPS ±e_k) tile values: per-iteration uploads then
+        # carry only the scalar tiles — roughly half the value traffic
+        # on mixed networks (compose_values recombines on device)
+        pos, off = [], 0
+        const_vals = np.zeros((int(self._t_range[-1]), 3))
+        for b in range(self.B):
+            k_s = len(self._gather[b])
+            k_g = len(self._gps_vals[b])
+            pos.append(np.arange(off, off + k_s, dtype=np.int32))
+            if k_g:
+                const_vals[off + k_s:off + k_s + k_g] = self._gps_vals[b]
+            off += k_s + k_g
+        self._dyn_pos_h = np.concatenate(pos) if pos else \
+            np.zeros(0, dtype=np.int32)
+        self._dyn_pos = self._putr(self._dyn_pos_h)
+        self._const_vals = self._putr(const_vals)
+
+    def dyn_values(self, dtype=None):
+        """Per-iteration (scalar-tile) values only — the dynamic half of
+        scalar_values; GPS tiles are device constants."""
+        dtype = dtype or self.dtype
+        parts = [self.blocks[b].asm.A.ravel()[self._gather[b]]
+                 for b in range(self.B)]
+        if not parts:
+            return np.zeros((0, 3), dtype=dtype)
+        return np.concatenate(parts).astype(dtype)
+
+    def compose_values(self, dyn_dev):
+        """Device-side full tile-value vector from the uploaded dynamic
+        values + the constant GPS tiles."""
+        return _compose_vals(self._const_vals, dyn_dev, self._dyn_pos)
 
     def _compile_weights(self):
         """Device weight plan: scalar 1/var row scale + per-k bucketed

@@ -291,13 +291,17 @@ class DeviceRefinedSolve:
 
     # ------------------------------------------------------------------
     def iteration_inputs(self, values64=None):
-        """Upload this linearisation's tile values (f64) and misclosure
-        pool.  The same f64 value upload can feed the f32 normals build
-        (cast on device) — one transfer serves both."""
+        """Upload this linearisation's tile values (f64, SCALAR tiles
+        only — GPS tiles are device constants, composed on device) and
+        the misclosure pool.  The same composed f64 value vector feeds
+        the f32 normals build (cast on device) — one transfer serves
+        both."""
         da = self.da
-        if values64 is None:
-            values64 = da.scalar_values(np.float64)
-        vals_dev = da._putr(np.ascontiguousarray(values64))
+        if values64 is not None:
+            vals_dev = da._putr(np.ascontiguousarray(values64))
+        else:
+            dyn = np.ascontiguousarray(da.dyn_values(np.float64))
+            vals_dev = da.compose_values(da._putr(dyn))
         mmc = np.zeros((da.Bp, da.M))
         for b, blk in enumerate(da.blocks):
             mmc[b, :blk.asm.nrows] = blk.asm.mmc

@@ -95,6 +95,11 @@ class AdjustmentResult:
     elapsed: float = 0.0
     # per-phase wall-clock seconds when DTA_PROFILE is set (tpu_blocked)
     profile: dict = None
+    # measured covariance-refinement residual evidence
+    # (max|I - N*Ainv| per level, rounds used — parallel/schur.py
+    # _newton_loop); the accuracy the formal SDs/.apu carry is recorded,
+    # not assumed
+    refine_evidence: dict = None
     # lazy block-scoped covariance access past the dense cap
     # (adjust/block_cov.BlockCovProvider) — the reference's phased-mode
     # per-block variance semantics (dnaadjust_printer.cpp:4330-4390)

@@ -254,18 +254,18 @@ def adjust_tpu_blocked(net: NetworkData,
         vals_dev = mmc_dev = None
         if device_asm:
             if dev_solver is not None:
-                # ONE f64 value upload serves the f32 build (cast on
+                # ONE f64 value upload (scalar tiles only; GPS tiles
+                # are device constants) serves the f32 build (cast on
                 # device) and the fused solve's residual operator; the
                 # misclosure pool rides along (host rhs_pools is gone)
-                vals64 = da.scalar_values(np.float64)
-                vals_dev, mmc_dev = dev_solver.iteration_inputs(vals64)
+                vals_dev, mmc_dev = dev_solver.iteration_inputs()
                 if prof is not None:
                     prof["rhs"] += _time.perf_counter() - _t
                     _t = _time.perf_counter()
                 shared = da._auto_chunk_blocks() >= da.Bp
                 Nii, Nij, Njj = da.build_device(
                     values=vals_dev if shared
-                    else vals64.astype(np.float32))
+                    else da.scalar_values(np.float32))
                 _sync(Njj)
                 if prof is not None:
                     prof["normals"] += _time.perf_counter() - _t
@@ -636,4 +636,5 @@ def adjust_tpu_blocked(net: NetworkData,
         cov_xyz=cov, cov_stn=cov_stn, msr_stats=stats_rows,
         iteration_log=it_log, block_info=block_info,
         initial_xyz=initial_xyz, elapsed=time.time() - t0,
-        profile=prof, block_cov=block_cov)
+        profile=prof, block_cov=block_cov,
+        refine_evidence=getattr(factors, "cov_refine_evidence", None))

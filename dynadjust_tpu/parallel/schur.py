@@ -2356,8 +2356,12 @@ def _cov_tier(streamed: bool):
     ~1e-12) and stay at the full tier.  Resident refinement feeds only
     reporting consumers (formal SDs, .apu/SINEX block covariances,
     measurement statistics — 3-4 printed figures), where the (6, 5)
-    tier's ~1e-9 product floor leaves orders of magnitude of margin at
-    half the MXU passes.  DTA_COV_TIER=nslices,cross_max overrides."""
+    tier suffices at half the MXU passes.  NOTE the achieved inverse
+    residual floors at ~C_tier x kappa(scaled system) — C measured in
+    tests/test_newton_tiers.py ((8,8): ~3e-13, (6,5): ~3e-8, (5,4):
+    ~3e-6) — NOT at a kappa-free constant; the residual-driven loop
+    stops at that floor and records it as evidence.
+    DTA_COV_TIER=nslices,cross_max overrides."""
     from ..ops.slicegemm import NSLICES, CROSS_MAX
     if streamed:
         return NSLICES, CROSS_MAX

@@ -132,6 +132,14 @@ def main():
                             "p99": round(float(np.percentile(err, 99))*1e3, 3),
                             "max": round(float(err.max())*1e3, 3)},
         "formal_sd_mm_median": round(float(np.median(sd))*1e3, 3),
+        # measured covariance-refinement residuals (max|I - N*Ainv| per
+        # level + rounds used) and per-iteration solve residuals — the
+        # accuracy of the artifact's formal SDs is recorded, not assumed
+        "refine_evidence": res.refine_evidence,
+        "solve_evidence": [
+            {k: it[k] for k in ("solve_rel", "solve_rounds")
+             if k in it}
+            for it in res.iteration_log],
     }
     print(json.dumps(rec))
     with open(os.path.join(OUTDIR, f"national_{S}stn.json"), "w") as f:
