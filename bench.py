@@ -380,6 +380,10 @@ def bench_mixed():
                                   if phase_warm_iter else None),
             "t_stats_warm_s": (round(profile_warm["stats"], 3)
                                if profile_warm else None),
+            "solve_rel_last_warm_iter": (
+                res_w.iteration_log[-1].get("solve_rel")),
+            "solve_rounds_last_warm_iter": (
+                res_w.iteration_log[-1].get("solve_rounds")),
             "stats_share_of_warm_total": (
                 round(profile_warm["stats"] / warm_tot, 3)
                 if profile_warm and warm_tot else None),

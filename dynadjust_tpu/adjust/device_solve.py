@@ -396,4 +396,11 @@ def want_device_solve(da, mesh, staged: bool) -> bool:
         return v == "1"
     from ..ops.slicegemm import _use_sliced
     budget = float(os.environ.get("DTA_DEVICE_SOLVE_BYTES", 8e9))
-    return pool_bytes(da, _use_sliced()) <= budget
+    need = pool_bytes(da, _use_sliced())
+    if need > budget:
+        import sys
+        print(f"device_solve: design-pool state ~{need/1e9:.1f} GB > "
+              f"budget {budget/1e9:.1f} GB (DTA_DEVICE_SOLVE_BYTES) — "
+              "falling back to the host refinement loop",
+              file=sys.stderr, flush=True)
+    return need <= budget

@@ -2614,11 +2614,20 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
     A2d = jnp.concatenate([o[0] for o in l2parts])
     Y2d = jnp.concatenate([o[1] for o in l2parts])
     S2_b = jnp.concatenate([o[2] for o in l2parts])
+    # the level-3 (super-junction) system is the smallest but worst
+    # conditioned piece — at the 102,400-stn configuration the (6,5)
+    # tier floors its inverse residual at ~1e-6 (kappa-scaled floor,
+    # tests/test_newton_tiers.py) while the full tier costs only
+    # O(nsj^3) extra passes on one small matrix: always refine L3 at
+    # the full tier
+    from ..ops.slicegemm import NSLICES, CROSS_MAX
+    tk3 = dict(tk, nslices=max(tier[0], NSLICES),
+               cross_max=max(tier[1], CROSS_MAX))
     Sinv64, l3_err = _newton_l3(
         S2_b, Njj2,
         jnp.asarray(part.j2mask, dtype=jnp.float64),
         jnp.asarray(part.j2map), jnp.asarray(a2_src[2]),
-        nsj_total=self.nsj_total, **tk)
+        nsj_total=self.nsj_total, **tk3)
     evid["l3_err"] = float(l3_err)
     self.cov_refine_evidence = evid
     if not keep_dev:
