@@ -46,17 +46,37 @@ import jax
 import jax.numpy as jnp
 
 
-def _solve_tier():
-    """(nslices, cross_max) of the sliced residual operator.  The
-    operator's truncation perturbs the system the refinement converges
-    to by ~2^-(6·nslices) relative — full tier keeps that at ~2^-48,
-    below the 1e-10 solve rtol with κ≲1e4 scaled condition."""
+_TIER_LADDER = ((8, 8), (6, 5), (5, 4), (4, 4))
+
+
+def _solve_tier(da=None):
+    """(nslices, cross_max) of the sliced residual operator, or None if
+    no tier fits the chip.
+
+    The operator's truncation perturbs the system the refinement
+    converges to by ~2^-(6·nslices) relative: the full tier keeps that
+    at ~2^-48; the (4,4) floor still reaches ~6e-8 — micrometre-class
+    consistency on metre-scale corrections, far inside the Gauss-Newton
+    threshold, with the achieved solve residual recorded as evidence
+    either way.  Tier selection is HBM-driven: the while-loop program
+    holds ~(2·nslices + 8) bytes per design-pool entry (bf16 slice
+    pools + the f32 hi/lo scatter transient) plus ~2 GB of factor/misc
+    state (calibrated against the measured 102,400-stn compile
+    footprints), so the largest tier that fits DTA_SOLVE_HBM_TARGET
+    (default 15e9) wins.  DTA_SOLVE_TIER=n,c overrides."""
     from ..ops.slicegemm import NSLICES, CROSS_MAX
     v = os.environ.get("DTA_SOLVE_TIER", "")
     if v:
         n, c = v.split(",")
         return int(n), int(c)
-    return NSLICES, CROSS_MAX
+    if da is None:
+        return NSLICES, CROSS_MAX
+    entries = float(da.Bp) * da.M * da.Pp
+    target = float(os.environ.get("DTA_SOLVE_HBM_TARGET", 1.5e10))
+    for ns, cm in _TIER_LADDER:
+        if (2.0 * ns + 8.0) * entries + 2.0e9 <= target:
+            return ns, cm
+    return None
 
 
 def _make_operator(dims, sliced, tier, has_proj,
@@ -270,7 +290,8 @@ class DeviceRefinedSolve:
         rtol = float(os.environ.get("DTA_SOLVE_RTOL", 1e-10))
         self.policy = (refine, max_refine, rtol)
         self.sliced = _use_sliced()
-        self.tier = _solve_tier()
+        self.tier = (_solve_tier(da) or _TIER_LADDER[-1]) \
+            if self.sliced else (8, 8)
         self.njg = da.nj_global
         self.nj_total = da.nj_global + 1
         self.dims = (da.Bp, da.M, da.Pp, da.ni, self.nj_total)
@@ -395,12 +416,17 @@ def want_device_solve(da, mesh, staged: bool) -> bool:
     if v in ("0", "1"):
         return v == "1"
     from ..ops.slicegemm import _use_sliced
+    if _use_sliced():
+        # HBM-driven tier ladder: route through the fused program at
+        # whatever slicing tier fits the chip; only bail to the host
+        # loop when even the lowest tier cannot fit
+        if _solve_tier(da) is None:
+            import sys
+            print("device_solve: no slicing tier fits the HBM target "
+                  "(DTA_SOLVE_HBM_TARGET) at this design-pool size — "
+                  "falling back to the host refinement loop",
+                  file=sys.stderr, flush=True)
+            return False
+        return True
     budget = float(os.environ.get("DTA_DEVICE_SOLVE_BYTES", 8e9))
-    need = pool_bytes(da, _use_sliced())
-    if need > budget:
-        import sys
-        print(f"device_solve: design-pool state ~{need/1e9:.1f} GB > "
-              f"budget {budget/1e9:.1f} GB (DTA_DEVICE_SOLVE_BYTES) — "
-              "falling back to the host refinement loop",
-              file=sys.stderr, flush=True)
-    return need <= budget
+    return pool_bytes(da, False) <= budget

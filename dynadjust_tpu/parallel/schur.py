@@ -2444,26 +2444,21 @@ def _newton_l1_chunk(Nii_c, Nij_c, Njj_c, di_c, dj_c, Ainv_c, max_rounds,
 def _newton_l2_batch(Nii2, Nij2, i2mask, A2inv32, max_rounds, tol,
                      sliced, nslices, cross_max):
     """f64 Newton-Schulz on ALL level-2 inverses (same pinning as
-    _nested_l2_factor_one), unrolled over the SB super-blocks in one
-    fused program; returns stacked (A2inv, Y2, S2) f64 + the worst
-    measured inverse residual across the batch."""
+    _nested_l2_factor_one), BATCHED over the SB super-blocks in one
+    while_loop (the worst block's residual drives the rounds — a
+    Python-unrolled per-block loop compiled to a ~110 MB executable at
+    national scale, and over a tunnel every process pays
+    executable-size/link-rate to load it); returns stacked
+    (A2inv, Y2, S2) f64 + the worst measured inverse residual."""
     from ..ops.slicegemm import mm64
     mm = partial(mm64, sliced=sliced, nslices=nslices,
                  cross_max=cross_max)
-    outs = []
     eye = jnp.eye(Nii2.shape[1], dtype=jnp.float64)
-    err_max = jnp.asarray(0.0, dtype=jnp.float64)
-    for k in range(Nii2.shape[0]):
-        Nii2b = Nii2[k] + eye * (1.0 - i2mask[k])[None, :]
-        Nij2b = Nij2[k]
-        A2, _, err = _newton_loop(A2inv32[k], Nii2b, mm, max_rounds, tol)
-        err_max = jnp.maximum(err_max, err)
-        Y2b = mm(A2, Nij2b)
-        S2b = - mm(Nij2b, Y2b, transa=True)
-        outs.append((A2, Y2b, S2b))
-    return (jnp.stack([o[0] for o in outs]),
-            jnp.stack([o[1] for o in outs]),
-            jnp.stack([o[2] for o in outs]), err_max)
+    Nii2b = Nii2 + eye[None] * (1.0 - i2mask)[:, None, :]
+    A2, _, err = _newton_loop(A2inv32, Nii2b, mm, max_rounds, tol)
+    Y2 = mm(A2, Nij2)
+    S2 = - mm(Nij2, Y2, transa=True)
+    return A2, Y2, S2, err
 
 
 @partial(jax.jit, static_argnames=("nsj_total", "max_rounds", "tol",
