@@ -2567,6 +2567,18 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
     jmask64 = bs.jmask.astype(np.float64)
     sbb = jnp.asarray(part.sb_of_block)
     l2s = jnp.asarray(part.l2slot)
+    import time as _time
+    _nt = os.environ.get("DTA_NEWTON_TRACE", "") == "1"
+    _t0 = _time.perf_counter()
+
+    def _tr(tag):
+        nonlocal _t0
+        if _nt:
+            now = _time.perf_counter()
+            print(f"newton[{tag}] {now - _t0:.2f}s", file=sys.stderr,
+                  flush=True)
+            _t0 = now
+
     for k in range(B // C):
         s = slice(k * C, (k + 1) * C)
         A_c, Y_c, S_c, k_used, err_c = _newton_l1_chunk(
@@ -2577,6 +2589,7 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
             jnp.asarray(ainv_src(s)), **tk)
         evid["l1_err"] = max(evid["l1_err"], float(err_c))
         evid["l1_rounds"] = max(evid["l1_rounds"], int(k_used))
+        _tr(f"l1 chunk {k}")
         if keep_dev:
             Ad = upd(Ad, A_c, s.start)
             Yd = upd(Yd, Y_c, s.start)
@@ -2584,9 +2597,11 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
         else:
             Ah[s] = np.asarray(A_c)
             Yh[s] = np.asarray(Y_c)
+        _tr(f"l1 store {k}")
         Nii2, Nij2, Njj2 = _l2_accumulate(
             Nii2, Nij2, Njj2, S_c, jnp.asarray(jmask64[s]),
             sbb[s], l2s[s], SB=part.SB, ni2=part.ni2, nj2=part.nj2)
+        _tr(f"l1 l2acc {k}")
     if keep_dev:
         self._cov_l1_dev = (Ad, Yd)
 
@@ -2606,6 +2621,7 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
         _hard_sync(out[2])
         evid["l2_err"] = max(evid["l2_err"], float(out[3]))
         l2parts.append(out)
+        _tr(f"l2 batch {k0}")
     A2d = jnp.concatenate([o[0] for o in l2parts])
     Y2d = jnp.concatenate([o[1] for o in l2parts])
     S2_b = jnp.concatenate([o[2] for o in l2parts])
