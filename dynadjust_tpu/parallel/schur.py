@@ -2640,6 +2640,7 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
         jnp.asarray(part.j2map), jnp.asarray(a2_src[2]),
         nsj_total=self.nsj_total, **tk3)
     evid["l3_err"] = float(l3_err)
+    _tr("l3")
     self.cov_refine_evidence = evid
     if not keep_dev:
         self._cov_l1_h = (Ah, Yh)
