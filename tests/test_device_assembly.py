@@ -264,3 +264,26 @@ def test_block_scoped_covariance_output(monkeypatch, tmp_path):
     stext = snx.read_text()
     # off-diagonal (cross-station) rows exist in the matrix block
     assert "+SOLUTION/MATRIX_ESTIMATE L COVA" in stext
+
+
+def test_solve_and_refinement_evidence_recorded():
+    """The fused one-dispatch solve and the residual-driven covariance
+    refinement must RECORD their measured residuals (the round-4
+    regression was possible precisely because accuracy was assumed, not
+    measured): per-iteration solve_rel/solve_rounds in the iteration
+    log, and refine_evidence on the result."""
+    from dynadjust_tpu.utils.synthetic_mixed import synthetic_mixed_network
+    from dynadjust_tpu.adjust import AdjustmentOptions
+    from dynadjust_tpu.adjust.tpu_blocked import adjust_tpu_blocked
+
+    net, seg = synthetic_mixed_network(12, 12, block_rows=6, block_cols=6)
+    res = adjust_tpu_blocked(net, AdjustmentOptions(), seg=seg,
+                             super_blocks=2)
+    assert res.status == "Converged"
+    for it in res.iteration_log:
+        assert it["solve_rel"] < 1e-9          # rtol 1e-10 + stall slack
+        assert 0 <= it["solve_rounds"] <= 12
+    ev = res.refine_evidence
+    assert ev is not None
+    assert ev["l1_err"] < 1e-8 and ev["l1_rounds"] >= 1
+    assert ev["l3_err"] < 1e-8
