@@ -231,6 +231,10 @@ def device_block_stats(da, bs, cov_factors=None, nested=None,
     # sliced-matmul transients (~(nslices+2)x f32 of the operands) plus
     # the (C, P, P) covariance pools all scale with the chunk (a 9-block
     # 3.3k-param segmentation OOMs a 16 GB chip if all blocks go at once)
+    # 4 GB default: measured bound — an 8 GB budget (3-block chunks at
+    # the 10k bench shapes) ResourceExhausted the 16 GB chip alongside
+    # the retained covariance pools, so the per-dispatch latency of
+    # small chunks is the price of fitting
     budget = float(os.environ.get("DTA_STATS_CHUNK_BYTES", 4e9))
     per_block = ((nslices + 2) * 4.0 + 2 * 8.0) * (M * P + P * P)
     chunk = min(chunk, max(1, int(budget / per_block)))

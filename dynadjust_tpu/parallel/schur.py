@@ -1039,6 +1039,7 @@ class DeviceSchurFactors:
         evid = {"l1_err": 0.0, "l1_rounds": 0, "tol": tol,
                 "max_rounds": rounds, "tier": list(tier)}
         parts = []
+        ev_parts = []
         for k in range(B // C):
             s = slice(k * C, (k + 1) * C)
             A_c, Y_c, S_c, k_used, err_c = _newton_l1_chunk(
@@ -1047,9 +1048,12 @@ class DeviceSchurFactors:
                 Ainv[s], **tk)
             if C < B:
                 _hard_sync(S_c)
-            evid["l1_err"] = max(evid["l1_err"], float(err_c))
-            evid["l1_rounds"] = max(evid["l1_rounds"], int(k_used))
+            ev_parts.append((k_used, err_c))
             parts.append((A_c, Y_c, S_c))
+        evid["l1_err"] = max([float(e) for _, e in ev_parts],
+                             default=0.0)
+        evid["l1_rounds"] = max([int(k) for k, _ in ev_parts],
+                                default=0)
         A64 = (parts[0][0] if len(parts) == 1
                else jnp.concatenate([p[0] for p in parts]))
         Y64 = (parts[0][1] if len(parts) == 1
@@ -2579,6 +2583,10 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
                   flush=True)
             _t0 = now
 
+    l1_ev = []        # device scalars; materialised AFTER the loop so
+                      # evidence reads don't add two tunnel round-trips
+                      # to every chunk (the per-chunk _hard_sync below
+                      # already serialises HBM usage)
     for k in range(B // C):
         s = slice(k * C, (k + 1) * C)
         A_c, Y_c, S_c, k_used, err_c = _newton_l1_chunk(
@@ -2587,8 +2595,7 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
             jnp.asarray(di_h[s], dtype=jnp.float64),
             jnp.asarray(dj_h[s], dtype=jnp.float64),
             jnp.asarray(ainv_src(s)), **tk)
-        evid["l1_err"] = max(evid["l1_err"], float(err_c))
-        evid["l1_rounds"] = max(evid["l1_rounds"], int(k_used))
+        l1_ev.append((k_used, err_c))
         _tr(f"l1 chunk {k}")
         if keep_dev:
             Ad = upd(Ad, A_c, s.start)
@@ -2602,6 +2609,8 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
             Nii2, Nij2, Njj2, S_c, jnp.asarray(jmask64[s]),
             sbb[s], l2s[s], SB=part.SB, ni2=part.ni2, nj2=part.nj2)
         _tr(f"l1 l2acc {k}")
+    evid["l1_err"] = max([float(e) for _, e in l1_ev], default=0.0)
+    evid["l1_rounds"] = max([int(k) for k, _ in l1_ev], default=0)
     if keep_dev:
         self._cov_l1_dev = (Ad, Yd)
 
@@ -2619,9 +2628,9 @@ def _nested_newton_refine_cov(self, rounds: int = None, N64=None):
         out = _newton_l2_batch(Nii2[s2], Nij2[s2], i2m[s2],
                                A2_32[s2], **tk)
         _hard_sync(out[2])
-        evid["l2_err"] = max(evid["l2_err"], float(out[3]))
         l2parts.append(out)
         _tr(f"l2 batch {k0}")
+    evid["l2_err"] = max(float(o[3]) for o in l2parts)
     A2d = jnp.concatenate([o[0] for o in l2parts])
     Y2d = jnp.concatenate([o[1] for o in l2parts])
     S2_b = jnp.concatenate([o[2] for o in l2parts])
